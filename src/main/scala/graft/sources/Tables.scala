@@ -1,0 +1,53 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** Parquet table helpers (SURVEY.md §2a S4–S6, S9–S10).
+  *
+  * The reference stores every layer as a Delta table and scans with
+  * `spark.table(name)` (`03_bronze_processing.py:20`,
+  * `04_silver_transformation.py:33`). We use plain parquet directories keyed
+  * by table name, which is what the driver testdata ships
+  * (`NAME.parquet` under each `/root/testdata/sfN` directory).
+  */
+object Tables {
+
+  /** Scan one of the driver-provided tables under `sfDir`. */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** Register the full fixture star schema as temp views so `spark.sql`
+    * queries read the same names the DuckDB oracle does.
+    */
+  val fixtureTables: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    fixtureTables.foreach { t =>
+      load(spark, sfDir, t).createOrReplaceTempView(t)
+    }
+
+  /** Append sink (reference: Delta append, `02_ingestion.py:214-217`). */
+  def append(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Append).parquet(path)
+
+  /** Overwrite sink (reference: Delta overwrite, `03:113-117`, `05:79`...).
+    *
+    * Safe even when `path` is also an input of `df`: Spark cannot overwrite a
+    * directory it is lazily reading (the reference got read-while-overwrite
+    * for free from Delta MVCC), so we materialize to a sibling temp dir and
+    * atomically swap. Single-writer semantics match the reference's
+    * `max_concurrent_runs: 1` (`Pipeline.json:22`).
+    */
+  def overwrite(df: DataFrame, path: String): Unit = {
+    val tmp = path + ".__tmp__"
+    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val src = new org.apache.hadoop.fs.Path(tmp)
+    if (fs.exists(dst)) fs.delete(dst, true)
+    fs.rename(src, dst)
+  }
+}
