@@ -1,0 +1,198 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.bronze.Quality
+import graft.operators.{BandJoin, Dedup, Upsert}
+import graft.sources.Tables
+
+/** The reference's bronze→silver event-pipeline operators (SURVEY.md §2a–§2c,
+  * §2e, §2j) exercised over the `events` fixture table.
+  */
+object EventQueries {
+
+  /** Single-pass DQ report (P1 null audit + A6 range stats + A7 duplicate
+    * reconciliation — the reference runs one scan per column,
+    * `03_bronze_processing.py:33-91`; this is ONE aggregation job).
+    */
+  val dqReport: QuerySpec = QuerySpec.sql(
+    "q02_dq_report",
+    """SELECT count(*) AS n_rows,
+      |  count(DISTINCT event_id) AS distinct_event_id,
+      |  count(*) - count(DISTINCT event_id) AS duplicate_count,
+      |  round(min(value), 4) AS min_value,
+      |  round(max(value), 4) AS max_value,
+      |  round(avg(value), 4) AS avg_value,
+      |  min(ts) AS min_ts, max(ts) AS max_ts,
+      |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
+      |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_user_id,
+      |  CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_type,
+      |  CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_value,
+      |  CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_props
+      |FROM events""".stripMargin
+  ) { (spark, dir) =>
+    Quality.report(Tables.load(spark, dir, "events"),
+      keyCol = "event_id", measureCol = "value", tsCol = "ts")
+  }
+
+  /** W1 dedup-keep-latest: `row_number() over (partition by key order by
+    * ts desc) = 1` (`03_bronze_processing.py:102-109`), with a unique
+    * tiebreaker for determinism.
+    */
+  val dedupLatest: QuerySpec = QuerySpec.sql(
+    "q03_dedup_latest",
+    """SELECT user_id, event_type, event_id AS last_event_id,
+      |  ts AS last_ts, round(value, 2) AS last_value
+      |FROM (SELECT *, row_number() OVER (
+      |        PARTITION BY user_id, event_type
+      |        ORDER BY ts DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    Dedup.keepFirst(ev, Seq("user_id", "event_type"),
+        Seq(col("ts").desc, col("event_id").desc))
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("last_event_id"), col("ts").as("last_ts"),
+        round(col("value"), 2).as("last_value"))
+      .orderBy(col("user_id"), col("event_type"))
+  }
+
+  /** P3 watermark CDC scan + P4 null-repair/clamp + §2h calendar projection
+    * (`04_silver_transformation.py:33,69-84,170-182`). The watermark
+    * predicate is pushed into the parquet scan by Catalyst.
+    */
+  val watermarkScan: QuerySpec = QuerySpec.sql(
+    "q04_watermark_scan",
+    """SELECT event_id, ts, user_id,
+      |  CASE WHEN lower(event_type) IN ('click', 'view') THEN 'interaction'
+      |       ELSE lower(event_type) END AS event_class,
+      |  round(CASE WHEN value IS NULL THEN 0.0
+      |             WHEN value < 0 THEN 0.0
+      |             WHEN value > 300 THEN 300.0
+      |             ELSE value END, 2) AS value_clean,
+      |  CAST(hour(ts) AS BIGINT) AS hour_of_day,
+      |  CAST(isodow(ts) - 1 AS BIGINT) AS day_of_week,
+      |  CAST(day(ts) AS BIGINT) AS day_of_month,
+      |  CAST(month(ts) AS BIGINT) AS month,
+      |  CAST(quarter(ts) AS BIGINT) AS quarter,
+      |  CAST(year(ts) AS BIGINT) AS year
+      |FROM events
+      |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    ev.filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+      .select(
+        col("event_id"), col("ts"), col("user_id"),
+        when(lower(col("event_type")).isin("click", "view"), "interaction")
+          .otherwise(lower(col("event_type"))).as("event_class"),
+        round(
+          when(col("value").isNull, 0.0)
+            .when(col("value") < 0, 0.0)
+            .when(col("value") > 300, 300.0)
+            .otherwise(col("value")), 2).as("value_clean"),
+        hour(col("ts")).cast("long").as("hour_of_day"),
+        weekday(col("ts")).cast("long").as("day_of_week"),
+        dayofmonth(col("ts")).cast("long").as("day_of_month"),
+        month(col("ts")).cast("long").as("month"),
+        quarter(col("ts")).cast("long").as("quarter"),
+        year(col("ts")).cast("long").as("year"))
+      .orderBy(col("event_id"))
+  }
+
+  /** J1–J4 spatial-enrichment analog: broadcast θ-join of events against a
+    * small banded dimension (overlapping bands), priority pick, left-anti
+    * fallback to OTHER, unionByName (`04_silver_transformation.py:96-125`).
+    */
+  val bandEnrich: QuerySpec = QuerySpec.sql(
+    "q05_band_enrich",
+    """WITH bands(band_code, band_name, lo, hi, priority) AS (VALUES
+      |    ('LOW', 'Low band', 0.0, 50.0, 2),
+      |    ('MID', 'Mid band', 40.0, 120.0, 1),
+      |    ('HIGH', 'High band', 100.0, 300.0, 3)),
+      |matched AS (
+      |  SELECT e.event_id, b.band_code, b.band_name, b.priority,
+      |         e.value,
+      |         row_number() OVER (PARTITION BY e.event_id
+      |                            ORDER BY b.priority, b.band_code) AS rn
+      |  FROM events e JOIN bands b
+      |    ON e.value >= b.lo AND e.value <= b.hi)
+      |SELECT event_id, band_code, band_name, CAST(priority AS INT) AS priority,
+      |       round(value, 2) AS value
+      |FROM matched WHERE rn = 1
+      |UNION ALL
+      |SELECT e.event_id, 'OTHER', 'Other', 99, round(e.value, 2)
+      |FROM events e
+      |WHERE e.event_id NOT IN (SELECT event_id FROM matched)
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables.load(spark, dir, "events")
+    val bands = Seq(
+      ("LOW", "Low band", 0.0, 50.0, 2),
+      ("MID", "Mid band", 40.0, 120.0, 1),
+      ("HIGH", "High band", 100.0, 300.0, 3))
+      .toDF("band_code", "band_name", "lo", "hi", "priority")
+    BandJoin.enrich(
+        facts = ev,
+        factKey = "event_id",
+        dim = bands,
+        joinCond = ev("value") >= bands("lo") && ev("value") <= bands("hi"),
+        pickOrder = Seq(col("priority").asc, col("band_code").asc),
+        fallback = Map(
+          "band_code" -> lit("OTHER"),
+          "band_name" -> lit("Other"),
+          "priority" -> lit(99)))
+      .select(col("event_id"), col("band_code"), col("band_name"),
+        col("priority").cast("int").as("priority"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** S7 MERGE-upsert rewrite: latest-per-user snapshot before a cutoff,
+    * upserted with the latest-per-user increment after it
+    * (`04_silver_transformation.py:196-202` semantics, anti-join + union).
+    */
+  val mergeUpsert: QuerySpec = QuerySpec.sql(
+    "q06_merge_upsert",
+    """WITH latest_before AS (
+      |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |         round(value, 2) AS last_value, event_type AS last_type
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1),
+      |latest_after AS (
+      |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |         round(value, 2) AS last_value, event_type AS last_type
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT * FROM latest_before
+      |WHERE user_id NOT IN (SELECT user_id FROM latest_after)
+      |UNION ALL
+      |SELECT * FROM latest_after
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    def latestPerUser(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepFirst(df, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), round(col("value"), 2).as("last_value"),
+          col("event_type").as("last_type"))
+    val target = latestPerUser(ev.filter(col("ts") < cutoff))
+    val updates = latestPerUser(ev.filter(col("ts") >= cutoff))
+    Upsert.upsert(target, updates, Seq("user_id"))
+      .orderBy(col("user_id"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert)
+}

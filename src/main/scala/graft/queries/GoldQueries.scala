@@ -25,7 +25,7 @@ object GoldQueries {
       |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
       |  round(avg(l_quantity), 4) AS avg_qty,
       |  round(coalesce(stddev_samp(l_quantity), 0.0), 4) AS stddev_qty,
-      |  sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS big_qty_count,
+      |  CAST(sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_count,
       |  count(*) AS count_order
       |FROM lineitem
       |GROUP BY l_returnflag, l_linestatus

@@ -12,9 +12,24 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   */
 object Tables {
 
-  /** Scan one of the driver-provided tables under `sfDir`. */
-  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+  /** Scan one of the driver-provided tables under `sfDir`.
+    *
+    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
+    * reads only as a nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`,
+    * set in [[graft.Sessions]]); we convert to a microsecond timestamp the
+    * same way DuckDB does (truncation), so oracle comparisons line up.
+    */
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    val df = spark.read.parquet(s"$sfDir/$name.parquet")
+    df.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        // integer DIV — epoch nanos exceed double precision, so `/` (which
+        // is double division in the Column DSL) would round the last digit
+        df.withColumn("ts",
+          org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
 
   /** Register the full fixture star schema as temp views so `spark.sql`
     * queries read the same names the DuckDB oracle does.

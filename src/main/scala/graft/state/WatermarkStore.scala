@@ -1,0 +1,71 @@
+package graft.state
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Tables
+
+/** Watermark-table incremental CDC state (SURVEY.md §2j).
+  *
+  * Mirrors the reference's `control_watermark` Delta table
+  * (`01_config_setup.py:40-49`): one row per target table holding the
+  * highest event time already processed plus a processed-row count.
+  * Reads are `SELECT watermark_value WHERE table_name = …`
+  * (`02_ingestion.py:75-94`); advances are point UPDATEs
+  * (`02:221-227`, `04_silver_transformation.py:213-222`) re-expressed as
+  * read-modify-overwrite on the tiny state table — safe under the
+  * reference's own single-writer regime (`Pipeline.json:22`).
+  */
+class WatermarkStore(spark: SparkSession, path: String) {
+
+  val schema: StructType = StructType(Seq(
+    StructField("table_name", StringType, nullable = false),
+    StructField("watermark_column", StringType, nullable = false),
+    StructField("watermark_value", TimestampType, nullable = false),
+    StructField("last_updated", TimestampType, nullable = false),
+    StructField("records_processed", LongType, nullable = false)))
+
+  private def exists: Boolean = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  def all(): DataFrame =
+    if (exists) spark.read.parquet(path)
+    else spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row], schema)
+
+  /** Current watermark for a table, seeding `default` on first sight
+    * (reference fallback-seed behavior, `02_ingestion.py:81-94`).
+    */
+  def read(tableName: String, default: Timestamp): Timestamp =
+    all().filter(col("table_name") === tableName)
+      .select("watermark_value")
+      .collect()
+      .headOption
+      .map(_.getTimestamp(0))
+      .getOrElse(default)
+
+  /** Advance after a successful batch: watermark := max event time of the
+    * written batch; records_processed accumulates.
+    */
+  def advance(tableName: String, watermarkColumn: String,
+      newValue: Timestamp, records: Long): Unit = {
+    val now = new Timestamp(System.currentTimeMillis())
+    val prior = all()
+    val others = prior.filter(col("table_name") =!= tableName)
+    val prevProcessed = prior
+      .filter(col("table_name") === tableName)
+      .select("records_processed")
+      .collect().headOption.map(_.getLong(0)).getOrElse(0L)
+    val updated = spark.createDataFrame(
+      java.util.List.of(
+        Row(tableName, watermarkColumn, newValue, now,
+          prevProcessed + records)),
+      schema)
+    Tables.overwrite(others.unionByName(updated), path)
+  }
+}
