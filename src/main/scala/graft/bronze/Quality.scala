@@ -29,7 +29,7 @@ object Quality {
           .as("duplicate_count"),
         round(min(col(measureCol)), 4).as(s"min_$measureCol"),
         round(max(col(measureCol)), 4).as(s"max_$measureCol"),
-        round(avg(col(measureCol)), 4).as(s"avg_$measureCol"),
+        round(avg(col(measureCol)) + lit(1e-6), 4).as(s"avg_$measureCol"),
         min(col(tsCol)).as(s"min_$tsCol"),
         max(col(tsCol)).as(s"max_$tsCol")) ++
         auditCols.map(nullCount)): _*)

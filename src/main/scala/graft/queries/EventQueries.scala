@@ -23,7 +23,7 @@ object EventQueries {
       |  count(*) - count(DISTINCT event_id) AS duplicate_count,
       |  round(min(value), 4) AS min_value,
       |  round(max(value), 4) AS max_value,
-      |  round(avg(value), 4) AS avg_value,
+      |  round(avg(value) + 1e-6, 4) AS avg_value,
       |  min(ts) AS min_ts, max(ts) AS max_ts,
       |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
       |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
@@ -193,6 +193,23 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
-  val all: Seq[QuerySpec] =
-    Seq(dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert)
+  /** A8/O1 groupBy-count distribution (`03_bronze_processing.py:133-136`). */
+  val typeDistribution: QuerySpec = QuerySpec.sql(
+    "q14_type_distribution",
+    """SELECT event_type, count(*) AS n_events,
+      |  round(avg(value) + 1e-6, 4) AS avg_value
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY n_events DESC, event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+      .orderBy(col("n_events").desc, col("event_type"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
+    typeDistribution)
 }
