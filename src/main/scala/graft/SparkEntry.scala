@@ -11,7 +11,8 @@ object SparkEntry {
     * from SURVEY.md §2 (plus the north-star extensions).
     */
   def specs: Seq[QuerySpec] =
-    GoldQueries.all ++ EventQueries.all ++ PhysicsQueries.all
+    GoldQueries.all ++ EventQueries.all ++ PhysicsQueries.all ++
+      TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,186 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QuerySpec
+import graft.functions.Text
+import graft.sources.Tables
+
+/** Text-analysis tier over the `documents` fixture (north-star extension:
+  * the operations a large-scale training-data pipeline needs). All per-doc
+  * work is scalar expression-only — embarrassingly parallel, no shuffle
+  * except the final presentation ORDER BY; at 100 TB these run as a single
+  * scan stage inside whole-stage codegen.
+  *
+  * Oracle note: the `+ 1e-9` nudge and `+ 0` negative-zero collapse follow
+  * the conventions documented in [[graft.functions.Physics]].
+  */
+object TextQueries {
+
+  /** Token counting: whitespace tokens, distinct tokens, BPE-ish subword
+    * count, and length stats per document.
+    */
+  val textStats: QuerySpec = QuerySpec.sql(
+    "q18_text_stats",
+    """SELECT doc_id,
+      |  length(text) AS n_chars_calc,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+      |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) + 1e-9, 4) AS avg_token_len,
+      |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_token_len
+      |FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |      FROM documents)
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    Tables.load(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_chars_calc"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
+        round(length(regexp_replace(col("text"), " ", "")).cast("double")
+          / size(toks) + lit(1e-9), 4).as("avg_token_len"),
+        array_max(transform(toks, t => length(t))).cast("long")
+          .as("max_token_len"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Quality scoring: stopword ratio, length saturation, lexical
+    * diversity → composite 0-100 score + band ladder, SHORT flag.
+    */
+  val qualityScore: QuerySpec = QuerySpec.sql(
+    "q19_quality_score",
+    """SELECT doc_id, n_tokens, stop_hits,
+      |  round(stop_ratio + 1e-9, 4) AS stop_ratio,
+      |  round(diversity + 1e-9, 4) AS diversity,
+      |  round(score + 1e-9, 2) AS quality_score,
+      |  CASE WHEN score >= 70 THEN 'HIGH'
+      |       WHEN score >= 40 THEN 'MEDIUM'
+      |       ELSE 'LOW' END AS quality_band,
+      |  length(text) < 100 AS is_short
+      |FROM (
+      |  SELECT *,
+      |    100 * (0.4 * stop_ratio
+      |           + 0.3 * least(n_tokens, 200) / 200.0
+      |           + 0.3 * diversity) AS score
+      |  FROM (
+      |    SELECT doc_id, text,
+      |      CAST(len(toks) AS BIGINT) AS n_tokens,
+      |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS BIGINT) AS stop_hits,
+      |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
+      |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+      |    FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |          FROM documents)))
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        size(toks).cast("long").as("n_tokens"),
+        Text.vocabHits(toks, Text.StopEn).as("stop_hits"),
+        (Text.vocabHits(toks, Text.StopEn).cast("double") / size(toks))
+          .as("stop_ratio"),
+        (size(array_distinct(toks)).cast("double") / size(toks))
+          .as("diversity"))
+      .withColumn("score",
+        lit(100) * (lit(0.4) * col("stop_ratio")
+          + lit(0.3) * least(col("n_tokens"), lit(200L)) / lit(200.0)
+          + lit(0.3) * col("diversity")))
+    base.select(
+        col("doc_id"), col("n_tokens"), col("stop_hits"),
+        round(col("stop_ratio") + lit(1e-9), 4).as("stop_ratio"),
+        round(col("diversity") + lit(1e-9), 4).as("diversity"),
+        round(col("score") + lit(1e-9), 2).as("quality_score"),
+        when(col("score") >= 70, "HIGH")
+          .when(col("score") >= 40, "MEDIUM")
+          .otherwise("LOW").as("quality_band"),
+        (length(col("text")) < 100).as("is_short"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Function-word language ID per document (n-gram heuristic) plus
+    * agreement with the claimed `lang` column, rolled up per
+    * (claimed, predicted) pair.
+    */
+  val langId: QuerySpec = QuerySpec.sql(
+    "q20_lang_id",
+    """WITH scored AS (
+      |  SELECT lang,
+      |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS BIGINT) AS s_en,
+      |    CAST(len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','von'], t))) AS BIGINT) AS s_de,
+      |    CAST(len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','de'], t))) AS BIGINT) AS s_fr,
+      |    CAST(len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una'], t))) AS BIGINT) AS s_es
+      |  FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |        FROM documents)),
+      |pred AS (
+      |  SELECT lang,
+      |    CASE WHEN s_en = 0 AND s_de = 0 AND s_fr = 0 AND s_es = 0 THEN 'und'
+      |         WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es THEN 'en'
+      |         WHEN s_de >= s_fr AND s_de >= s_es THEN 'de'
+      |         WHEN s_fr >= s_es THEN 'fr'
+      |         ELSE 'es' END AS pred_lang,
+      |    s_en, s_de, s_fr, s_es
+      |  FROM scored)
+      |SELECT lang, pred_lang, count(*) AS n_docs,
+      |  CAST(sum(s_en) AS BIGINT) AS sum_s_en,
+      |  CAST(sum(s_de) AS BIGINT) AS sum_s_de,
+      |  CAST(sum(s_fr) AS BIGINT) AS sum_s_fr,
+      |  CAST(sum(s_es) AS BIGINT) AS sum_s_es
+      |FROM pred
+      |GROUP BY lang, pred_lang
+      |ORDER BY lang, pred_lang""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val (sEn, sDe, sFr, sEs) = Text.langScores(toks)
+    Tables.load(spark, dir, "documents")
+      .select(col("lang"), sEn.as("s_en"), sDe.as("s_de"),
+        sFr.as("s_fr"), sEs.as("s_es"))
+      .withColumn("pred_lang",
+        Text.predictedLang(col("s_en"), col("s_de"), col("s_fr"), col("s_es")))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("s_en")).as("sum_s_en"),
+        sum(col("s_de")).as("sum_s_de"),
+        sum(col("s_fr")).as("sum_s_fr"),
+        sum(col("s_es")).as("sum_s_es"))
+      .orderBy(col("lang"), col("pred_lang"))
+  }
+
+  /** Document fingerprinting: portable rolling hash of the raw text plus
+    * an order-insensitive content fingerprint (sorted distinct tokens),
+    * with a per-fingerprint duplicate-group count.
+    */
+  val fingerprint: QuerySpec = QuerySpec.sql(
+    "q21_fingerprint",
+    """WITH fp AS (
+      |  SELECT doc_id,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(lower(text), ''), c -> ascii(c)::BIGINT)),
+      |      (h, c) -> (h * 31 + c) % 1000000007) AS raw_fp,
+      |    list_reduce(list_prepend(0::BIGINT,
+      |      list_transform(string_split(
+      |        array_to_string(list_sort(list_distinct(
+      |          list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''))), ' '),
+      |        ''), c -> ascii(c)::BIGINT)),
+      |      (h, c) -> (h * 31 + c) % 1000000007) AS content_fp
+      |  FROM documents)
+      |SELECT doc_id, raw_fp, content_fp,
+      |  count(*) OVER (PARTITION BY content_fp) > 1 AS has_content_dup
+      |FROM fp
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        Text.charHash(lower(col("text"))).as("raw_fp"),
+        Text.contentFingerprint(col("text")).as("content_fp"))
+      .withColumn("has_content_dup",
+        count(lit(1)).over(Window.partitionBy(col("content_fp"))) > 1)
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(textStats, qualityScore, langId, fingerprint)
+}
