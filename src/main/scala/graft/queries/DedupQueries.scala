@@ -1,0 +1,196 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QuerySpec
+import graft.functions.Text
+import graft.operators.MinHashLSH
+import graft.sources.Tables
+
+/** Deduplication tier over the `documents` fixture (north-star extension):
+  * exact hash dedup, brute-force n-gram Jaccard, MinHash+LSH, and SimHash
+  * Hamming-band near-dup detection. The embedding-cosine variant lives in
+  * [[SimilarityQueries]].
+  *
+  * Scale shapes: q22 is one hash-groupBy (map-side combinable); q23's
+  * inverted-index join is bounded by pairs sharing a shingle (the honest
+  * brute-force baseline); q24/q25 are the 100 TB paths — candidate
+  * generation via bucket self-join whose cost tracks true-duplicate
+  * density, not corpus².
+  */
+object DedupQueries {
+
+  private val tokSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"""
+
+  /** DuckDB mirror of [[graft.functions.Text.charHash]] over expression `e`. */
+  private def charHashSql(e: String): String =
+    s"""list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % ${Text.HashP})"""
+
+  /** DuckDB mirror of [[MinHashLSH.shingleHashes]] (3-gram word shingles). */
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END,
+      |      s -> ${charHashSql("s")}))""".stripMargin
+
+  /** Exact deduplication: hash-groupBy on the whitespace-normalized,
+    * lowercased text; every row keeps its group size and a canonical flag
+    * (lowest doc_id wins).
+    */
+  val exactDedup: QuerySpec = QuerySpec.sql(
+    "q22_exact_dedup",
+    """WITH h AS (
+      |  SELECT doc_id,
+      |    md5(array_to_string(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''), ' ')) AS text_hash
+      |  FROM documents)
+      |SELECT doc_id, text_hash,
+      |  count(*) OVER (PARTITION BY text_hash) AS group_size,
+      |  doc_id = min(doc_id) OVER (PARTITION BY text_hash) AS is_canonical
+      |FROM h
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        md5(array_join(Text.tokens(col("text")), " ").cast("binary"))
+          .as("text_hash"))
+      .withColumn("group_size",
+        count(lit(1)).over(Window.partitionBy(col("text_hash"))))
+      .withColumn("is_canonical",
+        col("doc_id") === min(col("doc_id"))
+          .over(Window.partitionBy(col("text_hash"))))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Brute-force 3-gram Jaccard near-dup pairs via an inverted shingle
+    * index: explode distinct shingle hashes, self-join on the hash to
+    * count common shingles, Jaccard = |∩|/(|a|+|b|-|∩|), threshold 0.5.
+    */
+  val ngramJaccard: QuerySpec = QuerySpec.sql(
+    "q23_ngram_jaccard",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |pairs AS (
+      |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+      |SELECT id1, id2, CAST(common AS BIGINT) AS common,
+      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+      |FROM pairs JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+      |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
+    val pairs = ex.as("a").join(ex.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count(lit(1)).as("common"))
+    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val jac = col("common").cast("double") /
+      (col("sa.n") + col("sb.n") - col("common"))
+    pairs
+      .join(sizes.as("sa"), col("id1") === col("sa.doc_id"))
+      .join(sizes.as("sb"), col("id2") === col("sb.doc_id"))
+      .filter(jac >= 0.5)
+      .select(col("id1"), col("id2"), col("common"),
+        round(jac + lit(1e-9), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** MinHash + banded LSH near-dup pairs ([[MinHashLSH]] — 16-component
+    * signatures, 4 bands × 4 rows), verified by exact shingle Jaccard
+    * ≥ 0.6. The scale path: only bucket-colliding pairs are compared.
+    */
+  val minhashLsh: QuerySpec = QuerySpec.sql(
+    "q24_minhash_lsh",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id)
+      |SELECT id1, id2,
+      |  round(CAST(len(list_filter([sa.sig[i] = sb.sig[i] FOR i IN range(1, ${MinHashLSH.K} + 1)], x -> x)) AS DOUBLE) / ${MinHashLSH.K} + 1e-9, 4) AS est_jaccard,
+      |  round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) + 1e-9, 4) AS jaccard
+      |FROM cand
+      |  JOIN sig sa ON cand.id1 = sa.doc_id
+      |  JOIN sig sb ON cand.id2 = sb.doc_id
+      |WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    MinHashLSH.nearDupPairs(docs, "doc_id", "sh", threshold = 0.6)
+      .select(col("id1"), col("id2"),
+        round(col("est_jaccard") + lit(1e-9), 4).as("est_jaccard"),
+        round(col("jaccard") + lit(1e-9), 4).as("jaccard"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** SimHash near-dup pairs: 32-bit tf-weighted sign fingerprint from
+    * portable token hashes; candidates from a byte-band self-join
+    * (Hamming-LSH), verified by bit_count(xor) ≤ 2.
+    */
+  val simhash: QuerySpec = QuerySpec.sql(
+    "q25_simhash",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |hs AS (SELECT doc_id, list_transform(toks, s -> (${charHashSql("s")} * 2654435761) % 4294967296) AS hs FROM t),
+      |sim AS (
+      |  SELECT doc_id, CAST(list_sum(
+      |    [CASE WHEN list_sum([CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+      |          THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS simhash
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, simhash, b.j, (simhash // (1::BIGINT << (8 * b.j))) % 256 AS band_val
+      |  FROM sim, (SELECT unnest(range(0, 4)) AS j) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.simhash AS h1, r.simhash AS h2
+      |  FROM bands l JOIN bands r ON l.j = r.j AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
+      |SELECT id1, id2, h1, h2, CAST(bit_count(xor(h1, h2)) AS BIGINT) AS hamming
+      |FROM cand
+      |WHERE bit_count(xor(h1, h2)) <= 2
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val hs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(toks,
+          s => (Text.charHash(s) * lit(2654435761L)) % lit(4294967296L))
+          .as("hs"))
+    val sim = hs.select(col("doc_id"), expr(
+      """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+        |  IF(aggregate(hs, 0L, (a, h) ->
+        |       a + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
+        |     shiftleft(1L, i), 0L))""".stripMargin).as("simhash"))
+    val bands = sim.select(col("doc_id"), col("simhash"),
+      explode(expr(
+        """transform(sequence(0, 3),
+          |  j -> struct(j AS j, (simhash div shiftleft(1L, 8 * j)) % 256 AS band_val))"""
+          .stripMargin)).as("bk"))
+      .select(col("doc_id"), col("simhash"),
+        col("bk.j").as("j"), col("bk.band_val").as("band_val"))
+    val cand = bands.as("l").join(bands.as("r"),
+        col("l.j") === col("r.j") && col("l.band_val") === col("r.band_val") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("id1"), col("r.doc_id").as("id2"),
+        col("l.simhash").as("h1"), col("r.simhash").as("h2"))
+      .distinct()
+    cand
+      .withColumn("hamming",
+        bit_count(col("h1").bitwiseXOR(col("h2"))).cast("long"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(exactDedup, ngramJaccard, minhashLsh, simhash)
+}

@@ -1,0 +1,155 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QuerySpec
+import graft.functions.Vectors
+import graft.sources.Tables
+
+/** Similarity-search tier over the `embeddings` fixture (north-star
+  * extension): brute-force cosine near-dup pairs and top-k nearest
+  * neighbours, plus a sign-bucket LSH ANN variant and a table profile.
+  *
+  * Scale shapes: q26 is the honest O(n²) baseline (self-join); q27
+  * broadcasts the tiny query set against the corpus — one scan, a
+  * per-query top-k window; q28 is the 100 TB path — bucket equi-join
+  * prunes the corpus to one LSH cell per query before scoring. All
+  * cosine arithmetic is double-precision left-fold, bit-identical with
+  * the DuckDB oracle (see [[graft.functions.Vectors]]).
+  */
+object SimilarityQueries {
+
+  /** Brute-force embedding near-duplicate pairs: cosine ≥ 0.35. */
+  val embeddingNearDup: QuerySpec = QuerySpec.sql(
+    "q26_embedding_neardup",
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |         ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |SELECT id1, id2, round(cos + 1e-9, 4) AS cosine
+      |FROM p WHERE cos >= 0.35
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+    val cos = Vectors.cosine(col("a.embedding"), col("b.embedding"))
+    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cos.as("cos"))
+      .filter(col("cos") >= 0.35)
+      .select(col("id1"), col("id2"),
+        round(col("cos") + lit(1e-9), 4).as("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Brute-force top-5 cosine neighbours for the 10 lowest-id vectors
+    * (the query set). The query side is broadcast; ranking is a window
+    * per query id with a deterministic tiebreak.
+    */
+  val knnTopK: QuerySpec = QuerySpec.sql(
+    "q27_knn_topk",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding FROM embeddings),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |         ${Vectors.cosineSql("qv", "embedding")} AS cos,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY ${Vectors.cosineSql("qv", "embedding")} DESC, vec_id) AS rk
+      |  FROM q JOIN c ON qid <> vec_id)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor,
+      |       round(cos + 1e-9, 4) AS cosine
+      |FROM scored WHERE rk <= 5
+      |ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val scored = broadcast(q)
+      .join(e, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 5)
+    scored.select(col("qid"), col("rk").cast("long").as("rank"),
+        col("vec_id").as("neighbor"),
+        round(col("cos") + lit(1e-9), 4).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** LSH-bucketed ANN: corpus and queries hashed to a 256-cell
+    * sign-bucket (first 8 component signs); each query scores ONLY its
+    * own cell — the IVF/LSH pruning pattern — then takes top-3.
+    */
+  val lshAnn: QuerySpec = QuerySpec.sql(
+    "q28_lsh_ann",
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding,
+      |         ${Vectors.signBucketSql("embedding", 8)} AS bucket
+      |  FROM embeddings),
+      |q AS (SELECT vec_id AS qid, embedding AS qv, bucket FROM e WHERE vec_id < 10),
+      |scored AS (
+      |  SELECT qid, e.vec_id,
+      |         ${Vectors.cosineSql("qv", "e.embedding")} AS cos,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY ${Vectors.cosineSql("qv", "e.embedding")} DESC, e.vec_id) AS rk
+      |  FROM q JOIN e ON q.bucket = e.bucket AND qid <> e.vec_id)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor,
+      |       round(cos + 1e-9, 4) AS cosine
+      |FROM scored WHERE rk <= 3
+      |ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Vectors.signBucket("embedding", 8).as("bucket"))
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"),
+        col("bucket"))
+    val scored = broadcast(q)
+      .join(e, q("bucket") === e("bucket") && col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+    scored.select(col("qid"), col("rk").cast("long").as("rank"),
+        col("vec_id").as("neighbor"),
+        round(col("cos") + lit(1e-9), 4).as("cosine"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Embedding-table profile: per label, vector count, norm stats, and
+    * LSH-bucket spread — the sanity scan before any ANN build.
+    */
+  val embeddingProfile: QuerySpec = QuerySpec.sql(
+    "q29_embedding_profile",
+    s"""SELECT label,
+      |  count(*) AS n_vectors,
+      |  CAST(count(DISTINCT ${Vectors.signBucketSql("embedding", 8)}) AS BIGINT) AS n_buckets,
+      |  round(avg(${Vectors.normSql("embedding")}) + 1e-6, 4) AS avg_norm,
+      |  round(min(${Vectors.normSql("embedding")}) + 1e-9, 4) AS min_norm,
+      |  round(max(${Vectors.normSql("embedding")}) + 1e-9, 4) AS max_norm
+      |FROM embeddings
+      |GROUP BY label
+      |ORDER BY label""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "embeddings")
+      .select(col("label"),
+        Vectors.signBucket("embedding", 8).as("bucket"),
+        Vectors.norm(col("embedding")).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("bucket")).as("n_buckets"),
+        round(avg(col("nrm")) + lit(1e-6), 4).as("avg_norm"),
+        round(min(col("nrm")) + lit(1e-9), 4).as("min_norm"),
+        round(max(col("nrm")) + lit(1e-9), 4).as("max_norm"))
+      .orderBy(col("label"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(
+    embeddingNearDup, knnTopK, lshAnn, embeddingProfile)
+}
