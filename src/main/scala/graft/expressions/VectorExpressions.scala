@@ -1,0 +1,365 @@
+package graft.expressions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.graftglue.ColumnGlue
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expressions for the hot scalar kernels
+  * (SURVEY.md §2i "custom Expression beats UDF" tier).
+  *
+  * The pure-`functions._` formulations of these kernels run through
+  * interpreted higher-order-function lambdas (`aggregate`/`transform`
+  * evaluate their lambda per element via the interpreter — they are not
+  * part of whole-stage codegen), which dominated the benchmark at sf0.1:
+  * a 64-float dot product over 12.5 M candidate pairs, and a per-character
+  * hash over every shingle of every document. These expressions generate
+  * tight Java loops instead, while computing bit-for-bit the same values,
+  * so the DuckDB oracles (and the HOF reference implementations kept in
+  * the test suite) remain exact.
+  */
+
+/** Polynomial rolling hash `h := (h*31 + codepoint) mod 1e9+7` over a
+  * string — the codegen twin of [[graft.functions.Text.charHash]].
+  */
+case class PolyHash(child: Expression)
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"poly_hash requires a string argument, got ${child.dataType}")
+  override def dataType: DataType = LongType
+  override def prettyName: String = "poly_hash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    PolyHash.hash(input.asInstanceOf[UTF8String].toString)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.PolyHash.hash($c.toString())")
+
+  protected override def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  final val P = 1000000007L
+
+  /** Codepoint-wise left fold — matches `ascii()` per single-char token
+    * of `split(s, '')` in both Spark and DuckDB.
+    */
+  def hash(s: String): Long = {
+    var h = 0L
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      h = (h * 31L + cp) % P
+      i += Character.charCount(cp)
+    }
+    h
+  }
+}
+
+/** Double-precision dot product of two float arrays, left-to-right
+  * accumulation — the codegen twin of [[graft.functions.Vectors.dot]]
+  * (`aggregate(zip_with(a, b, _*_), 0.0, _+_)`), and bit-identical to it.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  private def isFloatArray(t: DataType): Boolean = t match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (isFloatArray(left.dataType) && isFloatArray(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"dot_product requires two array<float> arguments, got " +
+        s"${left.dataType} and ${right.dataType}")
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "dot_product"
+
+  protected override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      acc += x.getFloat(i).toDouble * y.getFloat(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Column-API entry points. */
+object NativeKernels {
+  def polyHash(s: Column): Column =
+    ColumnGlue.toColumn(PolyHash(ColumnGlue.toExpression(s)))
+
+  def dotProduct(a: Column, b: Column): Column =
+    ColumnGlue.toColumn(
+      DotProduct(ColumnGlue.toExpression(a), ColumnGlue.toExpression(b)))
+
+  def minhashSignature(hashes: Column, a: Seq[Long], b: Seq[Long],
+      p: Long): Column =
+    ColumnGlue.toColumn(
+      MinHashSignature(ColumnGlue.toExpression(hashes), a, b, p))
+
+  def simhash(hashes: Column, bits: Int): Column =
+    ColumnGlue.toColumn(SimHash(ColumnGlue.toExpression(hashes), bits))
+
+  def shingleHashes(tokens: Column, n: Int): Column =
+    ColumnGlue.toColumn(ShingleHashes(ColumnGlue.toExpression(tokens), n))
+
+  def vocabHits(tokens: Column, vocab: Seq[String]): Column =
+    ColumnGlue.toColumn(VocabHits(ColumnGlue.toExpression(tokens), vocab))
+}
+
+/** Full k-component MinHash signature in one pass over the shingle-hash
+  * array: `sig_j = min_x (a_j·x + b_j) mod p` — the codegen twin of
+  * [[graft.operators.MinHashLSH.signature]] (16 interpreted
+  * `array_min(transform(...))` lambdas otherwise).
+  */
+case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long],
+    p: Long) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_signature requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_signature"
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val xs = input.asInstanceOf[ArrayData]
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      MinHashSignature.compute(xs, a.toArray, b.toArray, p))
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("aConsts", a.toArray, "long[]")
+    val bRef = ctx.addReferenceObj("bConsts", b.toArray, "long[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      s"""
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+         |  graft.expressions.MinHashSignature.compute($c, $aRef, $bRef, ${p}L));
+       """.stripMargin
+    })
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): MinHashSignature =
+    copy(child = newChild)
+}
+
+object MinHashSignature {
+  def compute(xs: ArrayData, a: Array[Long], b: Array[Long], p: Long): Array[Long] = {
+    val k = a.length
+    val sig = Array.fill(k)(Long.MaxValue)
+    val n = xs.numElements()
+    var i = 0
+    while (i < n) {
+      val x = xs.getLong(i)
+      var j = 0
+      while (j < k) {
+        val v = (a(j) * x + b(j)) % p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
+      i += 1
+    }
+    sig
+  }
+}
+
+/** tf-weighted SimHash over an array of token hashes — the codegen twin
+  * of the 32-iteration interpreted `aggregate(sequence(0, 31), ...)`
+  * formulation in [[graft.queries.DedupQueries]]. Bit i of the result is
+  * set when more token hashes have bit i set than cleared.
+  */
+case class SimHash(child: Expression, bits: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"simhash requires array<bigint>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash"
+
+  protected override def nullSafeEval(input: Any): Any =
+    SimHash.compute(input.asInstanceOf[ArrayData], bits)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      c => s"graft.expressions.SimHash.compute($c, $bits)")
+
+  protected override def withNewChildInternal(newChild: Expression): SimHash =
+    copy(child = newChild)
+}
+
+object SimHash {
+  def compute(hs: ArrayData, bits: Int): Long = {
+    val counts = new Array[Int](bits)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      var j = 0
+      while (j < bits) {
+        if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
+        j += 1
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < bits) {
+      if (counts(j) > 0) out |= (1L << j)
+      j += 1
+    }
+    out
+  }
+}
+
+/** Distinct hashed word n-gram shingles from a token array in one pass —
+  * the codegen twin of [[graft.operators.MinHashLSH.shingleHashes]]
+  * (`array_distinct(transform(shingles, charHash))` over
+  * `array_join(slice(...))` shingles otherwise). Preserves first-occurrence
+  * order exactly like `array_distinct`.
+  */
+case class ShingleHashes(child: Expression, n: Int) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes requires array<string>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "shingle_hashes"
+
+  protected override def nullSafeEval(input: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      ShingleHashes.compute(input.asInstanceOf[ArrayData], n))
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => s"""
+      |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      |  graft.expressions.ShingleHashes.compute($c, $n));
+     """.stripMargin)
+
+  protected override def withNewChildInternal(newChild: Expression): ShingleHashes =
+    copy(child = newChild)
+}
+
+object ShingleHashes {
+  def compute(toks: ArrayData, n: Int): Array[Long] = {
+    val m = toks.numElements()
+    val words = new Array[String](m)
+    var i = 0
+    while (i < m) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    val seen = new java.util.LinkedHashSet[java.lang.Long]()
+    if (m < n) {
+      seen.add(PolyHash.hash(words.mkString(" ")))
+    } else {
+      val sb = new java.lang.StringBuilder()
+      var s = 0
+      while (s <= m - n) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(words(s + j))
+          j += 1
+        }
+        seen.add(PolyHash.hash(sb.toString))
+        s += 1
+      }
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    out
+  }
+}
+
+/** Count of token occurrences present in a fixed vocabulary — the codegen
+  * twin of [[graft.functions.Text.vocabHits]]
+  * (`size(filter(toks, isInCollection))` otherwise).
+  */
+case class VocabHits(child: Expression, vocab: Seq[String])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"vocab_hits requires array<string>, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "vocab_hits"
+
+  @transient private lazy val vocabSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String]()
+    vocab.foreach(s.add)
+    s
+  }
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val toks = input.asInstanceOf[ArrayData]
+    var hits = 0L
+    var i = 0
+    val m = toks.numElements()
+    while (i < m) {
+      if (vocabSet.contains(toks.getUTF8String(i).toString)) hits += 1L
+      i += 1
+    }
+    hits
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val setRef = ctx.addReferenceObj("vocabSet", vocabSet, "java.util.HashSet")
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val m = ctx.freshName("m")
+      val hits = ctx.freshName("hits")
+      s"""
+         |long $hits = 0L;
+         |int $m = $c.numElements();
+         |for (int $i = 0; $i < $m; $i++) {
+         |  if ($setRef.contains($c.getUTF8String($i).toString())) $hits++;
+         |}
+         |${ev.value} = $hits;
+       """.stripMargin
+    })
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): VocabHits =
+    copy(child = newChild)
+}

@@ -34,8 +34,15 @@ object Text {
     * DuckDB equivalent:
     * `list_reduce(list_prepend(0::BIGINT, [ascii(c) FOR c IN
     *   string_split(s, '')]), (h, c) -> (h*31 + c) % 1000000007)`.
+    *
+    * Dispatches to the codegen [[graft.expressions.PolyHash]] kernel;
+    * [[charHashHof]] is the pure-`functions._` reference implementation
+    * (bit-identical, kept for the property tests).
     */
   def charHash(s: Column): Column =
+    graft.expressions.NativeKernels.polyHash(s)
+
+  def charHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),
       lit(0L),
@@ -47,8 +54,14 @@ object Text {
   def contentFingerprint(text: Column): Column =
     charHash(array_join(array_sort(array_distinct(tokens(text))), " "))
 
-  /** Count of occurrences of tokens present in `vocab`. */
+  /** Count of occurrences of tokens present in `vocab`. Dispatches to
+    * the codegen [[graft.expressions.VocabHits]] kernel; [[vocabHitsHof]]
+    * is the pure-`functions._` reference (bit-identical, kept for tests).
+    */
   def vocabHits(toks: Column, vocab: Seq[String]): Column =
+    graft.expressions.NativeKernels.vocabHits(toks, vocab)
+
+  def vocabHitsHof(toks: Column, vocab: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(vocab))).cast("long")
 
   /** BPE-ish subword count: runs of letters, runs of digits, and single

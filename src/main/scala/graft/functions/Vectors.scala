@@ -12,8 +12,15 @@ import org.apache.spark.sql.functions._
   */
 object Vectors {
 
-  /** Dot product in double precision, left-to-right accumulation. */
+  /** Dot product in double precision, left-to-right accumulation.
+    * Dispatches to the codegen [[graft.expressions.DotProduct]] kernel;
+    * [[dotHof]] is the pure-`functions._` reference implementation
+    * (bit-identical, kept for the property tests).
+    */
   def dot(a: Column, b: Column): Column =
+    graft.expressions.NativeKernels.dotProduct(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, v) => acc + v)

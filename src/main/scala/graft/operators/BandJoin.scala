@@ -37,13 +37,18 @@ object BandJoin {
       pickOrder: Seq[Column],
       fallback: Map[String, Column]): DataFrame = {
 
-    val matched = facts.join(broadcast(dim), joinCond)
-    val picked = Dedup.keepFirst(matched, Seq(factKey), pickOrder)
-    val unmatched0 = facts.join(
-      picked.select(col(factKey)), Seq(factKey), "left_anti")
-    val unmatched = fallback.foldLeft(unmatched0) {
-      case (df, (c, v)) => df.withColumn(c, v)
+    // LEFT OUTER θ-join instead of the reference's inner-join + anti-join
+    // + union: unmatched facts survive with null dim columns, the priority
+    // window picks exactly one row per fact (an unmatched fact's only row
+    // is its null row — nulls sort last), and coalesce applies the
+    // fallback. Same result, one BroadcastNestedLoopJoin and ONE shuffle
+    // (the window) instead of two joins + a union.
+    val joined = facts.join(broadcast(dim), joinCond, "left_outer")
+    // no nulls-ordering tweak needed: an unmatched fact's null row is the
+    // only row in its window group, so pickOrder never compares nulls
+    val picked = Dedup.keepFirst(joined, Seq(factKey), pickOrder)
+    fallback.foldLeft(picked) { case (df, (c, v)) =>
+      df.withColumn(c, coalesce(col(c), v))
     }
-    picked.unionByName(unmatched, allowMissingColumns = true)
   }
 }

@@ -40,12 +40,26 @@ object MinHashLSH {
       .otherwise(transform(sequence(lit(0), size(toks) - n),
         i => array_join(slice(toks, i + lit(1), lit(n)), " ")))
 
-  /** Distinct portable hashes of the shingle set. */
+  /** Distinct portable hashes of the shingle set. Dispatches to the
+    * codegen [[graft.expressions.ShingleHashes]] kernel;
+    * [[shingleHashesHof]] is the pure-`functions._` reference
+    * (bit-identical, kept for the property tests).
+    */
   def shingleHashes(toks: Column, n: Int): Column =
+    graft.expressions.NativeKernels.shingleHashes(toks, n)
+
+  def shingleHashesHof(toks: Column, n: Int): Column =
     array_distinct(transform(wordShingles(toks, n), Text.charHash(_)))
 
-  /** k-component MinHash signature over a shingle-hash array column. */
+  /** k-component MinHash signature over a shingle-hash array column.
+    * Dispatches to the codegen [[graft.expressions.MinHashSignature]]
+    * kernel; [[signatureHof]] is the pure-`functions._` reference
+    * (bit-identical, kept for the property tests).
+    */
   def signature(shHashes: Column): Column =
+    graft.expressions.NativeKernels.minhashSignature(shHashes, A, B, P)
+
+  def signatureHof(shHashes: Column): Column =
     array((0 until K).map { j =>
       array_min(transform(shHashes,
         x => (lit(A(j)) * x + lit(B(j))) % lit(P)))
@@ -72,7 +86,11 @@ object MinHashLSH {
     */
   def nearDupPairs(docs: DataFrame, idCol: String, shCol: String,
       threshold: Double): DataFrame = {
+    // persisted: the signature frame feeds the bucket explode AND both
+    // sides of the verify join — without it Spark recomputes shingles +
+    // signatures three times (Spark's own ML LSH models cache the same way)
     val withSig = docs.withColumn("__sig", signature(col(shCol)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // band buckets: (band index, joined signature slice)
     val buckets = withSig.select(col(idCol), explode(
       array((0 until Bands).map { bIdx =>

@@ -86,6 +86,7 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     val pairs = ex.as("a").join(ex.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
@@ -167,11 +168,8 @@ object DedupQueries {
         transform(toks,
           s => (Text.charHash(s) * lit(2654435761L)) % lit(4294967296L))
           .as("hs"))
-    val sim = hs.select(col("doc_id"), expr(
-      """aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
-        |  IF(aggregate(hs, 0L, (a, h) ->
-        |       a + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
-        |     shiftleft(1L, i), 0L))""".stripMargin).as("simhash"))
+    val sim = hs.select(col("doc_id"),
+      graft.expressions.NativeKernels.simhash(col("hs"), 32).as("simhash"))
     val bands = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
         """transform(sequence(0, 3),

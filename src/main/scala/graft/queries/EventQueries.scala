@@ -131,7 +131,8 @@ object EventQueries {
       |ORDER BY event_id""".stripMargin
   ) { (spark, dir) =>
     import spark.implicits._
-    val ev = Tables.load(spark, dir, "events")
+    // project to the two columns the join/window need before shuffling
+    val ev = Tables.load(spark, dir, "events").select(col("event_id"), col("value"))
     val bands = Seq(
       ("LOW", "Low band", 0.0, 50.0, 2),
       ("MID", "Mid band", 40.0, 120.0, 1),

@@ -134,9 +134,11 @@ object TextQueries {
       |GROUP BY lang, pred_lang
       |ORDER BY lang, pred_lang""".stripMargin
   ) { (spark, dir) =>
-    val toks = Text.tokens(col("text"))
-    val (sEn, sDe, sFr, sEs) = Text.langScores(toks)
+    // tokenize ONCE into a column; four independent Text.tokens(col("text"))
+    // expressions would each re-split (no CSE across projection expressions)
+    val (sEn, sDe, sFr, sEs) = Text.langScores(col("toks"))
     Tables.load(spark, dir, "documents")
+      .select(col("lang"), Text.tokens(col("text")).as("toks"))
       .select(col("lang"), sEn.as("s_en"), sDe.as("s_de"),
         sFr.as("s_fr"), sEs.as("s_es"))
       .withColumn("pred_lang",
