@@ -1,0 +1,68 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.Upsert
+import graft.sources.Tables
+
+/** Structured Streaming re-expression of the reference's watermark-batch
+  * CDC semantics (SURVEY.md §2j — an extension beyond parity: the
+  * reference's "incremental" is a watermark *table*, not a stream).
+  *
+  * Three composable stages over a streaming frame with the `events`
+  * fixture schema (`event_id, ts, user_id, event_type, value`):
+  *
+  *  - [[dedupStream]]   — the reference's W1 dedup-keep-one as streaming
+  *    state: event-time watermark + `dropDuplicates` on the key, so late
+  *    duplicates inside the watermark are suppressed and state is GC'd
+  *    past it. At scale, state is hash-partitioned by key across
+  *    executors (RocksDB/HDFS state store on a real cluster).
+  *  - [[windowedCounts]] — tumbling event-time window aggregation with
+  *    watermark-bounded state (the gold daily-rollup shape, A3).
+  *  - [[upsertSink]]    — the reference's MERGE (S7) as a `foreachBatch`
+  *    sink: each micro-batch anti-join-upserts into a parquet target,
+  *    exactly the batch operator reused ([[graft.operators.Upsert]]).
+  */
+object StreamingPipeline {
+
+  /** Watermarked keep-one-per-key dedup. `delayThreshold` bounds how
+    * late a duplicate may arrive and still be suppressed.
+    */
+  def dedupStream(events: DataFrame, delayThreshold: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delayThreshold)
+      .dropDuplicates("event_id")
+
+  /** Tumbling-window per-type counts with watermark-bounded state. */
+  def windowedCounts(events: DataFrame,
+      windowLength: String = "1 hour",
+      delayThreshold: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", delayThreshold)
+      .groupBy(window(col("ts"), windowLength), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** foreachBatch MERGE-upsert into a parquet path keyed by `keys` —
+    * the streaming twin of the silver-layer upsert. Each batch is
+    * deduplicated to one row per key (latest ts wins) before the merge,
+    * matching Delta MERGE's unique-source requirement.
+    */
+  def upsertSink(stream: DataFrame, targetPath: String, keys: Seq[String],
+      orderCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val spark = batch.sparkSession
+      val latest = graft.operators.Dedup.keepFirst(batch, keys,
+        Seq(col(orderCol).desc))
+      val target =
+        try spark.read.parquet(targetPath)
+        catch { case _: Throwable => null }
+      val merged =
+        if (target == null) latest
+        else Upsert.upsert(target.select(latest.columns.map(col): _*), latest, keys)
+      Tables.overwrite(merged, targetPath)
+    }
+}

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+case class Ev(event_id: String, ts: Timestamp, user_id: String,
+    event_type: String, value: Double)
+
+class StreamingPipelineSpec extends SparkTestBase {
+
+  private def ev(id: String, t: String, u: String = "u1",
+      typ: String = "click", v: Double = 1.0) =
+    Ev(id, Timestamp.valueOf(t), u, typ, v)
+
+  test("dedupStream suppresses duplicate event ids across micro-batches") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.dedupStream(input.toDF())
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("e1", "2024-01-01 10:00:00"),
+        ev("e2", "2024-01-01 10:05:00"))
+      q.processAllAvailable()
+      input.addData(ev("e1", "2024-01-01 10:00:00"), // dup of e1
+        ev("e3", "2024-01-01 10:10:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_out").select("event_id")
+        .collect().map(_.getString(0)).sorted
+      assert(ids === Array("e1", "e2", "e3"))
+    } finally q.stop()
+  }
+
+  test("windowedCounts emits finalized windows after the watermark passes") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.windowedCounts(input.toDF(),
+        windowLength = "1 hour", delayThreshold = "30 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("e1", "2024-01-01 10:00:00", v = 2.0),
+        ev("e2", "2024-01-01 10:30:00", v = 3.0))
+      q.processAllAvailable()
+      // event far past the 10:00 window + watermark -> finalizes it
+      input.addData(ev("e3", "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      input.addData(ev("e4", "2024-01-01 15:00:00"))
+      q.processAllAvailable()
+      val rows = spark.table("win_out")
+        .select("window_start", "n_events", "sum_value").collect()
+        .map(r => (r.getTimestamp(0), r.getLong(1), r.getDouble(2)))
+      assert(rows.contains((Timestamp.valueOf("2024-01-01 10:00:00"), 2L, 5.0)))
+    } finally q.stop()
+  }
+
+  test("upsertSink merges each micro-batch into the parquet target") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val target = Files.createTempDirectory("upsert").toString + "/t"
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.upsertSink(input.toDF(), target, Seq("user_id"))
+      .outputMode("update").start()
+    try {
+      input.addData(ev("e1", "2024-01-01 10:00:00", u = "u1", v = 1.0))
+      q.processAllAvailable()
+      input.addData(ev("e2", "2024-01-01 11:00:00", u = "u1", v = 5.0),
+        ev("e3", "2024-01-01 09:00:00", u = "u2", v = 7.0))
+      q.processAllAvailable()
+      val out = spark.read.parquet(target)
+        .select("user_id", "event_id", "value").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2))).toSet
+      assert(out === Set(("u1", "e2", 5.0), ("u2", "e3", 7.0)))
+    } finally q.stop()
+  }
+}
