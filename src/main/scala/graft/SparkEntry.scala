@@ -12,7 +12,8 @@ object SparkEntry {
     */
   def specs: Seq[QuerySpec] =
     GoldQueries.all ++ EventQueries.all ++ PhysicsQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all
+      TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
+      MultimodalQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,85 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.multimodal.Multimodal
+import graft.sources.Tables
+
+/** Multimodal plumbing exercised end-to-end (north-star extension): build
+  * binary assets, decode (stubbed — see [[Multimodal]]), extract pseudo
+  * features, frame-sample, and roll up per kind. The DuckDB oracle
+  * reproduces the deterministic stubs byte-for-byte.
+  */
+object MultimodalQueries {
+
+  private val charHashText =
+    """list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % 1000000007)"""
+  private val charHashSource =
+    """list_reduce(list_prepend(0::BIGINT, list_transform(string_split(source, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % 1000000007)"""
+
+  /** Per-asset decode: payload bytes → seed, 4 pseudo-features, frame
+    * count, with kind + size metadata.
+    */
+  val assetDecode: QuerySpec = QuerySpec.sql(
+    "q30_asset_decode",
+    s"""WITH assets AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |    $charHashText AS seed
+      |  FROM documents)
+      |SELECT asset_id, kind, CAST(n_bytes AS INT) AS n_bytes, seed,
+      |  round(CAST(seed * 1 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f1,
+      |  round(CAST(seed * 2 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f2,
+      |  round(CAST(seed * 3 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f3,
+      |  round(CAST(seed * 4 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f4,
+      |  CAST(ceil(n_bytes / 64.0) AS BIGINT) AS n_frames
+      |FROM assets
+      |ORDER BY asset_id""".stripMargin
+  ) { (spark, dir) =>
+    val a = Multimodal.assets(Tables.load(spark, dir, "documents"))
+      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
+      .withColumn("features", Multimodal.fakeFeatures(col("seed")))
+      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
+    a.select(col("asset_id"), col("kind"), col("n_bytes"), col("seed"),
+        round(element_at(col("features"), 1) + lit(1e-9), 6).as("f1"),
+        round(element_at(col("features"), 2) + lit(1e-9), 6).as("f2"),
+        round(element_at(col("features"), 3) + lit(1e-9), 6).as("f3"),
+        round(element_at(col("features"), 4) + lit(1e-9), 6).as("f4"),
+        col("n_frames"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Per-kind rollup of the decoded assets — the "profile your media
+    * corpus before training" scan.
+    */
+  val kindProfile: QuerySpec = QuerySpec.sql(
+    "q31_kind_profile",
+    s"""WITH assets AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes
+      |  FROM documents)
+      |SELECT kind, count(*) AS n_assets,
+      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
+      |  round(avg(n_bytes) + 1e-6, 4) AS avg_bytes,
+      |  CAST(max(n_bytes) AS INT) AS max_bytes,
+      |  CAST(sum(CAST(ceil(n_bytes / 64.0) AS BIGINT)) AS BIGINT) AS total_frames
+      |FROM assets
+      |GROUP BY kind
+      |ORDER BY kind""".stripMargin
+  ) { (spark, dir) =>
+    Multimodal.assets(Tables.load(spark, dir, "documents"))
+      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
+      .groupBy(col("kind"))
+      .agg(count(lit(1)).as("n_assets"),
+        sum(col("n_bytes")).cast("long").as("total_bytes"),
+        round(avg(col("n_bytes")) + lit(1e-6), 4).as("avg_bytes"),
+        max(col("n_bytes")).as("max_bytes"),
+        sum(col("n_frames")).as("total_frames"))
+      .orderBy(col("kind"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(assetDecode, kindProfile)
+}

@@ -1,0 +1,55 @@
+package graft.multimodal
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.multimodal.Multimodal.Asset
+
+class MultimodalSpec extends SparkTestBase {
+
+  private def assetsDf = Multimodal.assets(
+    spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  test("assets carry a true binary payload with size metadata") {
+    val schema = assetsDf.schema
+    assert(schema("payload").dataType ===
+      org.apache.spark.sql.types.BinaryType)
+    val r = assetsDf.select(col("n_bytes"),
+      octet_length(col("payload"))).collect()
+    assert(r.forall(x => x.getInt(0) === x.getInt(1)))
+  }
+
+  test("kind assignment is deterministic and covers all three modalities") {
+    val kinds = assetsDf.select("kind").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kinds === Set("image", "audio", "video"))
+    val a = assetsDf.select("asset_id", "kind").collect().toSet
+    val b = assetsDf.select("asset_id", "kind").collect().toSet
+    assert(a === b)
+  }
+
+  test("partition-batched codec decode matches the expression stubs") {
+    import spark.implicits._
+    val typed = assetsDf.as[Asset]
+    val viaPartitions = Multimodal.decodePartitioned(typed)
+      .select(col("asset_id"), col("seed"), col("features"), col("n_frames"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toList, r.getInt(3))).toSet
+    val viaExpressions = assetsDf
+      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
+      .withColumn("features", Multimodal.fakeFeatures(col("seed")))
+      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
+      .select(col("asset_id"), col("seed"), col("features"), col("n_frames"))
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getSeq[Double](2).toList, r.getLong(3).toInt)).toSet
+    assert(viaPartitions === viaExpressions)
+  }
+
+  test("frame count is ceil of payload size over chunk size") {
+    import spark.implicits._
+    val df = Seq((1L, 0), (2L, 1), (3L, 64), (4L, 65)).toDF("id", "n")
+    val out = df.select(col("id"), Multimodal.frameCount(col("n")))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
+  }
+}
