@@ -84,8 +84,11 @@ object EventQueries {
       |WHERE ts > TIMESTAMP '2024-01-15 00:00:00'
       |ORDER BY event_id""".stripMargin
   ) { (spark, dir) =>
-    val ev = Tables.load(spark, dir, "events")
-    ev.filter(col("ts") > lit("2024-01-15 00:00:00").cast("timestamp"))
+    // watermark predicate pushed into the parquet scan (coarse nanosecond
+    // bound + exact residual — see Tables.loadEventsSince)
+    val wm = java.sql.Timestamp.from(
+      java.time.Instant.parse("2024-01-15T00:00:00Z"))
+    Tables.loadEventsSince(spark, dir, wm)
       .select(
         col("event_id"), col("ts"), col("user_id"),
         when(lower(col("event_type")).isin("click", "view"), "interaction")

@@ -31,6 +31,35 @@ object Tables {
     }
   }
 
+  /** Watermark-filtered events scan with parquet pushdown.
+    *
+    * [[load]] rewrites the nanosecond `ts` through
+    * `timestamp_micros(ts div 1000)`, which Catalyst cannot push through —
+    * the scan would read every row group and filter late (at 100 TB the
+    * incremental read becomes a full scan). Instead: push a COARSE
+    * predicate on the raw nanosecond long (`ts > wm_micros * 1000`, a
+    * superset because sub-microsecond remainders truncate), then apply
+    * the EXACT post-conversion predicate as a residual — the standard
+    * pushdown + residual pattern.
+    */
+  def loadEventsSince(spark: SparkSession, sfDir: String,
+      watermark: java.sql.Timestamp): DataFrame = {
+    val exact = org.apache.spark.sql.functions.lit(watermark)
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    raw.schema.find(_.name == "ts") match {
+      case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
+        val wmNanos = watermark.getTime * 1000000L +
+          (watermark.getNanos % 1000000)
+        raw.filter(org.apache.spark.sql.functions.col("ts") > wmNanos)
+          .withColumn("ts",
+            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+          .filter(org.apache.spark.sql.functions.col("ts") > exact)
+      case _ =>
+        load(spark, sfDir, "events")
+          .filter(org.apache.spark.sql.functions.col("ts") > exact)
+    }
+  }
+
   /** Register the full fixture star schema as temp views so `spark.sql`
     * queries read the same names the DuckDB oracle does.
     */
