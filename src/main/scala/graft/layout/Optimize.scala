@@ -1,0 +1,68 @@
+package graft.layout
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+
+/** Storage-layout maintenance (SURVEY.md §4) — the Spark-native analog of
+  * the reference's Delta `OPTIMIZE … ZORDER BY` / compaction / ANALYZE
+  * pass (`TABLE OPTIMIZATION.py:33-97,100,121`).
+  *
+  * Plain parquet gets data skipping from per-column row-group min/max
+  * stats, so the Z-ORDER effect — co-locating rows that are close in the
+  * clustering columns so range predicates prune row groups — is achieved
+  * with `repartitionByRange(clusterCols)` (one range-shuffle; also fixes
+  * small files, the OPTIMIZE compaction effect) followed by
+  * `sortWithinPartitions` (tightens per-row-group min/max windows with no
+  * extra shuffle). At 100 TB, pair with `partitionBy(year, month)` for
+  * partition pruning above row-group pruning.
+  */
+object Optimize {
+
+  /** Cluster + compact a table directory in place.
+    *
+    * @param clusterCols  columns range predicates filter on (the
+    *                     reference Z-ORDERs bronze by (event_id, time),
+    *                     silver by (magnitude, event_time, region))
+    * @param targetFiles  output file count (compaction target)
+    */
+  def cluster(spark: SparkSession, path: String, clusterCols: Seq[String],
+      targetFiles: Int): Unit = {
+    val df = spark.read.parquet(path)
+    val clustered = df
+      .repartitionByRange(targetFiles, clusterCols.map(col): _*)
+      .sortWithinPartitions(clusterCols.map(col): _*)
+    graft.sources.Tables.overwrite(clustered, path)
+  }
+
+  /** File-level stats for a table path — the `DESCRIBE DETAIL`
+    * numFiles/sizeInBytes analog (S12, `TABLE OPTIMIZATION.py:24-28`).
+    */
+  def describeDetail(spark: SparkSession, path: String): (Long, Long) = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p).filter(f =>
+      f.isFile && f.getPath.getName.endsWith(".parquet"))
+    (files.length.toLong, files.map(_.getLen).sum)
+  }
+
+  /** `ANALYZE TABLE … COMPUTE STATISTICS` on a path-backed table
+    * (S9/S12 + §4 CBO stats): registers an external table over the path
+    * in the session catalog, computes stats, and returns (rowCount,
+    * sizeInBytes) as recorded by the catalog.
+    */
+  def analyze(spark: SparkSession, path: String,
+      tableName: String): (Option[BigInt], Option[BigInt]) = {
+    spark.sql(s"DROP TABLE IF EXISTS $tableName")
+    spark.sql(s"CREATE TABLE $tableName USING parquet LOCATION '$path'")
+    spark.sql(s"ANALYZE TABLE $tableName COMPUTE STATISTICS")
+    val stats = spark.sql(s"DESCRIBE EXTENDED $tableName")
+      .filter(col("col_name") === "Statistics")
+      .collect().headOption.map(_.getString(1))
+    // "X bytes, Y rows"
+    val bytes = stats.flatMap(s => "(\\d+) bytes".r.findFirstMatchIn(s)
+      .map(m => BigInt(m.group(1))))
+    val rows = stats.flatMap(s => "(\\d+) rows".r.findFirstMatchIn(s)
+      .map(m => BigInt(m.group(1))))
+    (rows, bytes)
+  }
+}
