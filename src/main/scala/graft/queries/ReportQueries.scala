@@ -1,0 +1,55 @@
+package graft.queries
+
+import graft.QuerySpec
+import graft.sources.Tables
+
+/** The reference's SQL-front-door reporting tier (SURVEY.md §3 E3, §2a
+  * S10/S11, §2f O3): queries submitted as SQL TEXT via `spark.sql` over
+  * temp views — the parser/analyzer/catalog path, not the DSL. The SAME
+  * string is the DuckDB oracle (dialect-intersection SQL), which is the
+  * strongest possible cross-check: two engines, one query text.
+  */
+object ReportQueries {
+
+  private def sqlQuery(name: String, sql: String): QuerySpec =
+    QuerySpec.sql(name, sql) { (spark, dir) =>
+      Tables.registerAll(spark, dir)
+      spark.sql(sql)
+    }
+
+  /** Top-k revenue report (`06_display_reporting.py:127-141` shape). */
+  val topCustomers: QuerySpec = sqlQuery(
+    "q32_sql_top_customers",
+    """SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  round(sum(o_totalprice), 2) AS revenue
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |GROUP BY c_custkey, c_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 10""".stripMargin)
+
+  /** CASE-ordered status report (`06:198-215` custom sort-key shape). */
+  val statusReport: QuerySpec = sqlQuery(
+    "q33_sql_status_report",
+    """SELECT o_orderstatus, count(*) AS n_orders,
+      |  round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |  round(min(o_totalprice), 2) AS min_price,
+      |  round(max(o_totalprice), 2) AS max_price
+      |FROM orders
+      |GROUP BY o_orderstatus
+      |ORDER BY CASE WHEN o_orderstatus = 'O' THEN 1
+      |              WHEN o_orderstatus = 'P' THEN 2
+      |              ELSE 3 END""".stripMargin)
+
+  /** Severity-filtered recent-events report (`06:246-259` shape: filter +
+    * order + limit over the event stream).
+    */
+  val severeRecent: QuerySpec = sqlQuery(
+    "q34_sql_severe_recent",
+    """SELECT event_id, ts, event_type, round(value, 2) AS value
+      |FROM events
+      |WHERE value >= 250
+      |ORDER BY ts DESC, event_id DESC
+      |LIMIT 50""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(topCustomers, statusReport, severeRecent)
+}
