@@ -32,9 +32,14 @@ object SimilarityQueries {
       |FROM p WHERE cos >= 0.35
       |ORDER BY id1, id2""".stripMargin
   ) { (spark, dir) =>
+    // norms hoisted to one column per VECTOR (n sqrt-dots) instead of two
+    // per PAIR (n² extra dots); cos = dot/(n1*n2) is the same expression
+    // tree as Vectors.cosine, so values are bit-identical to the oracle
     val e = Tables.load(spark, dir, "embeddings")
-      .select(col("vec_id"), col("embedding"))
-    val cos = Vectors.cosine(col("a.embedding"), col("b.embedding"))
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"))
+    val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cos.as("cos"))
