@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.operators.AsOfJoin
+import graft.sources.Tables
+
+/** Temporal operators beyond the reference's surface (SURVEY.md §2c/§2e
+  * "engine additions"): backward as-of join and lag/lead sessionization.
+  */
+object TemporalQueries {
+
+  /** For every purchase, the user's latest click at-or-before it —
+    * [[AsOfJoin]] (union-tag + last-ignoreNulls window, one shuffle).
+    * DuckDB's native ASOF LEFT JOIN is the oracle.
+    */
+  val asofLastClick: QuerySpec = QuerySpec.sql(
+    "q35_asof_last_click",
+    """WITH clicks AS (
+      |  SELECT user_id, ts, event_id AS click_id, ts AS click_ts,
+      |         round(value, 2) AS click_value
+      |  FROM events WHERE event_type = 'click'),
+      |purchases AS (
+      |  SELECT user_id, ts, event_id FROM events
+      |  WHERE event_type = 'purchase')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |       c.click_id, c.click_ts, c.click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_id"), col("ts").as("click_ts"),
+        round(col("value"), 2).as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"), col("event_id"))
+    AsOfJoin.asofBackward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        rightTieBreak = Seq(col("click_id").asc))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("click_id"), col("click_ts"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Sessionization via lag + running sum + ntile (§2e "easy
+    * extensions" made concrete): per-user event gaps, 30-minute session
+    * breaks, session sequence numbers, and activity quartiles.
+    */
+  val sessionGaps: QuerySpec = QuerySpec.sql(
+    "q36_session_gaps",
+    """WITH g AS (
+      |  SELECT user_id, event_id, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) -
+      |      CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) AS gap_seconds
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *,
+      |    CASE WHEN gap_seconds IS NULL OR gap_seconds > 1800
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM g)
+      |SELECT user_id, event_id, ts, gap_seconds,
+      |  CAST(is_new_session AS BOOLEAN) AS is_new_session,
+      |  CAST(sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq,
+      |  CAST(ntile(4) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS quartile
+      |FROM s
+      |ORDER BY user_id, ts, event_id""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("gap_seconds",
+        floor(unix_timestamp(col("ts"))).cast("long") -
+          floor(unix_timestamp(lag(col("ts"), 1).over(w))).cast("long"))
+      .withColumn("is_new_session",
+        col("gap_seconds").isNull || col("gap_seconds") > 1800)
+      .withColumn("session_seq",
+        sum(when(col("is_new_session"), 1).otherwise(0)).over(wRun)
+          .cast("long"))
+      .withColumn("quartile", ntile(4).over(w))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(asofLastClick, sessionGaps)
+}
