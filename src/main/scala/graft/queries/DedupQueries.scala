@@ -139,8 +139,12 @@ object DedupQueries {
   }
 
   /** SimHash near-dup pairs: 32-bit tf-weighted sign fingerprint from
-    * portable token hashes; candidates from a byte-band self-join
-    * (Hamming-LSH), verified by bit_count(xor) ≤ 2.
+    * portable token hashes; candidates from a 3-band Hamming-LSH
+    * self-join (11/11/10-bit bands — by pigeonhole every pair with
+    * Hamming distance ≤ 2 shares at least one whole band, and the wide
+    * bands keep collisions ~8× lower than byte bands on the correlated
+    * bits shared-vocabulary corpora produce), verified by
+    * bit_count(xor) ≤ 2.
     */
   val simhash: QuerySpec = QuerySpec.sql(
     "q25_simhash",
@@ -152,8 +156,11 @@ object DedupQueries {
       |          THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS simhash
       |  FROM hs),
       |bands AS (
-      |  SELECT doc_id, simhash, b.j, (simhash // (1::BIGINT << (8 * b.j))) % 256 AS band_val
-      |  FROM sim, (SELECT unnest(range(0, 4)) AS j) b),
+      |  SELECT doc_id, simhash, b.j,
+      |    CASE b.j WHEN 0 THEN simhash % 2048
+      |             WHEN 1 THEN (simhash // 2048) % 2048
+      |             ELSE simhash // 4194304 END AS band_val
+      |  FROM sim, (SELECT unnest(range(0, 3)) AS j) b),
       |cand AS (
       |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2, l.simhash AS h1, r.simhash AS h2
       |  FROM bands l JOIN bands r ON l.j = r.j AND l.band_val = r.band_val AND l.doc_id < r.doc_id)
@@ -172,8 +179,11 @@ object DedupQueries {
       graft.expressions.NativeKernels.simhash(col("hs"), 32).as("simhash"))
     val bands = sim.select(col("doc_id"), col("simhash"),
       explode(expr(
-        """transform(sequence(0, 3),
-          |  j -> struct(j AS j, (simhash div shiftleft(1L, 8 * j)) % 256 AS band_val))"""
+        """transform(sequence(0, 2),
+          |  j -> struct(j AS j,
+          |    CASE j WHEN 0 THEN simhash % 2048L
+          |           WHEN 1 THEN (simhash div 2048L) % 2048L
+          |           ELSE simhash div 4194304L END AS band_val))"""
           .stripMargin)).as("bk"))
       .select(col("doc_id"), col("simhash"),
         col("bk.j").as("j"), col("bk.band_val").as("band_val"))
