@@ -368,7 +368,41 @@ object GoldQueries {
       .orderBy(col("r_name"), col("year"))
   }
 
+  /** Full star coverage: fact ⋈ part ⋈ supplier volume rollup per
+    * (brand, supplier-nation). Both dims broadcast at this SF; at scale
+    * AQE picks broadcast vs shuffle per runtime size, and the grouped
+    * agg does partial map-side combine before the single exchange.
+    */
+  val brandVolume: QuerySpec = QuerySpec.sql(
+    "q37_brand_volume",
+    """SELECT p_brand,
+      |  CAST(s_nationkey AS BIGINT) AS supp_nation,
+      |  count(*) AS n_lines,
+      |  round(sum(l_quantity), 2) AS sum_qty,
+      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      |  round(avg(p_retailprice) + 1e-6, 4) AS avg_retail
+      |FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |GROUP BY p_brand, s_nationkey
+      |ORDER BY p_brand, supp_nation""".stripMargin
+  ) { (spark, dir) =>
+    val l = Tables.load(spark, dir, "lineitem")
+    val p = Tables.load(spark, dir, "part")
+    val su = Tables.load(spark, dir, "supplier")
+    l.join(broadcast(p), l("l_partkey") === p("p_partkey"))
+      .join(broadcast(su), l("l_suppkey") === su("s_suppkey"))
+      .groupBy(col("p_brand"), col("s_nationkey").cast("long").as("supp_nation"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        round(avg(col("p_retailprice")) + lit(1e-6), 4).as("avg_retail"))
+      .orderBy(col("p_brand"), col("supp_nation"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     pricingSummary, regionalRisk, dailyRolling, kpiSummary, regionSummary,
-    topOrders, priceHistogram, monthlyRollup, regionYearRollup)
+    topOrders, priceHistogram, monthlyRollup, regionYearRollup, brandVolume)
 }

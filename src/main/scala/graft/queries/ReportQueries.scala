@@ -11,15 +11,18 @@ import graft.sources.Tables
   */
 object ReportQueries {
 
-  private def sqlQuery(name: String, sql: String): QuerySpec =
+  private def sqlQuery(name: String, tables: Seq[String], sql: String): QuerySpec =
     QuerySpec.sql(name, sql) { (spark, dir) =>
-      Tables.registerAll(spark, dir)
+      // register only the referenced tables — registerAll would read 10
+      // parquet footers per query invocation
+      tables.foreach(t =>
+        Tables.load(spark, dir, t).createOrReplaceTempView(t))
       spark.sql(sql)
     }
 
   /** Top-k revenue report (`06_display_reporting.py:127-141` shape). */
   val topCustomers: QuerySpec = sqlQuery(
-    "q32_sql_top_customers",
+    "q32_sql_top_customers", Seq("orders", "customer"),
     """SELECT c_custkey, c_name, count(*) AS n_orders,
       |  round(sum(o_totalprice), 2) AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
@@ -29,7 +32,7 @@ object ReportQueries {
 
   /** CASE-ordered status report (`06:198-215` custom sort-key shape). */
   val statusReport: QuerySpec = sqlQuery(
-    "q33_sql_status_report",
+    "q33_sql_status_report", Seq("orders"),
     """SELECT o_orderstatus, count(*) AS n_orders,
       |  round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
       |  round(min(o_totalprice), 2) AS min_price,
@@ -44,7 +47,7 @@ object ReportQueries {
     * order + limit over the event stream).
     */
   val severeRecent: QuerySpec = sqlQuery(
-    "q34_sql_severe_recent",
+    "q34_sql_severe_recent", Seq("events"),
     """SELECT event_id, ts, event_type, round(value, 2) AS value
       |FROM events
       |WHERE value >= 250
