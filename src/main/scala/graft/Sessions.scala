@@ -17,6 +17,8 @@ object Sessions {
       .builder()
       .master(s"local[$cpus]")
       .appName(appName)
+      // custom optimizer rule + SQL functions (graft.plans.GraftExtensions)
+      .withExtensions(graft.plans.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
