@@ -56,10 +56,17 @@ object AsOfJoin {
       .orderBy(Seq(col("__ts").asc, col("__tag").asc) ++ rightTieBreak: _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
-    payload.foldLeft(l.unionByName(r)) { (df, p) =>
-        df.withColumn(p, last(col(p), ignoreNulls = true).over(w))
-      }
+    // fill the payload as ONE struct, not column-by-column: independent
+    // last(ignoreNulls) per column would tear values from DIFFERENT right
+    // rows whenever the latest right row carries a null in some payload
+    // column (a composite row that never existed)
+    l.unionByName(r)
+      .withColumn("__payload",
+        when(col("__tag") === 0, struct(payload.map(col): _*)))
+      .withColumn("__last",
+        last(col("__payload"), ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
-      .drop("__ts", "__tag")
+      .select((leftCols.map(col) ++
+        payload.map(p => col(s"__last.$p").as(p))): _*)
   }
 }

@@ -57,14 +57,23 @@ object SeismicPipeline {
     val increment = Tables.loadEventsSince(spark, sfDir, wm)
     val newCount = increment.count()
     if (newCount == 0L) {
-      val silver = spark.read.parquet(silverPath(workDir))
-      return RunSummary(0L, silver.count(),
-        spark.read.parquet(goldPath(workDir)).count(), wm)
+      // no-op run; silver/gold may not exist yet if the very first run
+      // saw no data past the seed watermark
+      def countIfExists(path: String): Long = {
+        val p = new org.apache.hadoop.fs.Path(path)
+        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
+          spark.read.parquet(path).count()
+        else 0L
+      }
+      return RunSummary(0L, countIfExists(silverPath(workDir)),
+        countIfExists(goldPath(workDir)), wm)
     }
 
-    // W1 dedup-keep-latest within the increment
+    // W1 dedup-keep-latest within the increment; tiebreak over every
+    // remaining column so equal-ts duplicates resolve deterministically
     val deduped = Dedup.keepFirst(increment, Seq("event_id"),
-      Seq(col("ts").desc, col("user_id").desc))
+      col("ts").desc +: increment.columns.toSeq
+        .filterNot(c => c == "event_id" || c == "ts").map(col(_).desc))
 
     // P4 validation/clamp (value plays depth-km: null→0, clamp [0, 300])
     val validated = deduped.withColumn("value_clean",

@@ -130,7 +130,7 @@ object EventQueries {
       |UNION ALL
       |SELECT e.event_id, 'OTHER', 'Other', 99, round(e.value, 2)
       |FROM events e
-      |WHERE e.event_id NOT IN (SELECT event_id FROM matched)
+      |WHERE NOT EXISTS (SELECT 1 FROM matched m WHERE m.event_id = e.event_id)
       |ORDER BY event_id""".stripMargin
   ) { (spark, dir) =>
     import spark.implicits._
@@ -177,8 +177,8 @@ object EventQueries {
       |          ORDER BY ts DESC, event_id DESC) AS rn
       |        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
       |  WHERE rn = 1)
-      |SELECT * FROM latest_before
-      |WHERE user_id NOT IN (SELECT user_id FROM latest_after)
+      |SELECT * FROM latest_before b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest_after a WHERE a.user_id = b.user_id)
       |UNION ALL
       |SELECT * FROM latest_after
       |ORDER BY user_id""".stripMargin

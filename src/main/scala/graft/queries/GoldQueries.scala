@@ -97,7 +97,7 @@ object GoldQueries {
       |       ELSE 'MINIMAL' END AS risk_level
       |FROM (SELECT *,
       |        round(critical_orders * 50 + high_orders * 20 +
-      |              moderate_orders * 5 + max_price / 10000.0, 2) AS risk_score
+      |              moderate_orders * 5 + max_price / 10000.0 + 1e-9, 2) AS risk_score
       |      FROM agg)
       |ORDER BY r_name, year, month""".stripMargin
   ) { (spark, dir) =>
@@ -121,7 +121,7 @@ object GoldQueries {
         round(sum(col("o_totalprice")), 2).as("sum_price"))
       .withColumn("risk_score",
         round(col("critical_orders") * 50 + col("high_orders") * 20 +
-          col("moderate_orders") * 5 + col("max_price") / 10000.0, 2))
+          col("moderate_orders") * 5 + col("max_price") / 10000.0 + lit(1e-9), 2))
       .withColumn("risk_level",
         when(col("risk_score") >= 100, "CRITICAL")
           .when(col("risk_score") >= 50, "HIGH")

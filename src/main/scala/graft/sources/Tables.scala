@@ -91,7 +91,19 @@ object Tables {
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
     val src = new org.apache.hadoop.fs.Path(tmp)
-    if (fs.exists(dst)) fs.delete(dst, true)
-    fs.rename(src, dst)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old__")
+    // swap via a rename chain, CHECKING each rename (HDFS/S3A renames
+    // report failure by returning false, not by throwing): the previous
+    // table version survives as .__old__ until the new one is in place,
+    // so a crash leaves either the old or the new table addressable —
+    // never neither
+    if (fs.exists(old)) fs.delete(old, true)
+    if (fs.exists(dst) && !fs.rename(dst, old))
+      throw new java.io.IOException(s"overwrite: could not stage $dst -> $old")
+    if (!fs.rename(src, dst)) {
+      fs.rename(old, dst) // best-effort rollback
+      throw new java.io.IOException(s"overwrite: could not publish $src -> $dst")
+    }
+    fs.delete(old, true)
   }
 }

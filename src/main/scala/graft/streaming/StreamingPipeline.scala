@@ -55,14 +55,24 @@ object StreamingPipeline {
       orderCol: String = "ts"): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       val spark = batch.sparkSession
+      // total order within a key group: orderCol first, then every
+      // remaining column descending — identical duplicate rows tie
+      // harmlessly, differing ones resolve deterministically
+      val tieBreak = batch.columns.toSeq
+        .filterNot(c => keys.contains(c) || c == orderCol)
+        .map(col(_).desc)
       val latest = graft.operators.Dedup.keepFirst(batch, keys,
-        Seq(col(orderCol).desc))
-      val target =
-        try spark.read.parquet(targetPath)
-        catch { case _: Throwable => null }
+        col(orderCol).desc +: tieBreak)
+      // only a genuinely ABSENT target means "first batch"; any read
+      // error on an existing path must propagate, not truncate the table
+      val p = new org.apache.hadoop.fs.Path(targetPath)
+      val exists =
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
       val merged =
-        if (target == null) latest
-        else Upsert.upsert(target.select(latest.columns.map(col): _*), latest, keys)
+        if (!exists) latest
+        else Upsert.upsert(
+          spark.read.parquet(targetPath).select(latest.columns.map(col): _*),
+          latest, keys)
       Tables.overwrite(merged, targetPath)
     }
 }

@@ -53,6 +53,24 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(out === Map("t1" -> "q3"))
   }
 
+  test("null payload in the latest right row is NOT backfilled from older rows") {
+    import org.apache.spark.sql.types._
+    // q2' at 11:00 carries a null px; the joined row must be (q2', null),
+    // never a torn (q2', 100.0) composite
+    val rows = java.util.List.of(
+      org.apache.spark.sql.Row("u1", ts("2024-01-01 10:00:00"), "q1", java.lang.Double.valueOf(100.0)),
+      org.apache.spark.sql.Row("u1", ts("2024-01-01 11:00:00"), "q2", null))
+    val schema = StructType(Seq(
+      StructField("user", StringType), StructField("ts", TimestampType),
+      StructField("quote_id", StringType), StructField("px", DoubleType)))
+    val q = spark.createDataFrame(rows, schema)
+    val out = AsOfJoin.asofBackward(
+      trades(("u1", "2024-01-01 12:00:00", "t1")), q, Seq("user"), "ts", "ts")
+      .select("trade_id", "quote_id", "px").collect().head
+    assert(out.getString(1) === "q2")
+    assert(out.isNullAt(2), "px must be q2's null, not q1's 100.0")
+  }
+
   test("left row count is preserved") {
     val t = trades(
       ("u1", "2024-01-01 10:30:00", "a"),
