@@ -155,6 +155,41 @@ object SimilarityQueries {
       .orderBy(col("label"))
   }
 
+  /** LSH-bucketed embedding near-dup — the scale path for q26: candidate
+    * pairs come from a bucket equi-self-join (each vector compares only
+    * within its 256-cell sign bucket), then exact cosine verifies. At 10B
+    * vectors candidate cost tracks bucket occupancy, not n².
+    */
+  val lshNearDup: QuerySpec = QuerySpec.sql(
+    "q38_lsh_neardup",
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${Vectors.normSql("embedding")} AS nrm,
+      |         ${Vectors.signBucketSql("embedding", 8)} AS bucket
+      |  FROM embeddings),
+      |p AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+      |         ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |SELECT id1, id2, round(cos + 1e-9, 4) AS cosine
+      |FROM p WHERE cos >= 0.3
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"),
+        Vectors.signBucket("embedding", 8).as("bucket"))
+    val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    e.as("a").join(e.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
+        cos.as("cos"))
+      .filter(col("cos") >= 0.3)
+      .select(col("id1"), col("id2"),
+        round(col("cos") + lit(1e-9), 4).as("cosine"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    embeddingNearDup, knnTopK, lshAnn, embeddingProfile)
+    embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup)
 }

@@ -184,5 +184,29 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(textStats, qualityScore, langId, fingerprint)
+  /** Corpus vocabulary profile: explode tokens, global term frequencies,
+    * top 25 — the word-count shape (map-side combine before one shuffle).
+    */
+  val vocabTop: QuerySpec = QuerySpec.sql(
+    "q39_vocab_top",
+    """SELECT tok, count(*) AS tf,
+      |  CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+      |FROM (SELECT doc_id,
+      |        unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      |      FROM documents)
+      |GROUP BY tok
+      |ORDER BY tf DESC, tok
+      |LIMIT 25""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("tf"),
+        countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("tf").desc, col("tok"))
+      .limit(25)
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(textStats, qualityScore, langId, fingerprint, vocabTop)
 }
