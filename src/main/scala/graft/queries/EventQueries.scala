@@ -213,7 +213,65 @@ object EventQueries {
       .orderBy(col("n_events").desc, col("event_type"))
   }
 
+  /** Pivot: per-user-month event counts spread across event-type columns
+    * (`groupBy().pivot(values)` with explicit values keeps the schema
+    * static and the plan a single hash aggregate). The oracle mirrors via
+    * conditional aggregation — identical output columns.
+    */
+  val typePivot: QuerySpec = QuerySpec.sql(
+    "q40_type_pivot",
+    """SELECT user_id, CAST(month(ts) AS BIGINT) AS month,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error
+      |FROM events
+      |GROUP BY user_id, month(ts)
+      |ORDER BY user_id, month""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), month(col("ts")).cast("long").as("month"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(coalesce(count(lit(1)), lit(0L)))
+      .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
+      .orderBy(col("user_id"), col("month"))
+  }
+
+  /** Deterministic train/val/test split assignment — the training-data
+    * staple: a portable arithmetic hash of the stable key buckets rows
+    * 80/10/10 reproducibly in ANY engine (no rand(), no engine-specific
+    * hash), then per-split profiling.
+    */
+  val splitAssign: QuerySpec = QuerySpec.sql(
+    "q41_split_assign",
+    """WITH assigned AS (
+      |  SELECT *, (event_id * 2654435761) % 100 AS bucket
+      |  FROM events)
+      |SELECT CASE WHEN bucket < 80 THEN 'train'
+      |            WHEN bucket < 90 THEN 'val'
+      |            ELSE 'test' END AS split,
+      |  count(*) AS n_events,
+      |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+      |  round(avg(value) + 1e-6, 4) AS avg_value
+      |FROM assigned
+      |GROUP BY 1
+      |ORDER BY split""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .withColumn("bucket", (col("event_id") * 2654435761L) % 100)
+      .withColumn("split",
+        when(col("bucket") < 80, "train")
+          .when(col("bucket") < 90, "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+      .orderBy(col("split"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
-    typeDistribution)
+    typeDistribution, typePivot, splitAssign)
 }
