@@ -271,7 +271,50 @@ object EventQueries {
       .orderBy(col("split"))
   }
 
+  /** Per-column null audit as ROWS via unpivot (`stack`) with the
+    * reference's OK/WARNING banding at 5% (`03_bronze_processing.py:33-51`
+    * prints this; here it is an assertable result set).
+    */
+  val dqUnpivot: QuerySpec = QuerySpec.sql(
+    "q42_dq_unpivot",
+    """WITH counts AS (
+      |  SELECT count(*) AS n,
+      |    CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_id,
+      |    CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ts,
+      |    CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS user_id,
+      |    CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS event_type,
+      |    CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS value
+      |  FROM events),
+      |long AS (
+      |  SELECT 'event_id' AS column_name, event_id AS null_count, n FROM counts
+      |  UNION ALL SELECT 'ts', ts, n FROM counts
+      |  UNION ALL SELECT 'user_id', user_id, n FROM counts
+      |  UNION ALL SELECT 'event_type', event_type, n FROM counts
+      |  UNION ALL SELECT 'value', value, n FROM counts)
+      |SELECT column_name, null_count,
+      |  round(100.0 * null_count / n + 1e-9, 4) AS null_pct,
+      |  CASE WHEN 100.0 * null_count / n > 5.0 THEN 'WARNING' ELSE 'OK' END AS status
+      |FROM long
+      |ORDER BY column_name""".stripMargin
+  ) { (spark, dir) =>
+    val cols = Seq("event_id", "ts", "user_id", "event_type", "value")
+    val counts = Tables.load(spark, dir, "events").agg(
+      count(lit(1)).as("n"),
+      cols.map(c =>
+        sum(when(col(c).isNull, 1).otherwise(0)).as(c)): _*)
+    val stackExpr = cols.map(c => s"'$c', $c").mkString(", ")
+    counts
+      .select(col("n"), expr(
+        s"stack(${cols.length}, $stackExpr) AS (column_name, null_count)"))
+      .select(col("column_name"), col("null_count"),
+        round(lit(100.0) * col("null_count") / col("n") + lit(1e-9), 4)
+          .as("null_pct"),
+        when(lit(100.0) * col("null_count") / col("n") > 5.0, "WARNING")
+          .otherwise("OK").as("status"))
+      .orderBy(col("column_name"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
-    typeDistribution, typePivot, splitAssign)
+    typeDistribution, typePivot, splitAssign, dqUnpivot)
 }

@@ -72,6 +72,21 @@ object Tables {
       load(spark, sfDir, t).createOrReplaceTempView(t)
     }
 
+  /** CSV scan with explicit schema (source-format breadth; header on,
+    * schema REQUIRED — inference means a second full pass at scale).
+    */
+  def loadCsv(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.option("header", "true").schema(schema).csv(path)
+
+  /** JSON-lines scan with explicit schema (one object per line — the
+    * splittable layout; multiLine JSON parses per-FILE and is reserved
+    * for the GeoJSON FeatureCollection source).
+    */
+  def loadJsonl(spark: SparkSession, path: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   /** Append sink (reference: Delta append, `02_ingestion.py:214-217`). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
