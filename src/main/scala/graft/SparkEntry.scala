@@ -13,7 +13,8 @@ object SparkEntry {
   def specs: Seq[QuerySpec] =
     GoldQueries.all ++ EventQueries.all ++ PhysicsQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
-      MultimodalQueries.all ++ ReportQueries.all ++ TemporalQueries.all
+      MultimodalQueries.all ++ ReportQueries.all ++ TemporalQueries.all ++
+      AnalyticsQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,94 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.sources.Tables
+
+/** Remaining analytics operator families: set operations (§2g — the
+  * reference only uses union), exact interpolated percentiles, and
+  * semi-structured JSON extraction (§2h "array/map/json" — the events
+  * `props` column).
+  */
+object AnalyticsQueries {
+
+  /** INTERSECT / EXCEPT audience segmentation: users who clicked but
+    * never purchased, and users who did both.
+    */
+  val setOps: QuerySpec = QuerySpec.sql(
+    "q43_set_segments",
+    """WITH clickers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+      |buyers AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase')
+      |SELECT 'click_no_purchase' AS segment, user_id
+      |FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers)
+      |UNION ALL
+      |SELECT 'click_and_purchase', user_id
+      |FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM buyers)
+      |ORDER BY segment, user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    def usersOf(t: String) =
+      ev.filter(col("event_type") === t).select("user_id").distinct()
+    val clickers = usersOf("click")
+    val buyers = usersOf("purchase")
+    clickers.except(buyers)
+      .select(lit("click_no_purchase").as("segment"), col("user_id"))
+      .unionByName(clickers.intersect(buyers)
+        .select(lit("click_and_purchase").as("segment"), col("user_id")))
+      .orderBy(col("segment"), col("user_id"))
+  }
+
+  /** Exact interpolated percentiles per group (Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition;
+    * `approx_percentile` is the documented sketch path at scale).
+    */
+  val percentiles: QuerySpec = QuerySpec.sql(
+    "q44_value_percentiles",
+    """SELECT event_type,
+      |  round(quantile_cont(value, 0.5) + 1e-9, 4) AS p50,
+      |  round(quantile_cont(value, 0.9) + 1e-9, 4) AS p90,
+      |  round(quantile_cont(value, 0.99) + 1e-9, 4) AS p99,
+      |  round(max(value), 2) AS p100
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        round(percentile(col("value"), lit(0.5)) + lit(1e-9), 4).as("p50"),
+        round(percentile(col("value"), lit(0.9)) + lit(1e-9), 4).as("p90"),
+        round(percentile(col("value"), lit(0.99)) + lit(1e-9), 4).as("p99"),
+        round(max(col("value")), 2).as("p100"))
+      .orderBy(col("event_type"))
+  }
+
+  /** JSON field extraction from the `props` payload column — the
+    * semi-structured path (`get_json_object` is expression-level; no
+    * driver-side parsing).
+    */
+  val jsonExtract: QuerySpec = QuerySpec.sql(
+    "q45_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+      |  count(*) AS n_events,
+      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  round(avg(value) + 1e-6, 4) AS avg_value
+      |FROM events
+      |WHERE props IS NOT NULL
+      |GROUP BY 1
+      |ORDER BY k_bucket""".stripMargin
+  ) { (spark, dir) =>
+    val k = get_json_object(col("props"), "$.k").cast("long")
+    Tables.load(spark, dir, "events")
+      .filter(col("props").isNotNull)
+      .groupBy((k % 10).as("k_bucket"))
+      .agg(count(lit(1)).as("n_events"),
+        min(k).as("min_k"),
+        max(k).as("max_k"),
+        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+      .orderBy(col("k_bucket"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract)
+}
