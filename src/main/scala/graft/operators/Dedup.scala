@@ -46,6 +46,28 @@ object Dedup {
         .map(c => col(s"__best.$c").as(c)): _*)
   }
 
+  /** Per-key top-k through the custom physical operator
+    * ([[graft.plans.TopKPerKeyPlan]] — bounded heaps with map-side
+    * partial reduction instead of WindowExec's full per-group sort).
+    * Same row SET as [[keepFirst]] filtered to rank ≤ k; `order` must be
+    * total per key group. Requires the graft session extensions
+    * ([[graft.Sessions]] installs them).
+    */
+  def topKPerKey(df: DataFrame, keys: Seq[String], order: Seq[Column],
+      k: Int): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.{Ascending, SortOrder}
+    import org.apache.spark.sql.graftglue.ColumnGlue
+    val plan = graft.plans.TopKPerKeyPlan(
+      keys.map(c => ColumnGlue.toCatalyst(df(c))),
+      order.map(o => ColumnGlue.toCatalyst(o) match {
+        case so: SortOrder => so
+        case e => SortOrder(e, Ascending)
+      }),
+      k,
+      df.queryExecution.analyzed)
+    ColumnGlue.ofRows(df.sparkSession, plan)
+  }
+
   /** Exact duplicate removal by full-row (or selected-column) equality —
     * hash-groupBy keeping the lowest id (north-star dedup tier 1).
     */

@@ -1,0 +1,95 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Attribute, Expression, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, UnspecifiedDistribution}
+import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
+
+/** Whole-operator Catalyst tier (builder preference (c)): per-key top-k
+  * as a custom logical node + planner strategy + physical operator.
+  *
+  * The DataFrame formulation — `row_number().over(partitionBy(keys)
+  * .orderBy(order)) <= k` — shuffles EVERY row, then fully sorts every
+  * key group (WindowExec): O(n log n) per partition on the post-shuffle
+  * size. This operator instead:
+  *
+  *  1. PARTIAL stage (pre-shuffle): each input partition reduces to at
+  *     most k rows per key with a bounded heap — the map-side combine
+  *     that windows cannot do. Shuffled bytes shrink from n to
+  *     ≤ k · distinct-keys-per-partition.
+  *  2. FINAL stage (post-shuffle, Spark inserts the exchange from
+  *     `requiredChildDistribution`): the same bounded-heap pass merges
+  *     the partial winners, O(n log k).
+  *
+  * Top-k is a semigroup (global top-k ⊆ union of per-partition top-k),
+  * which makes the two-phase split safe. `order` must be a TOTAL order
+  * per key group (include a unique tiebreaker) or ties are resolved
+  * arbitrarily — same contract as [[graft.operators.Dedup.keepFirst]].
+  * Output rows are the top-k SET per key, in no particular order (the
+  * window's `__rn` column is not materialized).
+  */
+case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
+    copy(child = newChild)
+}
+
+case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
+    k: Int, partial: Boolean, child: SparkPlan) extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) Seq(UnspecifiedDistribution)
+    else Seq(ClusteredDistribution(keys))
+
+  protected override def doExecute(): RDD[InternalRow] = {
+    val keyExprs = keys
+    val orderExprs = order
+    val limit = k
+    val childOutput = child.output
+    child.execute().mapPartitions({ iter =>
+      val keyProj = UnsafeProjection.create(keyExprs, childOutput)
+      val ordering = GenerateOrdering.generate(orderExprs, childOutput)
+      // per key: a max-heap of the kept rows under `ordering`, so the
+      // heap root is the WORST kept row — O(log k) replacement test
+      val heaps = new java.util.HashMap[UnsafeRow,
+        java.util.PriorityQueue[InternalRow]]()
+      iter.foreach { row =>
+        val key = keyProj(row)
+        var heap = heaps.get(key)
+        if (heap == null) {
+          heap = new java.util.PriorityQueue[InternalRow](
+            limit, ordering.reversed())
+          heaps.put(key.copy(), heap)
+        }
+        if (heap.size < limit) {
+          heap.add(row.copy())
+        } else if (ordering.compare(row, heap.peek()) < 0) {
+          heap.poll()
+          heap.add(row.copy())
+        }
+      }
+      import scala.jdk.CollectionConverters._
+      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+    }, preservesPartitioning = true)
+  }
+
+  protected override def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
+    copy(child = newChild)
+}
+
+/** Plans the logical node as partial → (exchange) → final. */
+object TopKPerKeyStrategy extends org.apache.spark.sql.execution.SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKeyPlan(keys, order, k, child) =>
+      TopKPerKeyExec(keys, order, k, partial = false,
+        TopKPerKeyExec(keys, order, k, partial = true,
+          planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
