@@ -86,5 +86,29 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(asofLastClick, sessionGaps)
+  /** Top-3 events per user by value, executed by the CUSTOM physical
+    * operator ([[graft.operators.Dedup.topKPerKey]] →
+    * [[graft.plans.TopKPerKeyExec]] with map-side partial reduction) —
+    * the DuckDB oracle is the equivalent window formulation, so the
+    * driver gate verifies the custom operator end-to-end.
+    */
+  val topEventsPerUser: QuerySpec = QuerySpec.sql(
+    "q46_top_events_per_user",
+    """SELECT user_id, event_id, round(value, 2) AS value
+      |FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |        ORDER BY value DESC, event_id DESC) AS rn
+      |      FROM events)
+      |WHERE rn <= 3
+      |ORDER BY user_id, value DESC, event_id DESC""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("value"))
+    graft.operators.Dedup.topKPerKey(ev, Seq("user_id"),
+        Seq(col("value").desc, col("event_id").desc), 3)
+      .select(col("user_id"), col("event_id"),
+        round(col("value"), 2).as("value"))
+      .orderBy(col("user_id"), col("value").desc, col("event_id").desc)
+  }
+
+  val all: Seq[QuerySpec] = Seq(asofLastClick, sessionGaps, topEventsPerUser)
 }
