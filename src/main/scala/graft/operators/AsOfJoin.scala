@@ -45,7 +45,11 @@ object AsOfJoin {
       .withColumn("__ts", col(leftTs))
       .withColumn("__tag", lit(1))
       .withColumns(payload.map(p => p -> lit(null)).toMap)
+    // a NULL right timestamp must never match (SQL `l.ts >= r.ts` is
+    // UNKNOWN) — without this filter it would sort nulls-first and act
+    // as an always-available earliest row
     val r = right
+      .filter(col(rightTs).isNotNull)
       .withColumn("__ts", col(rightTs))
       .withColumn("__tag", lit(0))
       .withColumns(leftCols.filterNot(c => keys.contains(c))

@@ -59,12 +59,9 @@ object SeismicPipeline {
     if (newCount == 0L) {
       // no-op run; silver/gold may not exist yet if the very first run
       // saw no data past the seed watermark
-      def countIfExists(path: String): Long = {
-        val p = new org.apache.hadoop.fs.Path(path)
-        if (p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p))
-          spark.read.parquet(path).count()
+      def countIfExists(path: String): Long =
+        if (Tables.exists(spark, path)) spark.read.parquet(path).count()
         else 0L
-      }
       return RunSummary(0L, countIfExists(silverPath(workDir)),
         countIfExists(goldPath(workDir)), wm)
     }
@@ -113,12 +110,8 @@ object SeismicPipeline {
 
     // S7 MERGE-upsert into silver
     val silverP = silverPath(workDir)
-    val exists = {
-      val p = new org.apache.hadoop.fs.Path(silverP)
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-    }
     val merged =
-      if (!exists) silverNew
+      if (!Tables.exists(spark, silverP)) silverNew
       else Upsert.upsert(
         spark.read.parquet(silverP).select(silverNew.columns.map(col): _*),
         silverNew, Seq("event_id"))

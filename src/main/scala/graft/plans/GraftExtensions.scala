@@ -20,10 +20,18 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
-      (children: Seq[Expression]) => PolyHash(children.head)))
+      (children: Seq[Expression]) => {
+        require(children.length == 1,
+          s"poly_hash expects 1 argument, got ${children.length}")
+        PolyHash(children.head)
+      }))
     ext.injectFunction((FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"dot_product expects 2 arguments, got ${children.length}")
+        DotProduct(children(0), children(1))
+      }))
   }
 }
 
@@ -35,8 +43,10 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   * pushed through that expression, so the scan reads everything and
   * filters late. This rule recognizes
   * `MicrosToTimestamp(raw div 1000) {>|>=} literal` and conjoins the
-  * IMPLIED raw predicate `raw {>|>=} micros(literal)*1000`
-  * (floor(x/1000) > t ⟹ x > 1000·t, and ≥ likewise), which the regular
+  * IMPLIED raw predicate (`raw > 1000·t` for `>`, `raw >= 1000·t − 999`
+  * for `>=` — `div` TRUNCATES toward zero, so for x ≤ 0 the raw value of
+  * quotient q ranges down to 1000q − 999; the looser bound stays sound
+  * for pre-1970 timestamps), which the regular
   * pushdown rules then drive into the parquet scan — automatic row-group
   * pruning for every watermark query, not just the hand-tuned loader.
   * Runs inside the operator-optimization fixed point, so the derived
@@ -55,7 +65,9 @@ object DeriveNanosWatermarkPushdown extends Rule[LogicalPlan] {
     case GreaterThanOrEqual(
         MicrosToTimestamp(IntegralDivide(raw: AttributeReference, Literal(1000L, LongType), _)),
         lit @ Literal(_, TimestampType)) if raw.dataType == LongType =>
-      Some(GreaterThanOrEqual(raw, Literal(micros(lit) * 1000L, LongType)))
+      // trunc(x/1000) = q ⟹ x ≥ 1000q − 999 (negative x), so q ≥ t only
+      // implies x ≥ 1000t − 999 — NOT x ≥ 1000t
+      Some(GreaterThanOrEqual(raw, Literal(micros(lit) * 1000L - 999L, LongType)))
     case _ => None
   }
 

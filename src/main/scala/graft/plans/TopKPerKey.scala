@@ -33,6 +33,8 @@ import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
   */
 case class TopKPerKeyPlan(keys: Seq[Expression], order: Seq[SortOrder],
     k: Int, child: LogicalPlan) extends UnaryNode {
+  require(k >= 1, s"top-k requires k >= 1, got $k")
+  require(keys.nonEmpty, "top-k requires at least one key")
   override def output: Seq[Attribute] = child.output
   override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKeyPlan =
     copy(child = newChild)

@@ -87,6 +87,19 @@ object Tables {
       schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Does a table path exist? Also performs crash recovery: if a prior
+    * [[overwrite]] died between its two renames, the table survives only
+    * at `path.__old__` — restore it before answering, so no caller can
+    * mistake the crash window for "first write" and truncate the table.
+    */
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val old = new org.apache.hadoop.fs.Path(path + ".__old__")
+    val fs = dst.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dst) && fs.exists(old)) fs.rename(old, dst)
+    fs.exists(dst)
+  }
+
   /** Append sink (reference: Delta append, `02_ingestion.py:214-217`). */
   def append(df: DataFrame, path: String): Unit =
     df.write.mode(SaveMode.Append).parquet(path)
@@ -112,6 +125,8 @@ object Tables {
     // table version survives as .__old__ until the new one is in place,
     // so a crash leaves either the old or the new table addressable —
     // never neither
+    if (!fs.exists(dst) && fs.exists(old))
+      fs.rename(old, dst) // recover a swap interrupted mid-rename
     if (fs.exists(old)) fs.delete(old, true)
     if (fs.exists(dst) && !fs.rename(dst, old))
       throw new java.io.IOException(s"overwrite: could not stage $dst -> $old")

@@ -57,12 +57,25 @@ object Sessionize {
             batch.toSeq.sortBy(_.ts.getTime).foreach { e =>
               val t = e.ts.getTime
               open match {
-                case Some(s) if t - s.lastMs <= gapMs =>
-                  open = Some(s.copy(lastMs = math.max(s.lastMs, t),
+                // interval merge: the event belongs if it lands within
+                // `gap` of EITHER session edge — a late event may extend
+                // the session backwards (startMs = min), never only the
+                // signed distance from lastMs
+                case Some(s)
+                    if t >= s.startMs - gapMs && t <= s.lastMs + gapMs =>
+                  open = Some(s.copy(
+                    startMs = math.min(s.startMs, t),
+                    lastMs = math.max(s.lastMs, t),
                     nEvents = s.nEvents + 1, sumValue = s.sumValue + e.value))
-                case Some(s) =>
+                case Some(s) if t > s.lastMs + gapMs =>
                   completed += finish(userId, s)
                   open = Some(OpenSession(t, t, 1L, e.value))
+                case Some(s) =>
+                  // disjoint EARLIER session (very late event): emit it
+                  // standalone — one open session per key is the state
+                  // bound, so it cannot be held for further extension
+                  completed += CompletedSession(userId, new Timestamp(t),
+                    new Timestamp(t), 1L, e.value)
                 case None =>
                   open = Some(OpenSession(t, t, 1L, e.value))
               }

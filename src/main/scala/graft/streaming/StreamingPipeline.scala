@@ -32,7 +32,12 @@ object StreamingPipeline {
   def dedupStream(events: DataFrame, delayThreshold: String = "1 hour"): DataFrame =
     events
       .withWatermark("ts", delayThreshold)
-      .dropDuplicates("event_id")
+      // WithinWatermark variant: plain dropDuplicates(event_id) keys state
+      // by event_id alone and never evicts it (the watermark only bounds
+      // state when the event-time column is part of the key) — unbounded
+      // state at stream scale. This keeps each key only until the
+      // watermark passes its expiration.
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Tumbling-window per-type counts with watermark-bounded state. */
   def windowedCounts(events: DataFrame,

@@ -53,6 +53,42 @@ class SessionizeSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late in-gap events extend the session backwards, not forwards") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[SessionEvent]
+    val q = Sessionize.sessionize(input.toDS(), gapSeconds = 600,
+        delayThreshold = "1 hour")
+      .writeStream.format("memory").queryName("sess_late")
+      .outputMode("append").start()
+    try {
+      input.addData(ev(1, "2024-01-01 10:10:00"), ev(1, "2024-01-01 10:12:00"))
+      q.processAllAvailable()
+      // late event 9:30 into a still-open watermark window: within gap of
+      // session start (10:10 - 10min = 10:00 > 9:30? No: 9:30 < 10:00 —
+      // disjoint earlier session, emitted standalone)
+      input.addData(ev(1, "2024-01-01 09:30:00", 9.0))
+      q.processAllAvailable()
+      // late event 10:05 is within the gap of the open session's start
+      input.addData(ev(1, "2024-01-01 10:05:00", 5.0))
+      q.processAllAvailable()
+      // close everything
+      input.addData(ev(2, "2024-01-01 13:00:00"))
+      q.processAllAvailable()
+      input.addData(ev(2, "2024-01-01 13:00:30"))
+      q.processAllAvailable()
+      val out = spark.table("sess_late").as[Sessionize.CompletedSession]
+        .collect().filter(_.user_id == 1L).sortBy(_.start_ts.getTime)
+      assert(out.length === 2)
+      assert(out(0).start_ts === Timestamp.valueOf("2024-01-01 09:30:00"))
+      assert(out(0).n_events === 1L)
+      // the main session absorbed the 10:05 late event BACKWARDS
+      assert(out(1).start_ts === Timestamp.valueOf("2024-01-01 10:05:00"))
+      assert(out(1).end_ts === Timestamp.valueOf("2024-01-01 10:12:00"))
+      assert(out(1).n_events === 3L)
+    } finally q.stop()
+  }
+
   test("users do not share session state") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
