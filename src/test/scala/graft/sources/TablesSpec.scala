@@ -30,6 +30,20 @@ class TablesSpec extends SparkTestBase {
     assert(fromJson.collect().map(_.toString).sorted.toSeq === expect)
   }
 
+  test("exists recovers a swap interrupted between overwrite's renames") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("rec").toString + "/t"
+    Seq(1, 2).toDF("x").write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a crash after `dst -> __old__` but before `tmp -> dst`
+    fs.rename(new org.apache.hadoop.fs.Path(dir),
+      new org.apache.hadoop.fs.Path(dir + ".__old__"))
+    assert(Tables.exists(spark, dir), "exists must restore the table")
+    assert(spark.read.parquet(dir).count() === 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + ".__old__")))
+  }
+
   test("overwrite survives being fed from its own path (read-overwrite)") {
     import spark.implicits._
     val dir = Files.createTempDirectory("ow").toString + "/t"
