@@ -90,5 +90,64 @@ object AnalyticsQueries {
       .orderBy(col("k_bucket"))
   }
 
-  val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract)
+  /** CUBE grouping sets with GROUPING() disambiguation (SURVEY §2d
+    * noted grouping sets as a free Catalyst extension; q15 covers
+    * ROLLUP, this covers the full lattice).
+    */
+  val cubeSummary: QuerySpec = QuerySpec.sql(
+    "q47_cube_summary",
+    """SELECT coalesce(event_type, 'ALL') AS event_type,
+      |  CASE WHEN GROUPING(user_id % 10) = 1 THEN -1
+      |       ELSE user_id % 10 END AS user_band,
+      |  count(*) AS n_events,
+      |  round(sum(value), 2) AS sum_value
+      |FROM events
+      |GROUP BY CUBE(event_type, user_id % 10)
+      |ORDER BY event_type, user_band""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      // materialize the band as a real column: grouping() resolves
+      // against grouping ATTRIBUTES, not aliases minted inside cube()
+      .withColumn("ub", col("user_id") % 10)
+      .cube(col("event_type"), col("ub"))
+      // grouping() only resolves inside the aggregate list
+      .agg(grouping(col("ub")).as("gub"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        coalesce(col("event_type"), lit("ALL")).as("event_type"),
+        when(col("gub") === 1, -1).otherwise(col("ub"))
+          .cast("long").as("user_band"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("event_type"), col("user_band"))
+  }
+
+  /** RANGE window frame over event time: each event's trailing-1-hour
+    * event count and value sum per user — RANGE (value-based bounds)
+    * handles irregular event spacing where ROWS frames cannot.
+    */
+  val rangeFrame: QuerySpec = QuerySpec.sql(
+    "q48_trailing_hour",
+    """SELECT user_id, event_id, ts,
+      |  CAST(count(*) OVER w AS BIGINT) AS events_last_hour,
+      |  round(sum(value) OVER w + 1e-9, 2) AS value_last_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY user_id, ts, event_id""".stripMargin
+  ) { (spark, dir) =>
+    // interval RANGE frames are SQL-only in current Spark (the typed
+    // rangeBetween takes long offsets); expr() carries the frame spec
+    val frame = "PARTITION BY user_id ORDER BY ts " +
+      "RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW"
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"),
+        expr(s"count(*) OVER ($frame)").cast("long").as("events_last_hour"),
+        round(expr(s"sum(value) OVER ($frame)") + lit(1e-9), 2)
+          .as("value_last_hour"))
+      .orderBy(col("user_id"), col("ts"), col("event_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract,
+    cubeSummary, rangeFrame)
 }
