@@ -42,6 +42,13 @@ object Text {
   def charHash(s: Column): Column =
     graft.expressions.NativeKernels.polyHash(s)
 
+  /** DuckDB-SQL mirror of [[charHash]] over SQL expression `e` — the ONE
+    * place the oracle-side hash is written, so every query's oracle stays
+    * in lockstep with the kernel and [[HashP]].
+    */
+  def charHashSql(e: String): String =
+    s"list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % $HashP)"
+
   def charHashHof(s: Column): Column =
     aggregate(
       filter(split(s, ""), c => c =!= ""),

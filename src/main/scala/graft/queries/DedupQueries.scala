@@ -24,9 +24,7 @@ object DedupQueries {
   private val tokSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"""
 
-  /** DuckDB mirror of [[graft.functions.Text.charHash]] over expression `e`. */
-  private def charHashSql(e: String): String =
-    s"""list_reduce(list_prepend(0::BIGINT, list_transform(string_split($e, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % ${Text.HashP})"""
+  private def charHashSql(e: String): String = Text.charHashSql(e)
 
   /** DuckDB mirror of [[MinHashLSH.shingleHashes]] (3-gram word shingles). */
   private val shinglesSql =

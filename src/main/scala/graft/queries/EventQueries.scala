@@ -233,7 +233,9 @@ object EventQueries {
     Tables.load(spark, dir, "events")
       .groupBy(col("user_id"), month(col("ts")).cast("long").as("month"))
       .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
-      .agg(coalesce(count(lit(1)), lit(0L)))
+      .agg(count(lit(1)))
+      // absent (group, pivot-value) cells surface as NULL from the pivot
+      // itself (they never pass through the aggregate)
       .na.fill(0L, Seq("click", "view", "purchase", "signup", "error"))
       .orderBy(col("user_id"), col("month"))
   }
@@ -246,7 +248,7 @@ object EventQueries {
   val splitAssign: QuerySpec = QuerySpec.sql(
     "q41_split_assign",
     """WITH assigned AS (
-      |  SELECT *, (event_id * 2654435761) % 100 AS bucket
+      |  SELECT *, ((event_id % 1000003) * 2654435761) % 100 AS bucket
       |  FROM events)
       |SELECT CASE WHEN bucket < 80 THEN 'train'
       |            WHEN bucket < 90 THEN 'val'
@@ -259,7 +261,9 @@ object EventQueries {
       |ORDER BY split""".stripMargin
   ) { (spark, dir) =>
     Tables.load(spark, dir, "events")
-      .withColumn("bucket", (col("event_id") * 2654435761L) % 100)
+      // pre-mod keeps the product under 2^63: a raw multiply overflows
+      // for ids past ~3.5e9, where Spark wraps silently but DuckDB errors
+      .withColumn("bucket", ((col("event_id") % 1000003L) * 2654435761L) % 100)
       .withColumn("split",
         when(col("bucket") < 80, "train")
           .when(col("bucket") < 90, "val")

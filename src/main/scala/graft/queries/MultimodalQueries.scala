@@ -13,10 +13,8 @@ import graft.sources.Tables
   */
 object MultimodalQueries {
 
-  private val charHashText =
-    """list_reduce(list_prepend(0::BIGINT, list_transform(string_split(text, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % 1000000007)"""
-  private val charHashSource =
-    """list_reduce(list_prepend(0::BIGINT, list_transform(string_split(source, ''), c -> ascii(c)::BIGINT)), (h, c) -> (h * 31 + c) % 1000000007)"""
+  private val charHashText = graft.functions.Text.charHashSql("text")
+  private val charHashSource = graft.functions.Text.charHashSql("source")
 
   /** Per-asset decode: payload bytes → seed, 4 pseudo-features, frame
     * count, with kind + size metadata.

@@ -27,7 +27,9 @@ object SimilarityQueries {
       |p AS (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
       |         ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
-      |  FROM e a JOIN e b ON a.vec_id < b.vec_id)
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |    AND ${Vectors.normSql("a.embedding")} > 0
+      |    AND ${Vectors.normSql("b.embedding")} > 0)
       |SELECT id1, id2, round(cos + 1e-9, 4) AS cosine
       |FROM p WHERE cos >= 0.35
       |ORDER BY id1, id2""".stripMargin
@@ -40,7 +42,10 @@ object SimilarityQueries {
         Vectors.norm(col("embedding")).as("nrm"))
     val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
       (col("a.nrm") * col("b.nrm"))
-    e.as("a").join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+    e.as("a").join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          // zero-norm guard: Spark's x/0 is NULL, DuckDB's is inf/nan
+          col("a.nrm") > 0 && col("b.nrm") > 0)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cos.as("cos"))
       .filter(col("cos") >= 0.35)
@@ -62,7 +67,8 @@ object SimilarityQueries {
       |         ${Vectors.cosineSql("qv", "embedding")} AS cos,
       |         row_number() OVER (PARTITION BY qid
       |           ORDER BY ${Vectors.cosineSql("qv", "embedding")} DESC, vec_id) AS rk
-      |  FROM q JOIN c ON qid <> vec_id)
+      |  FROM q JOIN c ON qid <> vec_id
+      |    AND ${Vectors.normSql("qv")} > 0 AND ${Vectors.normSql("embedding")} > 0)
       |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor,
       |       round(cos + 1e-9, 4) AS cosine
       |FROM scored WHERE rk <= 5
@@ -72,7 +78,8 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     val scored = broadcast(q)
-      .join(e, col("qid") =!= col("vec_id"))
+      .join(e, col("qid") =!= col("vec_id") &&
+        Vectors.norm(col("qv")) > 0 && Vectors.norm(col("embedding")) > 0)
       .select(col("qid"), col("vec_id"),
         Vectors.cosine(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(
@@ -101,7 +108,8 @@ object SimilarityQueries {
       |         ${Vectors.cosineSql("qv", "e.embedding")} AS cos,
       |         row_number() OVER (PARTITION BY qid
       |           ORDER BY ${Vectors.cosineSql("qv", "e.embedding")} DESC, e.vec_id) AS rk
-      |  FROM q JOIN e ON q.bucket = e.bucket AND qid <> e.vec_id)
+      |  FROM q JOIN e ON q.bucket = e.bucket AND qid <> e.vec_id
+      |    AND ${Vectors.normSql("qv")} > 0 AND ${Vectors.normSql("e.embedding")} > 0)
       |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor,
       |       round(cos + 1e-9, 4) AS cosine
       |FROM scored WHERE rk <= 3
@@ -114,7 +122,8 @@ object SimilarityQueries {
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("bucket"))
     val scored = broadcast(q)
-      .join(e, q("bucket") === e("bucket") && col("qid") =!= col("vec_id"))
+      .join(e, q("bucket") === e("bucket") && col("qid") =!= col("vec_id") &&
+        Vectors.norm(col("qv")) > 0 && Vectors.norm(e("embedding")) > 0)
       .select(col("qid"), col("vec_id"),
         Vectors.cosine(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(
@@ -169,7 +178,8 @@ object SimilarityQueries {
       |p AS (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
       |         ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |    AND a.nrm > 0 AND b.nrm > 0)
       |SELECT id1, id2, round(cos + 1e-9, 4) AS cosine
       |FROM p WHERE cos >= 0.3
       |ORDER BY id1, id2""".stripMargin
@@ -181,7 +191,8 @@ object SimilarityQueries {
     val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
       (col("a.nrm") * col("b.nrm"))
     e.as("a").join(e.as("b"),
-        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id"))
+        col("a.bucket") === col("b.bucket") && col("a.vec_id") < col("b.vec_id") &&
+          col("a.nrm") > 0 && col("b.nrm") > 0)
       .select(col("a.vec_id").as("id1"), col("b.vec_id").as("id2"),
         cos.as("cos"))
       .filter(col("cos") >= 0.3)

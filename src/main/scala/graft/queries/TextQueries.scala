@@ -28,7 +28,7 @@ object TextQueries {
       |  CAST(len(toks) AS BIGINT) AS n_tokens,
       |  CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
       |  CAST(len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]')) AS BIGINT) AS n_bpe_tokens,
-      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(toks) + 1e-9, 4) AS avg_token_len,
+      |  round(CAST(length(replace(text, ' ', '')) AS DOUBLE) / greatest(len(toks), 1) + 1e-9, 4) AS avg_token_len,
       |  CAST(list_max(list_transform(toks, t -> length(t))) AS BIGINT) AS max_token_len
       |FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
       |      FROM documents)
@@ -43,7 +43,7 @@ object TextQueries {
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
         Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         round(length(regexp_replace(col("text"), " ", "")).cast("double")
-          / size(toks) + lit(1e-9), 4).as("avg_token_len"),
+          / greatest(size(toks), lit(1)) + lit(1e-9), 4).as("avg_token_len"),
         array_max(transform(toks, t => length(t))).cast("long")
           .as("max_token_len"))
       .orderBy(col("doc_id"))
@@ -71,8 +71,8 @@ object TextQueries {
       |    SELECT doc_id, text,
       |      CAST(len(toks) AS BIGINT) AS n_tokens,
       |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS BIGINT) AS stop_hits,
-      |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / len(toks) AS stop_ratio,
-      |      CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS diversity
+      |      CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+      |      CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) AS diversity
       |    FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
       |          FROM documents)))
       |ORDER BY doc_id""".stripMargin
@@ -82,10 +82,12 @@ object TextQueries {
       .select(col("doc_id"), col("text"),
         size(toks).cast("long").as("n_tokens"),
         Text.vocabHits(toks, Text.StopEn).as("stop_hits"),
-        (Text.vocabHits(toks, Text.StopEn).cast("double") / size(toks))
-          .as("stop_ratio"),
-        (size(array_distinct(toks)).cast("double") / size(toks))
-          .as("diversity"))
+        // greatest(.,1): empty documents would otherwise hit 0-division,
+        // where Spark yields NULL but DuckDB yields IEEE inf/nan
+        (Text.vocabHits(toks, Text.StopEn).cast("double")
+          / greatest(size(toks), lit(1))).as("stop_ratio"),
+        (size(array_distinct(toks)).cast("double")
+          / greatest(size(toks), lit(1))).as("diversity"))
       .withColumn("score",
         lit(100) * (lit(0.4) * col("stop_ratio")
           + lit(0.3) * least(col("n_tokens"), lit(200L)) / lit(200.0)
@@ -158,17 +160,11 @@ object TextQueries {
     */
   val fingerprint: QuerySpec = QuerySpec.sql(
     "q21_fingerprint",
-    """WITH fp AS (
+    s"""WITH fp AS (
       |  SELECT doc_id,
-      |    list_reduce(list_prepend(0::BIGINT,
-      |      list_transform(string_split(lower(text), ''), c -> ascii(c)::BIGINT)),
-      |      (h, c) -> (h * 31 + c) % 1000000007) AS raw_fp,
-      |    list_reduce(list_prepend(0::BIGINT,
-      |      list_transform(string_split(
-      |        array_to_string(list_sort(list_distinct(
-      |          list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != ''))), ' '),
-      |        ''), c -> ascii(c)::BIGINT)),
-      |      (h, c) -> (h * 31 + c) % 1000000007) AS content_fp
+      |    ${Text.charHashSql("lower(text)")} AS raw_fp,
+      |    ${Text.charHashSql(
+         "array_to_string(list_sort(list_distinct(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != ''))), ' ')")} AS content_fp
       |  FROM documents)
       |SELECT doc_id, raw_fp, content_fp,
       |  count(*) OVER (PARTITION BY content_fp) > 1 AS has_content_dup
