@@ -54,7 +54,7 @@ object AsOfJoin {
       .withColumn("__tag", lit(0))
       .withColumns(leftCols.filterNot(c => keys.contains(c))
         .map(c => c -> lit(null)).toMap)
-      .select(l.columns.map(col): _*)
+      .select(l.columns.toIndexedSeq.map(col): _*)
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(Seq(col("__ts").asc, col("__tag").asc) ++ rightTieBreak: _*)

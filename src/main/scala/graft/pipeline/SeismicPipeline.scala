@@ -113,7 +113,7 @@ object SeismicPipeline {
     val merged =
       if (!Tables.exists(spark, silverP)) silverNew
       else Upsert.upsert(
-        spark.read.parquet(silverP).select(silverNew.columns.map(col): _*),
+        spark.read.parquet(silverP).select(silverNew.columns.toIndexedSeq.map(col): _*),
         silverNew, Seq("event_id"))
     Tables.overwrite(merged, silverP)
 

@@ -76,7 +76,7 @@ object StreamingPipeline {
       val merged =
         if (!exists) latest
         else Upsert.upsert(
-          spark.read.parquet(targetPath).select(latest.columns.map(col): _*),
+          spark.read.parquet(targetPath).select(latest.columns.toIndexedSeq.map(col): _*),
           latest, keys)
       Tables.overwrite(merged, targetPath)
     }
