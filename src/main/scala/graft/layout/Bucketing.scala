@@ -12,15 +12,12 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Bucketing {
 
   def writeBucketed(df: DataFrame, table: String, key: String,
-      buckets: Int): Unit = {
-    val spark = df.sparkSession
-    spark.sql(s"DROP TABLE IF EXISTS $table")
+      buckets: Int): Unit =
     df.write
       .mode(SaveMode.Overwrite)
       .bucketBy(buckets, key)
       .sortBy(key)
-      .saveAsTable(table)
-  }
+      .saveAsTable(table) // Overwrite drops and recreates, bucket spec included
 
   /** Join two same-bucketed catalog tables on their bucket key. */
   def bucketedJoin(spark: SparkSession, leftTable: String,

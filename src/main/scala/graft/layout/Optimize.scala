@@ -26,12 +26,21 @@ object Optimize {
     * @param targetFiles  output file count (compaction target)
     */
   def cluster(spark: SparkSession, path: String, clusterCols: Seq[String],
-      targetFiles: Int): Unit = {
+      targetFiles: Int, partitionCols: Seq[String] = Nil): Unit = {
     val df = spark.read.parquet(path)
     val clustered = df
       .repartitionByRange(targetFiles, clusterCols.map(col): _*)
       .sortWithinPartitions(clusterCols.map(col): _*)
-    graft.sources.Tables.overwrite(clustered, path)
+    if (partitionCols.isEmpty)
+      graft.sources.Tables.overwrite(clustered, path)
+    else {
+      // preserve hive-style layout: a plain overwrite would flatten the
+      // partition directories and permanently lose partition pruning
+      val tmp = path + ".__tmp__"
+      clustered.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
+        .partitionBy(partitionCols: _*).parquet(tmp)
+      graft.sources.Tables.overwrite(spark.read.parquet(tmp), path)
+    }
   }
 
   /** File-level stats for a table path — the `DESCRIBE DETAIL`
@@ -40,9 +49,16 @@ object Optimize {
   def describeDetail(spark: SparkSession, path: String): (Long, Long) = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val files = fs.listStatus(p).filter(f =>
-      f.isFile && f.getPath.getName.endsWith(".parquet"))
-    (files.length.toLong, files.map(_.getLen).sum)
+    // recursive: partitioned tables keep their files under key=value
+    // subdirectories, which a flat listStatus would report as (0, 0)
+    val it = fs.listFiles(p, true)
+    var n = 0L
+    var bytes = 0L
+    while (it.hasNext) {
+      val f = it.next()
+      if (f.getPath.getName.endsWith(".parquet")) { n += 1; bytes += f.getLen }
+    }
+    (n, bytes)
   }
 
   /** `ANALYZE TABLE … COMPUTE STATISTICS` on a path-backed table

@@ -20,6 +20,7 @@ object SkewJoin {
 
   def saltedInnerJoin(left: DataFrame, right: DataFrame, key: String,
       saltSource: String, factor: Int): DataFrame = {
+    require(factor > 0, s"salt factor must be positive, got $factor")
     val l = left.withColumn("__salt",
       pmod(hash(col(saltSource)), lit(factor)))
     val r = right.withColumn("__salt",

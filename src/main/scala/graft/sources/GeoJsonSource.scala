@@ -21,11 +21,43 @@ import org.apache.spark.sql.functions._
   */
 object GeoJsonSource {
 
+  import org.apache.spark.sql.types._
+
+  /** Explicit FeatureCollection schema. Inference would (a) parse every
+    * file TWICE (the codebase convention in [[Tables.loadJsonl]] forbids
+    * that at scale), (b) crash on an empty `features` page — `[]` infers
+    * as `array<string>` and the nested projection fails to resolve — and
+    * (c) let all-null optional fields drift to string between batches.
+    */
+  val featureCollectionSchema: StructType = StructType(Seq(
+    StructField("features", ArrayType(StructType(Seq(
+      StructField("id", StringType),
+      StructField("properties", StructType(Seq(
+        StructField("time", LongType),
+        StructField("mag", DoubleType),
+        StructField("magType", StringType),
+        StructField("nst", LongType),
+        StructField("gap", DoubleType),
+        StructField("dmin", DoubleType),
+        StructField("rms", DoubleType),
+        StructField("net", StringType),
+        StructField("place", StringType),
+        StructField("type", StringType),
+        StructField("status", StringType),
+        StructField("horizontalError", DoubleType),
+        StructField("depthError", DoubleType),
+        StructField("magError", DoubleType)))),
+      StructField("geometry", StructType(Seq(
+        StructField("type", StringType),
+        StructField("coordinates", ArrayType(DoubleType)))))))))))
+
   /** Read one-or-more GeoJSON FeatureCollection files (multiLine — the
-    * USGS payload is a single JSON object per file).
+    * USGS payload is a single JSON object per file) with the explicit
+    * schema.
     */
   def read(spark: SparkSession, path: String): DataFrame =
-    flatten(spark.read.option("multiLine", value = true).json(path))
+    flatten(spark.read.option("multiLine", value = true)
+      .schema(featureCollectionSchema).json(path))
 
   /** Flatten an already-parsed FeatureCollection frame to the bronze
     * event schema. Column mapping follows `02_ingestion.py:185-204`.

@@ -40,19 +40,29 @@ final class RestPager(
     go(0)
   }
 
-  /** Walk offset pagination until a short page; returns every raw page
-    * body in order (reference `02:131-147`: `offset += limit` until
-    * `returned < limit`).
+  /** Walk offset pagination until a short page, handing each raw page
+    * to `land` AS IT ARRIVES (reference `02:131-147`: `offset += limit`
+    * until `returned < limit`). Streaming is the primary API: a backfill
+    * of millions of events is hundreds of multi-MB pages, and holding
+    * them all in the driver heap before landing any would OOM — `land`
+    * should write each body straight to the landing directory.
     */
-  def fetchAll(urlFor: (Int, Int) => String): Seq[String] = {
-    val pages = Seq.newBuilder[String]
+  def foreachPage(urlFor: (Int, Int) => String)(land: String => Unit): Unit = {
     @tailrec def go(offset: Int, first: Boolean): Unit = {
       if (!first) sleep(rateLimitMs)
       val body = fetchWithRetry(urlFor(offset, limit))
-      pages += body
+      land(body)
       if (pageItemCount(body) >= limit) go(offset + limit, first = false)
     }
     go(offset = 1, first = true) // FDSN offsets are 1-based
+  }
+
+  /** Collect every page in memory — convenience for tests and small
+    * pulls only; use [[foreachPage]] for backfills.
+    */
+  def fetchAll(urlFor: (Int, Int) => String): Seq[String] = {
+    val pages = Seq.newBuilder[String]
+    foreachPage(urlFor)(pages += _)
     pages.result()
   }
 }

@@ -28,10 +28,11 @@ class WatermarkStore(spark: SparkSession, path: String) {
     StructField("last_updated", TimestampType, nullable = false),
     StructField("records_processed", LongType, nullable = false)))
 
-  private def exists: Boolean = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  // Tables.exists also recovers state stranded at path.__old__ by a
+  // crash inside Tables.overwrite — a plain fs.exists would mistake that
+  // window for "no state" and the next advance would truncate every
+  // table's watermark
+  private def exists: Boolean = Tables.exists(spark, path)
 
   def all(): DataFrame =
     if (exists) spark.read.parquet(path)

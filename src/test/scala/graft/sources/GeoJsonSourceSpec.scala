@@ -51,6 +51,16 @@ class GeoJsonSourceSpec extends SparkTestBase {
       .map(_.getString(0)).contains("us101"))
   }
 
+  test("an empty features page parses cleanly under the explicit schema") {
+    import spark.implicits._
+    val empty = """{"type":"FeatureCollection","metadata":{"count":0},"features":[]}"""
+    val df = GeoJsonSource.flatten(
+      spark.read.schema(GeoJsonSource.featureCollectionSchema)
+        .json(Seq(empty).toDS()))
+    assert(df.count() === 0)
+    assert(df.columns.contains("event_id")) // schema fixed, not inferred
+  }
+
   test("lineage stamps batch id and ingestion columns") {
     val out = GeoJsonSource.withLineage(flattened, "batch-7")
     assert(out.columns.toSet.contains("ingestion_ts"))
