@@ -1,0 +1,62 @@
+package graft
+
+/** Plan-shape regression guards: the properties that make these queries
+  * scale are assertions, not hopes. Each test pins a physical-plan
+  * characteristic that a careless refactor could silently regress
+  * (reading all columns, losing a pushdown, de-broadcasting a dim,
+  * reintroducing WindowExec on the custom top-k path).
+  */
+class PlanQualitySpec extends SparkTestBase {
+
+  private def planOf(name: String): String =
+    SparkEntry.queries(name)(spark, sfDir)
+      .queryExecution.executedPlan.toString
+
+  test("q01 prunes the lineitem scan to the five referenced columns") {
+    val plan = planOf("q01_pricing_summary")
+    val readSchema = "ReadSchema: [^\\n]*".r.findFirstIn(plan).get
+    assert(readSchema.contains("l_returnflag") &&
+      readSchema.contains("l_quantity"))
+    // 16-column table, 5 referenced: struct must not list more
+    assert(readSchema.count(_ == ',') <= 4, readSchema)
+  }
+
+  test("q04 pushes the derived watermark bound into the parquet scan") {
+    val plan = planOf("q04_watermark_scan")
+    assert("PushedFilters: \\[[^\\]]*GreaterThan\\(ts".r
+      .findFirstIn(plan).isDefined, plan.take(2000))
+  }
+
+  test("q07 star join broadcasts every dimension (no shuffle join)") {
+    val plan = planOf("q07_regional_risk")
+    assert("BroadcastHashJoin".r.findAllIn(plan).size === 3, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q27 broadcasts the query side against the corpus") {
+    val plan = planOf("q27_knn_topk")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+  }
+
+  test("q46 plans the custom top-k operator, not a window sort") {
+    val plan = planOf("q46_top_events_per_user")
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q24 reuses the persisted signature relation") {
+    val plan = planOf("q24_minhash_lsh")
+    try assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    finally spark.catalog.clearCache()
+  }
+
+  test("no query plan contains a cartesian product") {
+    // θ-joins must plan as broadcast nested loop, never cartesian
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val plan = planOf(name)
+      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(800)}")
+    }
+    spark.catalog.clearCache()
+  }
+}
