@@ -16,6 +16,13 @@ import org.apache.spark.sql.functions._
   * measures and up to float associativity for sums (the spec bounds it).
   * Derived measures (avg, sample stddev) are computed at read time from
   * the state — never stored, never drift.
+  *
+  * Applicability: APPEND-ONLY facts (each row contributes exactly once).
+  * Under upserts an updated row would double-count; maintaining
+  * aggregates over updating facts needs retraction state (old-value
+  * subtraction), which is why [[graft.pipeline.SeismicPipeline]] — whose
+  * silver layer is a MERGE target — keeps the reference's full gold
+  * rebuild instead.
   */
 object IncrementalAgg {
 
