@@ -86,6 +86,21 @@ class KernelEquivalenceSpec extends SparkTestBase {
           |     shiftleft(1L, i), 0L))""".stripMargin).as("b")))
   }
 
+  test("DotProduct propagates null ELEMENTS like the HOF reference") {
+    import spark.implicits._
+    val df = Seq(
+      (Array[java.lang.Float](1.0f, null, 3.0f),
+        Array[java.lang.Float](1.0f, 2.0f, 3.0f)),
+      (Array[java.lang.Float](1.0f, 2.0f),
+        Array[java.lang.Float](3.0f, 4.0f))
+    ).toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("k"),
+      Vectors.dotHof(col("a"), col("b")).as("h")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).getDouble(0) === 11.0 && rows(1).getDouble(1) === 11.0)
+  }
+
   test("kernels survive null inputs") {
     import spark.implicits._
     val df = Seq(Option.empty[String]).toDF("s")

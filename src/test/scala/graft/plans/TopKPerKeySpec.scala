@@ -50,6 +50,16 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected final -> exchange -> partial ordering:\n$plan")
   }
 
+  test("null keys form their own group") {
+    import spark.implicits._
+    val df = Seq((Some(1), 10), (Some(1), 20), (None, 5), (None, 7))
+      .toDF("k", "v").repartition(3)
+    val out = Dedup.topKPerKey(df, Seq("k"), Seq(col("v").desc), 1)
+      .collect().map(r => (if (r.isNullAt(0)) -99 else r.getInt(0), r.getInt(1)))
+      .toSet
+    assert(out === Set((1, 20), (-99, 7)))
+  }
+
   test("handles keys absent from some partitions and k larger than group") {
     import spark.implicits._
     val df = Seq((1, 10), (1, 20), (2, 5)).toDF("k", "v").repartition(4)
