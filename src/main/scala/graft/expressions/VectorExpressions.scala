@@ -237,7 +237,10 @@ object SimHash {
     val n = hs.numElements()
     var i = 0
     while (i < n) {
-      val h = hs.getLong(i)
+      // a null hash contributes -1 on every bit, exactly like the HOF
+      // reference where IF(null-condition, 1, -1) takes the else branch —
+      // identical to hash value 0
+      val h = if (hs.isNullAt(i)) 0L else hs.getLong(i)
       var j = 0
       while (j < bits) {
         if (((h >> j) & 1L) == 1L) counts(j) += 1 else counts(j) -= 1
@@ -290,22 +293,34 @@ object ShingleHashes {
     val m = toks.numElements()
     val words = new Array[String](m)
     var i = 0
-    while (i < m) { words(i) = toks.getUTF8String(i).toString; i += 1 }
+    // null tokens are dropped from each shingle, matching array_join's
+    // null-element skip in the HOF reference
+    while (i < m) {
+      words(i) = if (toks.isNullAt(i)) null else toks.getUTF8String(i).toString
+      i += 1
+    }
+    def joined(from: Int, len: Int): String = {
+      val sb = new java.lang.StringBuilder()
+      var j = 0
+      var first = true
+      while (j < len) {
+        val w = words(from + j)
+        if (w != null) {
+          if (!first) sb.append(' ')
+          sb.append(w)
+          first = false
+        }
+        j += 1
+      }
+      sb.toString
+    }
     val seen = new java.util.LinkedHashSet[java.lang.Long]()
     if (m < n) {
-      seen.add(PolyHash.hash(words.mkString(" ")))
+      seen.add(PolyHash.hash(joined(0, m)))
     } else {
-      val sb = new java.lang.StringBuilder()
       var s = 0
       while (s <= m - n) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(words(s + j))
-          j += 1
-        }
-        seen.add(PolyHash.hash(sb.toString))
+        seen.add(PolyHash.hash(joined(s, n)))
         s += 1
       }
     }
@@ -344,7 +359,9 @@ case class VocabHits(child: Expression, vocab: Seq[String])
     var i = 0
     val m = toks.numElements()
     while (i < m) {
-      if (vocabSet.contains(toks.getUTF8String(i).toString)) hits += 1L
+      // null tokens never match — filter(isInCollection) drops them too
+      if (!toks.isNullAt(i) &&
+        vocabSet.contains(toks.getUTF8String(i).toString)) hits += 1L
       i += 1
     }
     hits
@@ -360,7 +377,8 @@ case class VocabHits(child: Expression, vocab: Seq[String])
          |long $hits = 0L;
          |int $m = $c.numElements();
          |for (int $i = 0; $i < $m; $i++) {
-         |  if ($setRef.contains($c.getUTF8String($i).toString())) $hits++;
+         |  if (!$c.isNullAt($i) &&
+         |      $setRef.contains($c.getUTF8String($i).toString())) $hits++;
          |}
          |${ev.value} = $hits;
        """.stripMargin

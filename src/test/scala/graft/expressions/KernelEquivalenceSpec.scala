@@ -101,6 +101,27 @@ class KernelEquivalenceSpec extends SparkTestBase {
     assert(rows(1).getDouble(0) === 11.0 && rows(1).getDouble(1) === 11.0)
   }
 
+  test("null token elements match HOF semantics in every text kernel") {
+    import spark.implicits._
+    val df = Seq(Tuple1(Array[String]("the", null, "agg", "table")))
+      .toDF("toks")
+    // VocabHits: nulls never match (filter drops them)
+    assertNoDiff(df.select(Text.vocabHits(col("toks"), Text.StopEn).as("a"),
+      Text.vocabHitsHof(col("toks"), Text.StopEn).as("b")))
+    // ShingleHashes: nulls skipped inside each shingle (array_join skip)
+    assertNoDiff(df.select(
+      MinHashLSH.shingleHashes(col("toks"), 3).as("a"),
+      MinHashLSH.shingleHashesHof(col("toks"), 3).as("b")))
+    // SimHash: a null hash element behaves as hash 0 — in the HOF
+    // reference IF(null-condition, 1, -1) takes the else branch
+    val hs = Seq(Tuple1(Array[java.lang.Long](5L, null, 9L))).toDF("hs")
+    assertNoDiff(hs.select(NativeKernels.simhash(col("hs"), 32).as("a"),
+      expr("""aggregate(sequence(0, 31), 0L, (acc, i) -> acc +
+        |  IF(aggregate(hs, 0L, (x, h) ->
+        |       x + IF((h div shiftleft(1L, i)) % 2 = 1, 1L, -1L)) > 0,
+        |     shiftleft(1L, i), 0L))""".stripMargin).as("b")))
+  }
+
   test("kernels survive null inputs") {
     import spark.implicits._
     val df = Seq(Option.empty[String]).toDF("s")
