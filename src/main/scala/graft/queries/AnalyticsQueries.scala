@@ -148,6 +148,60 @@ object AnalyticsQueries {
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
 
+  /** Fuzzy string matching — edit-distance near-dup pairs within a
+    * blocking key (brand), the classic fuzzy-dedup shape: block first so
+    * the quadratic comparison runs per block, not per corpus.
+    */
+  val fuzzyParts: QuerySpec = QuerySpec.sql(
+    "q49_fuzzy_parts",
+    """SELECT a.p_partkey AS id1, b.p_partkey AS id2,
+      |  a.p_name AS name1, b.p_name AS name2,
+      |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
+      |FROM part a JOIN part b
+      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |WHERE levenshtein(a.p_name, b.p_name) <= 2
+      |ORDER BY id1, id2""".stripMargin
+  ) { (spark, dir) =>
+    val parts = Tables.load(spark, dir, "part")
+      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+    parts.as("a").join(parts.as("b"),
+        col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_partkey") < col("b.p_partkey") &&
+          levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+      .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
+        col("a.p_name").as("name1"), col("b.p_name").as("name2"),
+        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_distance"))
+      .orderBy(col("id1"), col("id2"))
+  }
+
+  /** Date arithmetic: order-to-ship latency distribution per priority
+    * (datediff / date_diff mirrored across engines).
+    */
+  val shipLatency: QuerySpec = QuerySpec.sql(
+    "q50_ship_latency",
+    """SELECT o_orderpriority,
+      |  count(*) AS n_lines,
+      |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
+      |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days,
+      |  round(avg(date_diff('day', o_orderdate, l_shipdate)) + 1e-6, 4) AS avg_days,
+      |  CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    val l = Tables.load(spark, dir, "lineitem")
+    val o = Tables.load(spark, dir, "orders")
+    val days = datediff(col("l_shipdate"), col("o_orderdate"))
+    l.join(o, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        min(days).cast("long").as("min_days"),
+        max(days).cast("long").as("max_days"),
+        round(avg(days) + lit(1e-6), 4).as("avg_days"),
+        sum(when(days > 60, 1).otherwise(0)).as("late_lines"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract,
-    cubeSummary, rangeFrame)
+    cubeSummary, rangeFrame, fuzzyParts, shipLatency)
 }
