@@ -65,6 +65,26 @@ object Multimodal {
   def frameCount(nBytes: Column, chunkBytes: Int = FrameChunkBytes): Column =
     ceil(nBytes.cast("double") / chunkBytes).cast("long")
 
+  /** Typed dimension metadata for image-kind assets (stub for "parse
+    * the media header"): deterministic pseudo-dimensions from the seed.
+    */
+  def dimensionMeta(seed: Column): Column =
+    struct(
+      (seed % 1920 + 1).cast("int").as("width"),
+      (seed % 1080 + 1).cast("int").as("height"))
+
+  /** Resize stage (stub for "resize the decoded image"): scales the
+    * dimension metadata and the estimated payload size by `factor`;
+    * plumbing (struct rewrite, per-row arithmetic) is real, pixels are
+    * not. Matches how a real pipeline records post-transform metadata
+    * without rewriting the payload until materialization.
+    */
+  def resizeMeta(meta: Column, nBytes: Column, factor: Double): Column =
+    struct(
+      ceil(meta.getField("width") * factor).cast("int").as("width"),
+      ceil(meta.getField("height") * factor).cast("int").as("height"),
+      ceil(nBytes * factor * factor).cast("long").as("est_bytes"))
+
   /** The batched-decode pattern: one codec instance per PARTITION (real
     * codecs are expensive to open), streamed over the iterator — the
     * Scala twin of a `mapInPandas` batch UDF. Produces exactly the same

@@ -45,6 +45,27 @@ class MultimodalSpec extends SparkTestBase {
     assert(viaPartitions === viaExpressions)
   }
 
+  test("resize scales dimension metadata and size estimate deterministically") {
+    val withMeta = assetsDf
+      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
+      .withColumn("meta", Multimodal.dimensionMeta(col("seed")))
+      .withColumn("resized",
+        Multimodal.resizeMeta(col("meta"), col("n_bytes"), 0.5))
+    val r = withMeta.select(
+      col("meta.width"), col("meta.height"),
+      col("resized.width"), col("resized.height"),
+      col("n_bytes"), col("resized.est_bytes")).collect()
+    r.foreach { row =>
+      assert(row.getInt(2) === math.ceil(row.getInt(0) * 0.5).toInt)
+      assert(row.getInt(3) === math.ceil(row.getInt(1) * 0.5).toInt)
+      assert(row.getLong(5) === math.ceil(row.getInt(4) * 0.25).toLong)
+    }
+    // deterministic across evaluations
+    val a = withMeta.select("asset_id", "resized").collect().map(_.toString).sorted.toSeq
+    val b = withMeta.select("asset_id", "resized").collect().map(_.toString).sorted.toSeq
+    assert(a === b)
+  }
+
   test("frame count is ceil of payload size over chunk size") {
     import spark.implicits._
     val df = Seq((1L, 0), (2L, 1), (3L, 64), (4L, 65)).toDF("id", "n")
