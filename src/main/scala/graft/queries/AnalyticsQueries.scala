@@ -159,6 +159,7 @@ object AnalyticsQueries {
       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
       |FROM part a JOIN part b
       |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id1, id2""".stripMargin
   ) { (spark, dir) =>
@@ -167,6 +168,10 @@ object AnalyticsQueries {
     parts.as("a").join(parts.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
           col("a.p_partkey") < col("b.p_partkey") &&
+          // necessary condition computed in O(1): edit distance is at
+          // least the length difference, so the O(len^2) DP runs only on
+          // survivors (the oracle carries the same implied conjunct)
+          abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
           levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
       .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
         col("a.p_name").as("name1"), col("b.p_name").as("name2"),
