@@ -32,6 +32,17 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
           s"dot_product expects 2 arguments, got ${children.length}")
         DotProduct(children(0), children(1))
       }))
+    ext.injectFunction((FunctionIdentifier("vec_cosine"),
+      new ExpressionInfo(classOf[DotProduct].getName, "vec_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2,
+          s"vec_cosine expects 2 arguments, got ${children.length}")
+        // composition of catalyst nodes over the codegen dot kernel —
+        // same tree Vectors.cosine builds
+        val (a, b) = (children(0), children(1))
+        Divide(DotProduct(a, b),
+          Multiply(Sqrt(DotProduct(a, a)), Sqrt(DotProduct(b, b))))
+      }))
   }
 }
 

@@ -35,5 +35,10 @@ class GraftExtensionsSpec extends SparkTestBase {
         |                   array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS d"""
         .stripMargin).collect().head.getDouble(0)
     assert(d === 11.0)
+    val c = spark.sql(
+      """SELECT vec_cosine(array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT)),
+        |                  array(CAST(1.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS c"""
+        .stripMargin).collect().head.getDouble(0)
+    assert(c === 1.0)
   }
 }
