@@ -149,8 +149,9 @@ object AnalyticsQueries {
   }
 
   /** Fuzzy string matching — edit-distance near-dup pairs within a
-    * blocking key (brand), the classic fuzzy-dedup shape: block first so
-    * the quadratic comparison runs per block, not per corpus.
+    * blocking key (brand × type), the classic fuzzy-dedup shape: block
+    * first so the quadratic comparison runs per block, not per corpus —
+    * block granularity IS the knob that bounds candidate volume at scale.
     */
   val fuzzyParts: QuerySpec = QuerySpec.sql(
     "q49_fuzzy_parts",
@@ -158,24 +159,29 @@ object AnalyticsQueries {
       |  a.p_name AS name1, b.p_name AS name2,
       |  CAST(levenshtein(a.p_name, b.p_name) AS INT) AS edit_distance
       |FROM part a JOIN part b
-      |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+      |  ON a.p_brand = b.p_brand AND a.p_type = b.p_type
+      |  AND a.p_partkey < b.p_partkey
       |  AND abs(length(a.p_name) - length(b.p_name)) <= 2
       |WHERE levenshtein(a.p_name, b.p_name) <= 2
       |ORDER BY id1, id2""".stripMargin
   ) { (spark, dir) =>
     val parts = Tables.load(spark, dir, "part")
-      .select(col("p_partkey"), col("p_name"), col("p_brand"))
+      .select(col("p_partkey"), col("p_name"), col("p_brand"), col("p_type"))
     parts.as("a").join(parts.as("b"),
         col("a.p_brand") === col("b.p_brand") &&
+          col("a.p_type") === col("b.p_type") &&
           col("a.p_partkey") < col("b.p_partkey") &&
           // necessary condition computed in O(1): edit distance is at
-          // least the length difference, so the O(len^2) DP runs only on
-          // survivors (the oracle carries the same implied conjunct)
+          // least the length difference, so the DP runs only on survivors
+          // (the oracle carries the same implied conjunct)
           abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
-          levenshtein(col("a.p_name"), col("b.p_name")) <= 2)
+          // thresholded variant runs a banded O(len*k) DP with early
+          // exit; it returns -1 ABOVE the threshold, so bound both sides
+          levenshtein(col("a.p_name"), col("b.p_name"), 3).between(0, 2))
       .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
         col("a.p_name").as("name1"), col("b.p_name").as("name2"),
-        levenshtein(col("a.p_name"), col("b.p_name")).as("edit_distance"))
+        // exact for kept pairs: distance <= 2 < threshold
+        levenshtein(col("a.p_name"), col("b.p_name"), 3).as("edit_distance"))
       .orderBy(col("id1"), col("id2"))
   }
 
