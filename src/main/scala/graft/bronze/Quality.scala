@@ -3,6 +3,8 @@ package graft.bronze
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.functions.Stable
+
 /** Data-quality report as a single-pass aggregate (SURVEY.md §2b P1, §2d A6/A7).
   *
   * The reference computes one full scan per audited column
@@ -29,7 +31,7 @@ object Quality {
           .as("duplicate_count"),
         round(min(col(measureCol)), 4).as(s"min_$measureCol"),
         round(max(col(measureCol)), 4).as(s"max_$measureCol"),
-        round(avg(col(measureCol)) + lit(1e-6), 4).as(s"avg_$measureCol"),
+        Stable.avg4(col(measureCol)).as(s"avg_$measureCol"),
         min(col(tsCol)).as(s"min_$tsCol"),
         max(col(tsCol)).as(s"max_$tsCol")) ++
         auditCols.map(nullCount)): _*)

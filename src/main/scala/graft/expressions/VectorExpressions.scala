@@ -86,13 +86,17 @@ case class DotProduct(left: Expression, right: Expression)
 
   // a null ELEMENT nulls the whole product — matching the HOF reference
   // (zip_with's null*x is null, and aggregate's acc+null propagates);
-  // reading through getFloat would silently treat nulls as garbage
+  // reading through getFloat would silently treat nulls as garbage.
+  // Mismatched LENGTHS null it too: zip_with pads the shorter array with
+  // nulls (and the DuckDB oracle's out-of-range b[i] is NULL), so a
+  // partial dot product would contradict the bit-identical contract.
   override def nullable: Boolean = true
 
   protected override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -109,9 +113,10 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += (double) $a.getFloat($i) * (double) $b.getFloat($i);
          |}

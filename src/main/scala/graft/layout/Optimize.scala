@@ -35,11 +35,15 @@ object Optimize {
       graft.sources.Tables.overwrite(clustered, path)
     else {
       // preserve hive-style layout: a plain overwrite would flatten the
-      // partition directories and permanently lose partition pruning
-      val tmp = path + ".__tmp__"
+      // partition directories and permanently lose partition pruning.
+      // Stage to a dir DISTINCT from Tables.overwrite's ".__tmp__" and
+      // swap the materialized directory wholesale — re-reading the staged
+      // dir through overwrite() would both collide with its staging path
+      // and flatten the layout.
+      val tmp = path + ".__cluster_tmp__"
       clustered.write.mode(org.apache.spark.sql.SaveMode.Overwrite)
         .partitionBy(partitionCols: _*).parquet(tmp)
-      graft.sources.Tables.overwrite(spark.read.parquet(tmp), path)
+      graft.sources.Tables.publish(spark, tmp, path)
     }
   }
 

@@ -3,6 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
+import graft.functions.Stable
 import graft.sources.Tables
 
 /** Remaining analytics operator families: set operations (§2g — the
@@ -69,11 +70,11 @@ object AnalyticsQueries {
     */
   val jsonExtract: QuerySpec = QuerySpec.sql(
     "q45_json_extract",
-    """SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+    s"""SELECT CAST(json_extract_string(props, '$$.k') AS BIGINT) % 10 AS k_bucket,
       |  count(*) AS n_events,
-      |  CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS min_k,
-      |  CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
-      |  round(avg(value) + 1e-6, 4) AS avg_value
+      |  CAST(min(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS min_k,
+      |  CAST(max(CAST(json_extract_string(props, '$$.k') AS BIGINT)) AS BIGINT) AS max_k,
+      |  ${Stable.avg4Sql("value")} AS avg_value
       |FROM events
       |WHERE props IS NOT NULL
       |GROUP BY 1
@@ -86,7 +87,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_events"),
         min(k).as("min_k"),
         max(k).as("max_k"),
-        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+        Stable.avg4(col("value")).as("avg_value"))
       .orderBy(col("k_bucket"))
   }
 
@@ -96,11 +97,11 @@ object AnalyticsQueries {
     */
   val cubeSummary: QuerySpec = QuerySpec.sql(
     "q47_cube_summary",
-    """SELECT coalesce(event_type, 'ALL') AS event_type,
+    s"""SELECT coalesce(event_type, 'ALL') AS event_type,
       |  CASE WHEN GROUPING(user_id % 10) = 1 THEN -1
       |       ELSE user_id % 10 END AS user_band,
       |  count(*) AS n_events,
-      |  round(sum(value), 2) AS sum_value
+      |  ${Stable.sum2Sql("value")} AS sum_value
       |FROM events
       |GROUP BY CUBE(event_type, user_id % 10)
       |ORDER BY event_type, user_band""".stripMargin
@@ -113,7 +114,7 @@ object AnalyticsQueries {
       // grouping() only resolves inside the aggregate list
       .agg(grouping(col("ub")).as("gub"),
         count(lit(1)).as("n_events"),
-        round(sum(col("value")), 2).as("sum_value"))
+        Stable.sum2(col("value")).as("sum_value"))
       .select(
         coalesce(col("event_type"), lit("ALL")).as("event_type"),
         when(col("gub") === 1, -1).otherwise(col("ub"))
@@ -130,7 +131,7 @@ object AnalyticsQueries {
     "q48_trailing_hour",
     """SELECT user_id, event_id, ts,
       |  CAST(count(*) OVER w AS BIGINT) AS events_last_hour,
-      |  round(sum(value) OVER w + 1e-9, 2) AS value_last_hour
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) + 1e-9, 2) AS value_last_hour
       |FROM events
       |WINDOW w AS (PARTITION BY user_id ORDER BY ts
       |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
@@ -143,7 +144,10 @@ object AnalyticsQueries {
     Tables.load(spark, dir, "events")
       .select(col("user_id"), col("event_id"), col("ts"),
         expr(s"count(*) OVER ($frame)").cast("long").as("events_last_hour"),
-        round(expr(s"sum(value) OVER ($frame)") + lit(1e-9), 2)
+        // decimal-backed frame sum: within-frame addition order depends on
+        // the sort's tie order, so double summation would be nondeterministic
+        round(expr(s"sum(CAST(value AS DECIMAL(28,10))) OVER ($frame)")
+          .cast("double") + lit(1e-9), 2)
           .as("value_last_hour"))
       .orderBy(col("user_id"), col("ts"), col("event_id"))
   }
@@ -190,11 +194,11 @@ object AnalyticsQueries {
     */
   val shipLatency: QuerySpec = QuerySpec.sql(
     "q50_ship_latency",
-    """SELECT o_orderpriority,
+    s"""SELECT o_orderpriority,
       |  count(*) AS n_lines,
       |  CAST(min(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS min_days,
       |  CAST(max(date_diff('day', o_orderdate, l_shipdate)) AS BIGINT) AS max_days,
-      |  round(avg(date_diff('day', o_orderdate, l_shipdate)) + 1e-6, 4) AS avg_days,
+      |  ${Stable.avg4Sql("date_diff('day', o_orderdate, l_shipdate)")} AS avg_days,
       |  CAST(sum(CASE WHEN date_diff('day', o_orderdate, l_shipdate) > 60 THEN 1 ELSE 0 END) AS BIGINT) AS late_lines
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY o_orderpriority
@@ -208,7 +212,7 @@ object AnalyticsQueries {
       .agg(count(lit(1)).as("n_lines"),
         min(days).cast("long").as("min_days"),
         max(days).cast("long").as("max_days"),
-        round(avg(days) + lit(1e-6), 4).as("avg_days"),
+        Stable.avg4(days).as("avg_days"),
         sum(when(days > 60, 1).otherwise(0)).as("late_lines"))
       .orderBy(col("o_orderpriority"))
   }

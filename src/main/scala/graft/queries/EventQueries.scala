@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.bronze.Quality
+import graft.functions.Stable
 import graft.operators.{BandJoin, Dedup, Upsert}
 import graft.sources.Tables
 
@@ -18,12 +19,12 @@ object EventQueries {
     */
   val dqReport: QuerySpec = QuerySpec.sql(
     "q02_dq_report",
-    """SELECT count(*) AS n_rows,
+    s"""SELECT count(*) AS n_rows,
       |  count(DISTINCT event_id) AS distinct_event_id,
       |  count(*) - count(DISTINCT event_id) AS duplicate_count,
       |  round(min(value), 4) AS min_value,
       |  round(max(value), 4) AS max_value,
-      |  round(avg(value) + 1e-6, 4) AS avg_value,
+      |  ${Stable.avg4Sql("value")} AS avg_value,
       |  min(ts) AS min_ts, max(ts) AS max_ts,
       |  CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_event_id,
       |  CAST(sum(CASE WHEN ts IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_ts,
@@ -200,8 +201,8 @@ object EventQueries {
   /** A8/O1 groupBy-count distribution (`03_bronze_processing.py:133-136`). */
   val typeDistribution: QuerySpec = QuerySpec.sql(
     "q14_type_distribution",
-    """SELECT event_type, count(*) AS n_events,
-      |  round(avg(value) + 1e-6, 4) AS avg_value
+    s"""SELECT event_type, count(*) AS n_events,
+      |  ${Stable.avg4Sql("value")} AS avg_value
       |FROM events
       |GROUP BY event_type
       |ORDER BY n_events DESC, event_type""".stripMargin
@@ -209,7 +210,7 @@ object EventQueries {
     Tables.load(spark, dir, "events")
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+        Stable.avg4(col("value")).as("avg_value"))
       .orderBy(col("n_events").desc, col("event_type"))
   }
 
@@ -247,7 +248,7 @@ object EventQueries {
     */
   val splitAssign: QuerySpec = QuerySpec.sql(
     "q41_split_assign",
-    """WITH assigned AS (
+    s"""WITH assigned AS (
       |  SELECT *, ((event_id % 1000003) * 2654435761) % 100 AS bucket
       |  FROM events)
       |SELECT CASE WHEN bucket < 80 THEN 'train'
@@ -255,7 +256,7 @@ object EventQueries {
       |            ELSE 'test' END AS split,
       |  count(*) AS n_events,
       |  CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
-      |  round(avg(value) + 1e-6, 4) AS avg_value
+      |  ${Stable.avg4Sql("value")} AS avg_value
       |FROM assigned
       |GROUP BY 1
       |ORDER BY split""".stripMargin
@@ -271,7 +272,7 @@ object EventQueries {
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_events"),
         countDistinct(col("user_id")).as("n_users"),
-        round(avg(col("value")) + lit(1e-6), 4).as("avg_value"))
+        Stable.avg4(col("value")).as("avg_value"))
       .orderBy(col("split"))
   }
 

@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
+import graft.functions.Stable
 import graft.sources.Tables
 
 /** Gold-layer aggregates (SURVEY.md §2d A1–A11, §2e W3–W5, §2f O1–O3)
@@ -36,11 +37,11 @@ object GoldQueries {
     */
   val pricingSummary: QuerySpec = QuerySpec.sql(
     "q01_pricing_summary",
-    """SELECT l_returnflag, l_linestatus,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice), 2) AS sum_base_price,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-      |  round(avg(l_quantity) + 1e-6, 4) AS avg_qty,
+    s"""SELECT l_returnflag, l_linestatus,
+      |  ${Stable.sum2Sql("l_quantity")} AS sum_qty,
+      |  ${Stable.sum2Sql("l_extendedprice")} AS sum_base_price,
+      |  ${Stable.sum2Sql("l_extendedprice * (1 - l_discount)")} AS sum_disc_price,
+      |  ${Stable.avg4Sql("l_quantity")} AS avg_qty,
       |  round(coalesce(stddev_samp(l_quantity), 0.0), 4) AS stddev_qty,
       |  CAST(sum(CASE WHEN l_quantity >= 45 THEN 1 ELSE 0 END) AS BIGINT) AS big_qty_count,
       |  count(*) AS count_order
@@ -51,11 +52,11 @@ object GoldQueries {
     Tables.load(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        Stable.sum2(col("l_quantity")).as("sum_qty"),
+        Stable.sum2(col("l_extendedprice")).as("sum_base_price"),
+        Stable.sum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("sum_disc_price"),
-        round(avg(col("l_quantity")) + lit(1e-6), 4).as("avg_qty"),
+        Stable.avg4(col("l_quantity")).as("avg_qty"),
         round(coalesce(stddev_samp(col("l_quantity")), lit(0.0)), 4)
           .as("stddev_qty"),
         sum(when(col("l_quantity") >= 45, 1).otherwise(0))
@@ -71,19 +72,19 @@ object GoldQueries {
     */
   val regionalRisk: QuerySpec = QuerySpec.sql(
     "q07_regional_risk",
-    """WITH agg AS (
+    s"""WITH agg AS (
       |  SELECT r_name,
       |    CAST(year(o_orderdate) AS BIGINT) AS year,
       |    CAST(month(o_orderdate) AS BIGINT) AS month,
       |    count(*) AS total_orders,
-      |    round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |    ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |    round(max(o_totalprice), 2) AS max_price,
       |    round(min(o_totalprice), 2) AS min_price,
       |    round(coalesce(stddev_samp(o_totalprice), 0.0), 2) AS stddev_price,
       |    CAST(sum(CASE WHEN o_totalprice >= 450000 THEN 1 ELSE 0 END) AS BIGINT) AS critical_orders,
       |    CAST(sum(CASE WHEN o_totalprice >= 350000 AND o_totalprice < 450000 THEN 1 ELSE 0 END) AS BIGINT) AS high_orders,
       |    CAST(sum(CASE WHEN o_totalprice >= 250000 AND o_totalprice < 350000 THEN 1 ELSE 0 END) AS BIGINT) AS moderate_orders,
-      |    round(sum(o_totalprice), 2) AS sum_price
+      |    ${Stable.sum2Sql("o_totalprice")} AS sum_price
       |  FROM orders
       |    JOIN customer ON o_custkey = c_custkey
       |    JOIN nation ON c_nationkey = n_nationkey
@@ -107,7 +108,7 @@ object GoldQueries {
         month(col("o_orderdate")).cast("long").as("month"))
       .agg(
         count(lit(1)).as("total_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"),
+        Stable.avg4(col("o_totalprice")).as("avg_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
         round(min(col("o_totalprice")), 2).as("min_price"),
         round(coalesce(stddev_samp(col("o_totalprice")), lit(0.0)), 2)
@@ -118,7 +119,7 @@ object GoldQueries {
           .otherwise(0)).as("high_orders"),
         sum(when(col("o_totalprice") >= 250000 && col("o_totalprice") < 350000, 1)
           .otherwise(0)).as("moderate_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        Stable.sum2(col("o_totalprice")).as("sum_price"))
       .withColumn("risk_score",
         round(col("critical_orders") * 50 + col("high_orders") * 20 +
           col("moderate_orders") * 5 + col("max_price") / 10000.0 + lit(1e-9), 2))
@@ -140,10 +141,10 @@ object GoldQueries {
     */
   val dailyRolling: QuerySpec = QuerySpec.sql(
     "q08_daily_rolling",
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS order_date,
       |    count(*) AS n_orders,
-      |    round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |    ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |    round(max(o_totalprice), 2) AS max_price,
       |    count(DISTINCT o_custkey) AS n_customers,
       |    CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders
@@ -166,7 +167,7 @@ object GoldQueries {
       .groupBy(to_date(col("o_orderdate")).as("order_date"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"),
+        Stable.avg4(col("o_totalprice")).as("avg_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
         countDistinct(col("o_custkey")).as("n_customers"),
         sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
@@ -188,13 +189,13 @@ object GoldQueries {
   /** A4 global grand-total KPI row (`05_gold_aggregation.py:134-151`). */
   val kpiSummary: QuerySpec = QuerySpec.sql(
     "q09_kpi_summary",
-    """SELECT count(*) AS total_orders,
+    s"""SELECT count(*) AS total_orders,
       |  count(DISTINCT o_custkey) AS distinct_customers,
       |  count(DISTINCT o_orderstatus) AS distinct_statuses,
-      |  round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |  ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |  round(max(o_totalprice), 2) AS max_price,
       |  round(min(o_totalprice), 2) AS min_price,
-      |  round(sum(o_totalprice), 2) AS sum_price,
+      |  ${Stable.sum2Sql("o_totalprice")} AS sum_price,
       |  CAST(sum(CASE WHEN o_totalprice >= 450000 THEN 1 ELSE 0 END) AS BIGINT) AS critical_orders,
       |  CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_orders,
       |  min(o_orderdate) AS first_order_ts,
@@ -205,10 +206,10 @@ object GoldQueries {
       count(lit(1)).as("total_orders"),
       countDistinct(col("o_custkey")).as("distinct_customers"),
       countDistinct(col("o_orderstatus")).as("distinct_statuses"),
-      round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"),
+      Stable.avg4(col("o_totalprice")).as("avg_price"),
       round(max(col("o_totalprice")), 2).as("max_price"),
       round(min(col("o_totalprice")), 2).as("min_price"),
-      round(sum(col("o_totalprice")), 2).as("sum_price"),
+      Stable.sum2(col("o_totalprice")).as("sum_price"),
       sum(when(col("o_totalprice") >= 450000, 1).otherwise(0))
         .as("critical_orders"),
       sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
@@ -223,16 +224,16 @@ object GoldQueries {
     */
   val regionSummary: QuerySpec = QuerySpec.sql(
     "q10_region_summary",
-    """SELECT *, CAST(dense_rank() OVER (
+    s"""SELECT *, CAST(dense_rank() OVER (
       |    ORDER BY critical_orders DESC, total_orders DESC) AS INT) AS risk_rank
       |FROM (
       |  SELECT r_name,
       |    count(*) AS total_orders,
-      |    round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |    ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |    round(max(o_totalprice), 2) AS max_price,
       |    CAST(sum(CASE WHEN o_totalprice >= 450000 THEN 1 ELSE 0 END) AS BIGINT) AS critical_orders,
       |    CAST(sum(CASE WHEN o_totalprice >= 350000 AND o_totalprice < 450000 THEN 1 ELSE 0 END) AS BIGINT) AS high_orders,
-      |    round(avg(c_acctbal) + 1e-6, 4) AS avg_acctbal
+      |    ${Stable.avg4Sql("c_acctbal")} AS avg_acctbal
       |  FROM orders
       |    JOIN customer ON o_custkey = c_custkey
       |    JOIN nation ON c_nationkey = n_nationkey
@@ -244,13 +245,13 @@ object GoldQueries {
       .groupBy(col("r_name"))
       .agg(
         count(lit(1)).as("total_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"),
+        Stable.avg4(col("o_totalprice")).as("avg_price"),
         round(max(col("o_totalprice")), 2).as("max_price"),
         sum(when(col("o_totalprice") >= 450000, 1).otherwise(0))
           .as("critical_orders"),
         sum(when(col("o_totalprice") >= 350000 && col("o_totalprice") < 450000, 1)
           .otherwise(0)).as("high_orders"),
-        round(avg(col("c_acctbal")) + lit(1e-6), 4).as("avg_acctbal"))
+        Stable.avg4(col("c_acctbal")).as("avg_acctbal"))
     agg.withColumn("risk_rank",
         dense_rank().over(
           Window.orderBy(col("critical_orders").desc, col("total_orders").desc))
@@ -279,13 +280,13 @@ object GoldQueries {
   /** A9 CASE-bucket histogram (`06_display_reporting.py:172-187`). */
   val priceHistogram: QuerySpec = QuerySpec.sql(
     "q12_price_histogram",
-    """SELECT CASE WHEN o_totalprice >= 450000 THEN '1: 450k+'
+    s"""SELECT CASE WHEN o_totalprice >= 450000 THEN '1: 450k+'
       |            WHEN o_totalprice >= 350000 THEN '2: 350-450k'
       |            WHEN o_totalprice >= 250000 THEN '3: 250-350k'
       |            WHEN o_totalprice >= 100000 THEN '4: 100-250k'
       |            ELSE '5: <100k' END AS price_band,
       |  count(*) AS n_orders,
-      |  round(avg(o_totalprice) + 1e-6, 4) AS avg_price
+      |  ${Stable.avg4Sql("o_totalprice")} AS avg_price
       |FROM orders
       |GROUP BY 1
       |ORDER BY price_band""".stripMargin
@@ -298,7 +299,7 @@ object GoldQueries {
           .when(col("o_totalprice") >= 100000, "4: 100-250k")
           .otherwise("5: <100k").as("price_band"))
       .agg(count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"))
+        Stable.avg4(col("o_totalprice")).as("avg_price"))
       .orderBy(col("price_band"))
   }
 
@@ -308,16 +309,16 @@ object GoldQueries {
     */
   val monthlyRollup: QuerySpec = QuerySpec.sql(
     "q13_monthly_rollup",
-    """WITH daily AS (
+    s"""WITH daily AS (
       |  SELECT CAST(o_orderdate AS DATE) AS order_date,
       |    count(*) AS n_orders,
-      |    round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+      |    ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |    round(max(o_totalprice), 2) AS max_price
       |  FROM orders GROUP BY 1)
       |SELECT CAST(year(order_date) AS BIGINT) AS year,
       |  CAST(month(order_date) AS BIGINT) AS month,
       |  CAST(sum(n_orders) AS BIGINT) AS total_orders,
-      |  round(avg(avg_price) + 1e-6, 4) AS avg_daily_price,
+      |  ${Stable.avg4Sql("avg_price")} AS avg_daily_price,
       |  max(max_price) AS max_price,
       |  count(*) AS active_days
       |FROM daily
@@ -328,14 +329,14 @@ object GoldQueries {
       .groupBy(to_date(col("o_orderdate")).as("order_date"))
       .agg(
         count(lit(1)).as("n_orders"),
-        round(avg(col("o_totalprice")) + lit(1e-6), 4).as("avg_price"),
+        Stable.avg4(col("o_totalprice")).as("avg_price"),
         round(max(col("o_totalprice")), 2).as("max_price"))
     daily
       .groupBy(year(col("order_date")).cast("long").as("year"),
         month(col("order_date")).cast("long").as("month"))
       .agg(
         sum(col("n_orders")).as("total_orders"),
-        round(avg(col("avg_price")) + lit(1e-6), 4).as("avg_daily_price"),
+        Stable.avg4(col("avg_price")).as("avg_daily_price"),
         max(col("max_price")).as("max_price"),
         count(lit(1)).as("active_days"))
       .orderBy(col("year"), col("month"))
@@ -346,10 +347,10 @@ object GoldQueries {
     */
   val regionYearRollup: QuerySpec = QuerySpec.sql(
     "q15_region_year_rollup",
-    """SELECT coalesce(r_name, 'ALL') AS r_name,
+    s"""SELECT coalesce(r_name, 'ALL') AS r_name,
       |  CAST(coalesce(year(o_orderdate), -1) AS BIGINT) AS year,
       |  count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS sum_price
+      |  ${Stable.sum2Sql("o_totalprice")} AS sum_price
       |FROM orders
       |  JOIN customer ON o_custkey = c_custkey
       |  JOIN nation ON c_nationkey = n_nationkey
@@ -360,7 +361,7 @@ object GoldQueries {
     ordersWithRegion(spark, dir)
       .rollup(col("r_name"), year(col("o_orderdate")).as("yr"))
       .agg(count(lit(1)).as("n_orders"),
-        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        Stable.sum2(col("o_totalprice")).as("sum_price"))
       .select(
         coalesce(col("r_name"), lit("ALL")).as("r_name"),
         coalesce(col("yr"), lit(-1)).cast("long").as("year"),
@@ -375,12 +376,12 @@ object GoldQueries {
     */
   val brandVolume: QuerySpec = QuerySpec.sql(
     "q37_brand_volume",
-    """SELECT p_brand,
+    s"""SELECT p_brand,
       |  CAST(s_nationkey AS BIGINT) AS supp_nation,
       |  count(*) AS n_lines,
-      |  round(sum(l_quantity), 2) AS sum_qty,
-      |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
-      |  round(avg(p_retailprice) + 1e-6, 4) AS avg_retail
+      |  ${Stable.sum2Sql("l_quantity")} AS sum_qty,
+      |  ${Stable.sum2Sql("l_extendedprice * (1 - l_discount)")} AS revenue,
+      |  ${Stable.avg4Sql("p_retailprice")} AS avg_retail
       |FROM lineitem
       |  JOIN part ON l_partkey = p_partkey
       |  JOIN supplier ON l_suppkey = s_suppkey
@@ -395,10 +396,10 @@ object GoldQueries {
       .groupBy(col("p_brand"), col("s_nationkey").cast("long").as("supp_nation"))
       .agg(
         count(lit(1)).as("n_lines"),
-        round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+        Stable.sum2(col("l_quantity")).as("sum_qty"),
+        Stable.sum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
           .as("revenue"),
-        round(avg(col("p_retailprice")) + lit(1e-6), 4).as("avg_retail"))
+        Stable.avg4(col("p_retailprice")).as("avg_retail"))
       .orderBy(col("p_brand"), col("supp_nation"))
   }
 

@@ -61,7 +61,7 @@ object MultimodalQueries {
       |  FROM documents)
       |SELECT kind, count(*) AS n_assets,
       |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-      |  round(avg(n_bytes) + 1e-6, 4) AS avg_bytes,
+      |  ${graft.functions.Stable.avg4Sql("n_bytes")} AS avg_bytes,
       |  CAST(max(n_bytes) AS INT) AS max_bytes,
       |  CAST(sum(CAST(ceil(n_bytes / 64.0) AS BIGINT)) AS BIGINT) AS total_frames
       |FROM assets
@@ -73,7 +73,7 @@ object MultimodalQueries {
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
         sum(col("n_bytes")).cast("long").as("total_bytes"),
-        round(avg(col("n_bytes")) + lit(1e-6), 4).as("avg_bytes"),
+        graft.functions.Stable.avg4(col("n_bytes")).as("avg_bytes"),
         max(col("n_bytes")).as("max_bytes"),
         sum(col("n_frames")).as("total_frames"))
       .orderBy(col("kind"))

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
-import graft.functions.Physics
+import graft.functions.{Physics, Stable}
 import graft.sources.Tables
 
 /** The reference's physics/risk derivation layer.
@@ -93,7 +93,7 @@ object PhysicsQueries {
     */
   val physicsSummary: QuerySpec = QuerySpec.sql(
     "q17_physics_summary",
-    """WITH derived AS (
+    s"""WITH derived AS (
       |  SELECT value / 50 AS mag, value AS depth_km,
       |    round(1.5 * (value / 50) - 2.5 * log10(value + 1) + 2.0 + 1e-9, 1) + 0 AS mmi,
       |    round((value / 50) * 15 - value * 0.2 +
@@ -107,9 +107,9 @@ object PhysicsQueries {
       |            WHEN mmi >= 2 THEN 'II-III (Weak)'
       |            ELSE 'I (Not Felt)' END AS mercalli_scale,
       |  count(*) AS n_events,
-      |  round(avg(mag) + 1e-6, 4) AS avg_magnitude,
-      |  round(avg(mmi) + 1e-6, 4) + 0 AS avg_mmi,
-      |  round(avg(tsunami_score) + 1e-6, 4) + 0 AS avg_tsunami_score,
+      |  ${Stable.avg4Sql("mag")} AS avg_magnitude,
+      |  ${Stable.avg4Sql("mmi")} + 0 AS avg_mmi,
+      |  ${Stable.avg4Sql("tsunami_score")} + 0 AS avg_tsunami_score,
       |  CAST(sum(CASE WHEN mmi >= 8 THEN 1 ELSE 0 END) AS BIGINT) AS extreme_events,
       |  CAST(sum(CASE WHEN mmi >= 6 AND mmi < 8 THEN 1 ELSE 0 END) AS BIGINT) AS high_events
       |FROM derived
@@ -127,9 +127,9 @@ object PhysicsQueries {
       .groupBy(Physics.mercalliScale(col("mmi")).as("mercalli_scale"))
       .agg(
         count(lit(1)).as("n_events"),
-        round(avg(col("mag")) + lit(1e-6), 4).as("avg_magnitude"),
-        round(avg(col("mmi")) + lit(1e-6), 4).as("avg_mmi"),
-        round(avg(col("tsunami_score")) + lit(1e-6), 4).as("avg_tsunami_score"),
+        Stable.avg4(col("mag")).as("avg_magnitude"),
+        Stable.avg4(col("mmi")).as("avg_mmi"),
+        Stable.avg4(col("tsunami_score")).as("avg_tsunami_score"),
         sum(when(col("mmi") >= 8, 1).otherwise(0)).as("extreme_events"),
         sum(when(col("mmi") >= 6 && col("mmi") < 8, 1).otherwise(0))
           .as("high_events"))

@@ -1,6 +1,7 @@
 package graft.queries
 
 import graft.QuerySpec
+import graft.functions.Stable
 import graft.sources.Tables
 
 /** The reference's SQL-front-door reporting tier (SURVEY.md §3 E3, §2a
@@ -23,8 +24,8 @@ object ReportQueries {
   /** Top-k revenue report (`06_display_reporting.py:127-141` shape). */
   val topCustomers: QuerySpec = sqlQuery(
     "q32_sql_top_customers", Seq("orders", "customer"),
-    """SELECT c_custkey, c_name, count(*) AS n_orders,
-      |  round(sum(o_totalprice), 2) AS revenue
+    s"""SELECT c_custkey, c_name, count(*) AS n_orders,
+      |  ${Stable.sum2Sql("o_totalprice")} AS revenue
       |FROM orders JOIN customer ON o_custkey = c_custkey
       |GROUP BY c_custkey, c_name
       |ORDER BY revenue DESC, c_custkey
@@ -33,8 +34,8 @@ object ReportQueries {
   /** CASE-ordered status report (`06:198-215` custom sort-key shape). */
   val statusReport: QuerySpec = sqlQuery(
     "q33_sql_status_report", Seq("orders"),
-    """SELECT o_orderstatus, count(*) AS n_orders,
-      |  round(avg(o_totalprice) + 1e-6, 4) AS avg_price,
+    s"""SELECT o_orderstatus, count(*) AS n_orders,
+      |  ${Stable.avg4Sql("o_totalprice")} AS avg_price,
       |  round(min(o_totalprice), 2) AS min_price,
       |  round(max(o_totalprice), 2) AS max_price
       |FROM orders

@@ -144,7 +144,7 @@ object SimilarityQueries {
     s"""SELECT label,
       |  count(*) AS n_vectors,
       |  CAST(count(DISTINCT ${Vectors.signBucketSql("embedding", 8)}) AS BIGINT) AS n_buckets,
-      |  round(avg(${Vectors.normSql("embedding")}) + 1e-6, 4) AS avg_norm,
+      |  ${graft.functions.Stable.avg4Sql(Vectors.normSql("embedding"))} AS avg_norm,
       |  round(min(${Vectors.normSql("embedding")}) + 1e-9, 4) AS min_norm,
       |  round(max(${Vectors.normSql("embedding")}) + 1e-9, 4) AS max_norm
       |FROM embeddings
@@ -158,7 +158,7 @@ object SimilarityQueries {
       .groupBy(col("label"))
       .agg(count(lit(1)).as("n_vectors"),
         countDistinct(col("bucket")).as("n_buckets"),
-        round(avg(col("nrm")) + lit(1e-6), 4).as("avg_norm"),
+        graft.functions.Stable.avg4(col("nrm")).as("avg_norm"),
         round(min(col("nrm")) + lit(1e-9), 4).as("min_norm"),
         round(max(col("nrm")) + lit(1e-9), 4).as("max_norm"))
       .orderBy(col("label"))

@@ -115,10 +115,18 @@ object Tables {
   def overwrite(df: DataFrame, path: String): Unit = {
     val tmp = path + ".__tmp__"
     df.write.mode(SaveMode.Overwrite).parquet(tmp)
-    val conf = df.sparkSession.sparkContext.hadoopConfiguration
+    publish(df.sparkSession, tmp, path)
+  }
+
+  /** Swap an already-materialized directory into place at `path` via the
+    * crash-safe rename chain. The staged directory moves wholesale, so any
+    * hive-style `key=value` partition layout inside it is preserved.
+    */
+  def publish(spark: SparkSession, stagedPath: String, path: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(conf)
     val dst = new org.apache.hadoop.fs.Path(path)
-    val src = new org.apache.hadoop.fs.Path(tmp)
+    val src = new org.apache.hadoop.fs.Path(stagedPath)
     val old = new org.apache.hadoop.fs.Path(path + ".__old__")
     // swap via a rename chain, CHECKING each rename (HDFS/S3A renames
     // report failure by returning false, not by throwing): the previous

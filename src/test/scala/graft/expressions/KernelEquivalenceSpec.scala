@@ -101,6 +101,21 @@ class KernelEquivalenceSpec extends SparkTestBase {
     assert(rows(1).getDouble(0) === 11.0 && rows(1).getDouble(1) === 11.0)
   }
 
+  test("DotProduct returns NULL for mismatched lengths like the HOF reference") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f)), // |a| > |b|
+      (Array(1.0f), Array(2.0f, 3.0f)), // |a| < |b|
+      (Array(1.0f, 2.0f), Array(3.0f, 4.0f)) // equal — control
+    ).toDF("a", "b")
+    val rows = df.select(
+      Vectors.dot(col("a"), col("b")).as("k"),
+      Vectors.dotHof(col("a"), col("b")).as("h")).collect()
+    assert(rows(0).isNullAt(0) && rows(0).isNullAt(1))
+    assert(rows(1).isNullAt(0) && rows(1).isNullAt(1))
+    assert(rows(2).getDouble(0) === 11.0 && rows(2).getDouble(1) === 11.0)
+  }
+
   test("null token elements match HOF semantics in every text kernel") {
     import spark.implicits._
     val df = Seq(Tuple1(Array[String]("the", null, "agg", "table")))

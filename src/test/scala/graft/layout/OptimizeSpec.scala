@@ -31,6 +31,32 @@ class OptimizeSpec extends SparkTestBase {
     assert(spark.read.parquet(dir).count() === 10000)
   }
 
+  test("cluster with partitionCols preserves the hive layout and the data") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("optp").toString + "/t"
+    (1 to 5000).map(i => ((i * 7919) % 5000, i % 3, s"v$i"))
+      .toDF("k", "year", "v").repartition(8)
+      .write.partitionBy("year").parquet(dir)
+    val before = spark.read.parquet(dir)
+      .select("k", "year", "v").collect().map(_.toString).sorted
+
+    Optimize.cluster(spark, dir, Seq("k"), targetFiles = 2,
+      partitionCols = Seq("year"))
+
+    // hive-style partition directories survive the rewrite
+    val sub = new java.io.File(dir).listFiles().map(_.getName)
+      .filter(_.startsWith("year=")).sorted
+    assert(sub === Array("year=0", "year=1", "year=2"))
+    // content preserved exactly
+    val after = spark.read.parquet(dir)
+      .select("k", "year", "v").collect().map(_.toString).sorted
+    assert(after === before)
+    // no staging dirs left behind
+    val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
+    assert(!parent.exists(_.contains("__cluster_tmp__")))
+    assert(!parent.exists(_.contains("__old__")))
+  }
+
   test("analyze records row count and size in the catalog") {
     import spark.implicits._
     val dir = Files.createTempDirectory("an").toString + "/t"
