@@ -121,9 +121,12 @@ object SimilarityQueries {
     val q = e.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"),
         col("bucket"))
-    val scored = broadcast(q)
-      .join(e, q("bucket") === e("bucket") && col("qid") =!= col("vec_id") &&
-        Vectors.norm(col("qv")) > 0 && Vectors.norm(e("embedding")) > 0)
+    // q derives from e — alias both sides so the bucket equality resolves
+    // across the join instead of degenerating to a same-attribute compare
+    val scored = broadcast(q.as("q"))
+      .join(e.as("e"),
+        col("q.bucket") === col("e.bucket") && col("qid") =!= col("vec_id") &&
+          Vectors.norm(col("qv")) > 0 && Vectors.norm(col("e.embedding")) > 0)
       .select(col("qid"), col("vec_id"),
         Vectors.cosine(col("qv"), col("embedding")).as("cos"))
       .withColumn("rk", row_number().over(
