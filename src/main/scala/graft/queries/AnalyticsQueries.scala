@@ -180,12 +180,14 @@ object AnalyticsQueries {
           // (the oracle carries the same implied conjunct)
           abs(length(col("a.p_name")) - length(col("b.p_name"))) <= 2 &&
           // thresholded variant runs a banded O(len*k) DP with early
-          // exit; it returns -1 ABOVE the threshold, so bound both sides
-          levenshtein(col("a.p_name"), col("b.p_name"), 3).between(0, 2))
+          // exit; threshold = 2 (the cutoff itself) returns -1 above it,
+          // so ONE `>= 0` compare replaces a two-sided bound — the DP
+          // runs once per candidate here instead of twice
+          levenshtein(col("a.p_name"), col("b.p_name"), 2) >= 0)
       .select(col("a.p_partkey").as("id1"), col("b.p_partkey").as("id2"),
         col("a.p_name").as("name1"), col("b.p_name").as("name2"),
-        // exact for kept pairs: distance <= 2 < threshold
-        levenshtein(col("a.p_name"), col("b.p_name"), 3).as("edit_distance"))
+        // exact for kept pairs: distance <= threshold
+        levenshtein(col("a.p_name"), col("b.p_name"), 2).as("edit_distance"))
       .orderBy(col("id1"), col("id2"))
   }
 
