@@ -80,13 +80,16 @@ object AnalyticsQueries {
       |GROUP BY 1
       |ORDER BY k_bucket""".stripMargin
   ) { (spark, dir) =>
-    val k = get_json_object(col("props"), "$.k").cast("long")
+    // parse the JSON payload ONCE per row — referencing the extraction in
+    // the group key and both aggregates would run three parses per row
     Tables.load(spark, dir, "events")
       .filter(col("props").isNotNull)
-      .groupBy((k % 10).as("k_bucket"))
+      .select(col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy((col("k") % 10).as("k_bucket"))
       .agg(count(lit(1)).as("n_events"),
-        min(k).as("min_k"),
-        max(k).as("max_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
         Stable.avg4(col("value")).as("avg_value"))
       .orderBy(col("k_bucket"))
   }

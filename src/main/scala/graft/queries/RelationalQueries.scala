@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
@@ -77,5 +78,43 @@ object RelationalQueries {
     }
   }
 
-  val all: Seq[QuerySpec] = Seq(semiBigSpenders, antiNoOrders, aboveCustomerAvg)
+  /** ntile + percent_rank ranking windows (SURVEY.md §2e lists ntile as
+    * an easy extension the reference lacks): quartile assignment and
+    * relative rank of each customer's order spend within their nation.
+    * The unique-key ORDER BY (total, custkey) makes both functions
+    * deterministic.
+    */
+  val spendQuartiles: QuerySpec = QuerySpec.sql(
+    "q54_spend_quartiles",
+    """WITH spend AS (
+      |  SELECT c_custkey, c_nationkey, count(*) AS n_orders,
+      |    CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE) AS total
+      |  FROM customer JOIN orders ON c_custkey = o_custkey
+      |  GROUP BY c_custkey, c_nationkey)
+      |SELECT c_custkey, c_nationkey, n_orders,
+      |  round(total, 2) AS total_spend,
+      |  CAST(ntile(4) OVER w AS INT) AS quartile,
+      |  round(percent_rank() OVER w + 1e-9, 6) AS pct_rank
+      |FROM spend
+      |WINDOW w AS (PARTITION BY c_nationkey ORDER BY total, c_custkey)
+      |ORDER BY c_custkey""".stripMargin
+  ) { (spark, dir) =>
+    val c = Tables.load(spark, dir, "customer")
+    val o = Tables.load(spark, dir, "orders")
+    val spend = c.join(o, c("c_custkey") === o("o_custkey"))
+      .groupBy(col("c_custkey"), col("c_nationkey"))
+      .agg(count(lit(1)).as("n_orders"),
+        graft.functions.Stable.sumD(col("o_totalprice")).as("total"))
+    val w = Window.partitionBy(col("c_nationkey"))
+      .orderBy(col("total"), col("c_custkey"))
+    spend
+      .select(col("c_custkey"), col("c_nationkey"), col("n_orders"),
+        round(col("total"), 2).as("total_spend"),
+        ntile(4).over(w).cast("int").as("quartile"),
+        round(percent_rank().over(w) + lit(1e-9), 6).as("pct_rank"))
+      .orderBy(col("c_custkey"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(semiBigSpenders, antiNoOrders, aboveCustomerAvg, spendQuartiles)
 }
