@@ -12,8 +12,12 @@ import org.apache.spark.sql.functions._
   * partial state in: work per run tracks the increment, not the table.
   *
   * All five state measures form commutative monoids, so
-  * `merge(state(A), state(B)) == state(A ∪ B)` exactly for the integral
-  * measures and up to float associativity for sums (the spec bounds it).
+  * `merge(state(A), state(B)) == state(A ∪ B)` EXACTLY: the sums are
+  * decimal-backed (each input rounds once to the 1e-10 grid; decimal
+  * addition is exact), so fold-of-increments is bit-identical to direct
+  * aggregation regardless of batch boundaries, partitioning, or merge
+  * order — at 100 TB that means snapshot diffs between maintained and
+  * rebuilt gold tables are empty rather than "within tolerance".
   * Derived measures (avg, sample stddev) are computed at read time from
   * the state — never stored, never drift.
   *
@@ -26,13 +30,15 @@ import org.apache.spark.sql.functions._
   */
 object IncrementalAgg {
 
+  private val Dec = org.apache.spark.sql.types.DecimalType(28, 10)
+
   /** Mergeable state of `valueCol` grouped by `keys`. */
   def partialState(df: DataFrame, keys: Seq[String],
       valueCol: String): DataFrame =
     df.groupBy(keys.map(col): _*).agg(
       count(col(valueCol)).as("state_cnt"),
-      sum(col(valueCol)).as("state_sum"),
-      sum(col(valueCol) * col(valueCol)).as("state_sumsq"),
+      sum(col(valueCol).cast(Dec)).as("state_sum"),
+      sum((col(valueCol) * col(valueCol)).cast(Dec)).as("state_sumsq"),
       min(col(valueCol)).as("state_min"),
       max(col(valueCol)).as("state_max"))
 
@@ -50,13 +56,16 @@ object IncrementalAgg {
         min(col("state_min")).as("state_min"),
         max(col("state_max")).as("state_max"))
 
-  /** Read-time derived measures from the state. */
+  /** Read-time derived measures from the state (double arithmetic over
+    * the exact decimal sums — one cast, deterministic everywhere).
+    */
   def finalized(state: DataFrame): DataFrame = {
     val n = col("state_cnt")
-    val variance = (col("state_sumsq") - col("state_sum") * col("state_sum") / n) /
-      (n - 1)
+    val s = col("state_sum").cast("double")
+    val sq = col("state_sumsq").cast("double")
+    val variance = (sq - s * s / n) / (n - 1)
     state
-      .withColumn("avg_value", col("state_sum") / n)
+      .withColumn("avg_value", s / n)
       .withColumn("stddev_value",
         when(n > 1, sqrt(greatest(variance, lit(0.0)))).otherwise(lit(0.0)))
   }

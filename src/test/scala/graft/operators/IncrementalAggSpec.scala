@@ -47,6 +47,15 @@ class IncrementalAggSpec extends SparkTestBase {
       // sum-of-squares formula vs Welford: agree to float tolerance
       assert(math.abs(sd - dSd) < 1e-6, s"$k stddev $sd vs $dSd")
     }
+
+    // decimal-backed state: fold-of-increments is BIT-IDENTICAL to the
+    // single-shot state — no float-associativity tolerance
+    val oneShot = IncrementalAgg.finalized(
+        IncrementalAgg.partialState(ev, keys, "value"))
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    val foldedExact = IncrementalAgg.finalized(folded)
+      .collect().map(r => r.getString(0) -> r.toSeq.drop(1)).toMap
+    assert(foldedExact === oneShot)
   }
 
   test("merging an empty delta is a no-op") {
