@@ -51,6 +51,21 @@ class PlanQualitySpec extends SparkTestBase {
     finally spark.catalog.clearCache()
   }
 
+  test("q51/q52 plan semi/anti joins (existence never materializes rows)") {
+    val semi = planOf("q51_semi_big_spenders")
+    assert(semi.contains("LeftSemi"), semi.take(2000))
+    val anti = planOf("q52_anti_no_urgent")
+    assert(anti.contains("LeftAnti"), anti.take(2000))
+  }
+
+  test("q53's correlated subquery decorrelates to one aggregate + join") {
+    val plan = planOf("q53_above_customer_avg")
+    // decorrelation rewrites the per-row subquery into a grouped aggregate
+    // joined back on the correlation key — no per-row subplan survives
+    assert(!plan.contains("Subquery"), plan.take(2000))
+    assert(plan.contains("HashAggregate"), plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
