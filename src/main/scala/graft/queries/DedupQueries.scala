@@ -198,5 +198,52 @@ object DedupQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
-  val all: Seq[QuerySpec] = Seq(exactDedup, ngramJaccard, minhashLsh, simhash)
+  /** Connected components over the verified MinHash-LSH pairs — the step
+    * that turns near-dup PAIRS into dedup GROUPS (component = min doc_id,
+    * canonical flag, group size; singletons keep their own id). Spark
+    * side is iterative min-label propagation
+    * ([[graft.operators.ConnectedComponents]]); the oracle computes the
+    * same fixpoint with a recursive CTE.
+    */
+  val dedupGroups: QuerySpec = QuerySpec.sql(
+    "q55_dedup_groups",
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2
+      |  FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
+      |            JOIN sig sb ON cand.id2 = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+      |SELECT doc_id, component,
+      |  count(*) OVER (PARTITION BY component) AS group_size,
+      |  doc_id = component AS is_canonical
+      |FROM cc
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val withSh = docs.select(col("doc_id"),
+      MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairs(withSh, "doc_id", "sh", threshold = 0.6)
+      .select(col("id1"), col("id2"))
+    graft.operators.ConnectedComponents
+      .dedupGroups(docs, "doc_id", pairs, "id1", "id2")
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups)
 }
