@@ -36,6 +36,14 @@ object ConnectedComponents {
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
+    // labels only ever DECREASE, so the label total strictly drops while
+    // anything changes: comparing one overflow-safe decimal sum per round
+    // detects the fixpoint without a join-and-count job
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("label").cast(
+        org.apache.spark.sql.types.DecimalType(38, 0))))
+        .head.getDecimal(0)
+    var prevSum = labelSum(labels)
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -45,12 +53,10 @@ object ConnectedComponents {
       val next = labels.union(neighbour)
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
-      val changed = next.as("n")
-        .join(labels.as("o"), col("n.node") === col("o.node"))
-        .filter(col("n.label") =!= col("o.label"))
-        .count()
+      val nextSum = labelSum(next)
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       i += 1
     }
     labels
