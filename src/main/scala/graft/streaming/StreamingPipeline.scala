@@ -47,7 +47,10 @@ object StreamingPipeline {
       .withWatermark("ts", delayThreshold)
       .groupBy(window(col("ts"), windowLength), col("event_type"))
       .agg(count(lit(1)).as("n_events"),
-        sum(col("value")).as("sum_value"))
+        // exact decimal-backed sum: micro-batch boundaries change the
+        // accumulation order, so a double sum would differ between a
+        // streamed and a batch run of the same data (Stable rationale)
+        graft.functions.Stable.sumD(col("value")).as("sum_value"))
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
