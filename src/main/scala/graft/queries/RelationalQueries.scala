@@ -115,6 +115,37 @@ object RelationalQueries {
       .orderBy(col("c_custkey"))
   }
 
+  /** The salted skew join run through the oracle gate: result-identical
+    * to a plain equi-join (the whole point of salting), so the oracle IS
+    * the plain join. Salt comes from a row-distinguishing column, the
+    * probe side replicates once per salt value
+    * ([[graft.operators.SkewJoin]]).
+    */
+  val saltedRevenue: QuerySpec = QuerySpec.sql(
+    "q57_salted_revenue",
+    s"""SELECT o_orderpriority, count(*) AS n_lines,
+      |  ${graft.functions.Stable.sum2Sql("l_extendedprice * (1 - l_discount)")} AS revenue
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    val l = Tables.load(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey"),
+        col("l_extendedprice"), col("l_discount"))
+    val o = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
+    graft.operators.SkewJoin
+      .saltedInnerJoin(l, o, key = "l_orderkey",
+        saltSource = "l_partkey", factor = 8)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Stable
+          .sum2(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(semiBigSpenders, antiNoOrders, aboveCustomerAvg, spendQuartiles)
+    Seq(semiBigSpenders, antiNoOrders, aboveCustomerAvg, spendQuartiles,
+      saltedRevenue)
 }
