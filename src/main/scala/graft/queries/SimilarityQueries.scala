@@ -204,6 +204,23 @@ object SimilarityQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
+  /** IVF ANN ([[graft.operators.IvfAnn]]): deterministic k-means coarse
+    * quantizer, nProbe-cell search, custom top-k ranking. The trained
+    * index is not practically SQL-expressible (two unrolled Lloyd
+    * iterations), so this is a rows-only gate entry; recall vs the
+    * brute-force ground truth and run-to-run determinism are asserted in
+    * `IvfAnnSpec`.
+    */
+  val ivfAnn: QuerySpec = QuerySpec.rowsOnly("q58_ivf_ann") { (spark, dir) =>
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.IvfAnn
+      .search(corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 3, clusters = 16, nProbe = 4, iters = 2)
+      .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup)
+    embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn)
 }

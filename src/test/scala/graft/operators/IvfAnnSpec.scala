@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.Vectors
+
+class IvfAnnSpec extends SparkTestBase {
+
+  private def corpus = graft.sources.Tables.load(spark, sfDir, "embeddings")
+  private def queries = corpus.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  test("every corpus vector lands in exactly one cell") {
+    val cents = IvfAnn.centroids(corpus, "vec_id", "embedding",
+      clusters = 8, iters = 2)
+    assert(cents.count() <= 8 && cents.count() > 0)
+    val cells = IvfAnn.assign(corpus, cents, "vec_id", "embedding")
+    assert(cells.count() === corpus.count())
+    assert(cells.select("vec_id").distinct().count() === corpus.count())
+  }
+
+  test("probed search prunes the corpus yet keeps useful recall") {
+    val k = 5
+    val ivf = IvfAnn.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = k, clusters = 8, nProbe = 3, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    // brute-force ground truth, same tiebreak
+    val bf = Dedup.topKPerKey(
+        queries.crossJoin(corpus)
+          .filter(col("qid") =!= col("vec_id") &&
+            Vectors.norm(col("qv")) > 0 && Vectors.norm(col("embedding")) > 0)
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            Vectors.cosine(col("qv"), col("embedding")).as("cosine")),
+        Seq("qid"), Seq(col("cosine").desc, col("neighbor").asc), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+    assert(ivf.size === bf.size)
+    val recall = ivf.intersect(bf).size.toDouble / bf.size
+    // 3 of 8 cells probed — recall must beat the random-pruning floor
+    assert(recall >= 0.4, s"recall $recall")
+  }
+
+  test("index build and search are deterministic across runs") {
+    def run() = IvfAnn.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3, clusters = 8, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSet
+    assert(run() === run())
+  }
+}
