@@ -25,6 +25,9 @@ object SkewJoin {
       pmod(hash(col(saltSource)), lit(factor)))
     val r = right.withColumn("__salt",
       explode(sequence(lit(0), lit(factor - 1))))
-    l.join(r, Seq(key, "__salt")).drop("__salt")
+    // salting exists for the SHUFFLE join regime (a broadcastable right
+    // side has no skew problem to solve); the hint pins that plan at any
+    // test scale so what runs is what ships
+    l.join(r.hint("shuffle_hash"), Seq(key, "__salt")).drop("__salt")
   }
 }

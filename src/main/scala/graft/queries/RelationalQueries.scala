@@ -136,7 +136,7 @@ object RelationalQueries {
       .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority"))
     graft.operators.SkewJoin
       .saltedInnerJoin(l, o, key = "l_orderkey",
-        saltSource = "l_partkey", factor = 8)
+        saltSource = "l_partkey", factor = 4)
       .groupBy(col("o_orderpriority"))
       .agg(count(lit(1)).as("n_lines"),
         graft.functions.Stable
