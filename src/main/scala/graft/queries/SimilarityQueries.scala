@@ -221,6 +221,74 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
   }
 
+  /** Int8-style embedding quantization + KNN over the quantized vectors —
+    * the memory-side scale lever (4× smaller vectors, integer dot
+    * products). Per-vector symmetric scale = max |component|; quantized
+    * dots are EXACT integer arithmetic in both engines, so the oracle
+    * hash-matches with no float-order caveats; only the final cosine
+    * ratio is a (deterministic) double division.
+    */
+  val quantizedKnn: QuerySpec = QuerySpec.sql(
+    "q59_quantized_knn",
+    """WITH base AS (
+      |  SELECT vec_id, embedding,
+      |    CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS s
+      |  FROM embeddings),
+      |qz AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding,
+      |      x -> CAST(round(CAST(x AS DOUBLE) / s * 127 + 1e-9, 0) AS BIGINT)) AS q
+      |  FROM base WHERE s > 0),
+      |qn AS (
+      |  SELECT vec_id, q,
+      |    sqrt(CAST(list_sum(list_transform(q, v -> v * v)) AS DOUBLE)) AS nrm
+      |  FROM qz),
+      |pairs AS (
+      |  SELECT a.vec_id AS qid, b.vec_id AS neighbor,
+      |    CAST(list_sum(list_transform(range(1, len(a.q) + 1),
+      |      i -> a.q[i] * b.q[i])) AS DOUBLE) / (a.nrm * b.nrm) AS cosq
+      |  FROM qn a JOIN qn b ON a.vec_id < 10 AND a.vec_id <> b.vec_id),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY cosq DESC, neighbor) AS rk
+      |  FROM pairs)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, neighbor,
+      |  round(cosq + 1e-9, 4) AS cosine_q
+      |FROM ranked WHERE rk <= 3
+      |ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val base = e.select(col("vec_id"), col("embedding"))
+      .withColumn("s",
+        array_max(transform(col("embedding"), x => abs(x))).cast("double"))
+      .filter(col("s") > 0)
+    val qn = base
+      .withColumn("q", transform(col("embedding"),
+        x => round(x.cast("double") / col("s") * lit(127) + lit(1e-9), 0)
+          .cast("long")))
+      .select(col("vec_id"), col("q"),
+        sqrt(aggregate(col("q"), lit(0L), (acc, v) => acc + v * v)
+          .cast("double")).as("nrm"))
+    val queries = qn.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("q").as("qq"),
+        col("nrm").as("qnrm"))
+    val pairs = broadcast(queries)
+      .join(qn, col("qid") =!= col("vec_id"))
+      .select(col("qid"), col("vec_id").as("neighbor"),
+        (aggregate(zip_with(col("qq"), col("q"), (x, y) => x * y),
+          lit(0L), (acc, v) => acc + v).cast("double") /
+          (col("qnrm") * col("nrm"))).as("cosq"))
+    pairs
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cosq").desc, col("neighbor"))))
+      .filter(col("rk") <= 3)
+      .select(col("qid"), col("rk").cast("long").as("rank"),
+        col("neighbor"), round(col("cosq") + lit(1e-9), 4).as("cosine_q"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
-    embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn)
+    embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
+    quantizedKnn)
 }
