@@ -23,4 +23,23 @@ object Upsert {
     target
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
+
+  /** Full MERGE with a tombstone flag — `WHEN MATCHED AND s.deleted THEN
+    * DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND NOT deleted
+    * THEN INSERT` — the CDC-feed shape (Debezium-style change rows).
+    * Tombstoned keys vanish from the result; a tombstone for an absent
+    * key is a no-op, so replaying a feed is idempotent.
+    *
+    * @param tombstoneCol boolean column on `updates`; it is dropped from
+    *                     the survivors before the union
+    */
+  def merge(target: DataFrame, updates: DataFrame, keys: Seq[String],
+      tombstoneCol: String): DataFrame = {
+    val live = updates.filter(!col(tombstoneCol)).drop(tombstoneCol)
+    // one anti-join against ALL changed keys: updates replace, tombstones
+    // remove — either way the target's old row must not survive
+    target
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(live)
+  }
 }

@@ -319,7 +319,49 @@ object EventQueries {
       .orderBy(col("column_name"))
   }
 
+  /** Full MERGE with tombstones (q06 + WHEN MATCHED DELETE): the CDC-feed
+    * shape. The post-cutoff change feed updates each user's snapshot row,
+    * except users whose latest event is an `error` — those are tombstones
+    * and the key vanishes ([[graft.operators.Upsert.merge]]).
+    */
+  val mergeTombstones: QuerySpec = QuerySpec.sql(
+    "q60_merge_tombstones",
+    """WITH latest_before AS (
+      |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |         round(value, 2) AS last_value, event_type AS last_type
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts < TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1),
+      |latest_after AS (
+      |  SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+      |         round(value, 2) AS last_value, event_type AS last_type
+      |  FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+      |          ORDER BY ts DESC, event_id DESC) AS rn
+      |        FROM events WHERE ts >= TIMESTAMP '2024-01-20 00:00:00')
+      |  WHERE rn = 1)
+      |SELECT * FROM latest_before b
+      |WHERE NOT EXISTS (SELECT 1 FROM latest_after a WHERE a.user_id = b.user_id)
+      |UNION ALL
+      |SELECT * FROM latest_after WHERE last_type <> 'error'
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+    val cutoff = lit("2024-01-20 00:00:00").cast("timestamp")
+    def latestPerUser(df: org.apache.spark.sql.DataFrame) =
+      Dedup.keepFirst(df, Seq("user_id"),
+          Seq(col("ts").desc, col("event_id").desc))
+        .select(col("user_id"), col("event_id").as("last_event_id"),
+          col("ts").as("last_ts"), round(col("value"), 2).as("last_value"),
+          col("event_type").as("last_type"))
+    val target = latestPerUser(ev.filter(col("ts") < cutoff))
+    val feed = latestPerUser(ev.filter(col("ts") >= cutoff))
+      .withColumn("deleted", col("last_type") === "error")
+    Upsert.merge(target, feed, Seq("user_id"), "deleted")
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
-    typeDistribution, typePivot, splitAssign, dqUnpivot)
+    typeDistribution, typePivot, splitAssign, dqUnpivot, mergeTombstones)
 }

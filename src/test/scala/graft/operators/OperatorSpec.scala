@@ -57,6 +57,27 @@ class UpsertSpec extends SparkTestBase {
     val twice = Upsert.upsert(once, updates, Seq("k"))
     assert(once.collect().toSet === twice.collect().toSet)
   }
+
+  test("merge applies updates, inserts, and tombstone deletes") {
+    val target = Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("k", "v")
+    val feed = Seq(
+      ("k2", 20, false), // update
+      ("k3", 0, true), // delete
+      ("k4", 40, false), // insert
+      ("k9", 0, true) // delete of an absent key: no-op
+    ).toDF("k", "v", "deleted")
+    val out = Upsert.merge(target, feed, Seq("k"), "deleted").collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(out === Map("k1" -> 1, "k2" -> 20, "k4" -> 40))
+  }
+
+  test("merge replay is idempotent") {
+    val target = Seq(("k1", 1), ("k2", 2)).toDF("k", "v")
+    val feed = Seq(("k1", 10, false), ("k2", 0, true)).toDF("k", "v", "deleted")
+    val once = Upsert.merge(target, feed, Seq("k"), "deleted")
+    val twice = Upsert.merge(once, feed, Seq("k"), "deleted")
+    assert(once.collect().toSet === twice.collect().toSet)
+  }
 }
 
 class BandJoinSpec extends SparkTestBase {
