@@ -20,6 +20,12 @@ import graft.functions.Text
   * the codec initializes ONCE per partition (the expensive part with real
   * codecs), then streams the iterator. No shuffle; parallelism = input
   * partitions; payload bytes never hit the driver.
+  *
+  * `mapPartitions` here is the Scala-native equivalent of PySpark's
+  * `mapInPandas` (this is a Scala library — no Python worker exists to
+  * host a pandas UDF): both hand the stage a partition-sized iterator of
+  * batches with per-partition init, which is the contract a Python
+  * decode stage would plug into unchanged on a PySpark deployment.
   */
 object Multimodal {
 
