@@ -98,14 +98,16 @@ object MinHashLSH {
           array_join(slice(col("__sig"), bIdx * RowsPerBand + 1, RowsPerBand), "_")
             .as("bucket"))
       }: _*)).as("bk"))
-    val l = buckets.select(col(idCol).as("id1"),
+    // explicit aliases: l/r derive from the same plan, so l("band") ===
+    // r("band") would resolve both sides to one attribute (Spark warns
+    // "trivially true equals predicate" and falls back to positional
+    // disambiguation — correct today, but fragile under optimizer changes)
+    val flat = buckets.select(col(idCol).as("id"),
       col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val r = buckets.select(col(idCol).as("id2"),
-      col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val candidates = l.join(r,
-        l("band") === r("band") && l("bucket") === r("bucket") &&
-          l("id1") < r("id2"))
-      .select(col("id1"), col("id2")).distinct()
+    val candidates = flat.as("l").join(flat.as("r"),
+        col("l.band") === col("r.band") && col("l.bucket") === col("r.bucket") &&
+          col("l.id") < col("r.id"))
+      .select(col("l.id").as("id1"), col("r.id").as("id2")).distinct()
     val a = withSig.select(col(idCol).as("id1"),
       col(shCol).as("__sh1"), col("__sig").as("__sig1"))
     val b = withSig.select(col(idCol).as("id2"),

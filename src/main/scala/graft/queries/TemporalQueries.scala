@@ -4,11 +4,13 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
+import graft.functions.Stable
 import graft.operators.AsOfJoin
 import graft.sources.Tables
 
 /** Temporal operators beyond the reference's surface (SURVEY.md §2c/§2e
-  * "engine additions"): backward as-of join and lag/lead sessionization.
+  * "engine additions"): backward as-of join, interval (range) join via
+  * bin-bucketing, and lag/lead sessionization with island aggregates.
   */
 object TemporalQueries {
 
@@ -110,5 +112,111 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("value").desc, col("event_id").desc)
   }
 
-  val all: Seq[QuerySpec] = Seq(asofLastClick, sessionGaps, topEventsPerUser)
+  /** Interval (range) join, bin-bucketed: per purchase, the count and value
+    * of the same user's clicks in the trailing 30 minutes. A naive range
+    * θ-join plans BroadcastNestedLoopJoin (quadratic per user); instead both
+    * sides are bucketed into 30-minute epoch bins — a window of exactly one
+    * bin width overlaps at most 2 bins, so each purchase probes (bin-1, bin)
+    * and the join is a plain shuffled HASH join on (user_id, bin) with the
+    * exact range predicate as a residual filter. At 100 TB the cost tracks
+    * events-per-(user, half-hour), not events-per-user².
+    */
+  val clickWindowJoin: QuerySpec = QuerySpec.sql(
+    "q61_interval_join",
+    s"""WITH purchases AS (
+      |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts, value FROM events WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, p.ts,
+      |  CAST(count(c.ts) AS BIGINT) AS n_clicks_30m,
+      |  ${Stable.sum2Sql("c.value")} AS clicks_value
+      |FROM purchases p LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id
+      | AND c.ts >= p.ts - INTERVAL 30 MINUTE AND c.ts < p.ts
+      |GROUP BY p.event_id, p.user_id, p.ts
+      |ORDER BY p.event_id""".stripMargin
+  ) { (spark, dir) =>
+    val BinSec = 1800L // = the window length, so a window spans ≤ 2 bins
+    val ev = Tables.load(spark, dir, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    // click bin from floored epoch seconds; purchase probes (bin-1, bin).
+    // floor(long / 1800.0) is exact at epoch magnitudes (< 2^53).
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"),
+        floor(unix_timestamp(col("ts")) / BinSec).as("c_bin"))
+    val probes = purchases.withColumn("p_bin",
+      explode(array(floor(unix_timestamp(col("ts")) / BinSec) - 1,
+        floor(unix_timestamp(col("ts")) / BinSec))))
+    // a click's single bin matches exactly one of the two probe bins, so
+    // the equi-join introduces no duplicate pairs to dedup away
+    val matched = probes.join(clicks,
+        probes("user_id") === clicks("c_user") &&
+          probes("p_bin") === clicks("c_bin") &&
+          clicks("c_ts") >= probes("ts") - expr("INTERVAL 30 MINUTES") &&
+          clicks("c_ts") < probes("ts"))
+      .groupBy(col("event_id"))
+      .agg(count(col("c_ts")).as("n"), Stable.sum2(col("c_value")).as("cv"))
+    purchases.join(matched, Seq("event_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("n"), lit(0L)).as("n_clicks_30m"),
+        col("cv").as("clicks_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Gaps-and-islands rollup: q36's per-event session tags aggregated to
+    * session grain (start/end/duration/value per island). Same two-window
+    * shape — both windows share the (user_id, ts) partitioning, so the
+    * whole query is ONE shuffle plus a per-partition sort.
+    */
+  val sessionStats: QuerySpec = QuerySpec.sql(
+    "q62_session_stats",
+    s"""WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(is_new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+      |    AS duration_seconds,
+      |  ${Stable.sum2Sql("value")} AS session_value
+      |FROM s
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+  ) { (spark, dir) =>
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .withColumn("is_new_session",
+        when(lag(col("ts"), 1).over(w).isNull ||
+          floor(unix_timestamp(col("ts"))).cast("long") -
+            floor(unix_timestamp(lag(col("ts"), 1).over(w))).cast("long") > 1800,
+          1).otherwise(0))
+      .withColumn("session_seq", sum(col("is_new_session")).over(wRun).cast("long"))
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        (floor(unix_timestamp(max(col("ts")))) -
+          floor(unix_timestamp(min(col("ts"))))).cast("long")
+          .as("duration_seconds"),
+        Stable.sum2(col("value")).as("session_value"))
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(asofLastClick, sessionGaps, topEventsPerUser, clickWindowJoin,
+      sessionStats)
 }

@@ -203,6 +203,59 @@ object TextQueries {
       .limit(25)
   }
 
+  /** TF-IDF top-3 terms per document. Ranking uses the integer surrogate
+    * `(tf * 1e6) div df` — order-equivalent to tf·(N/df) for fixed N and
+    * computed in exact integer arithmetic, so the per-doc row_number cut
+    * is bit-identical across engines (ranking on the float tf·ln(N/df)
+    * itself would let one-ulp libm differences flip rank at ties). The
+    * float score is still reported, rounded. Shape: two hash aggregates
+    * (tf, df) + a broadcast corpus-size scalar + top-k window — all
+    * shuffles are on the exploded token stream, map-side combinable.
+    */
+  val tfidfTopTerms: QuerySpec = QuerySpec.sql(
+    "q63_tfidf_top_terms",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS tok
+      |  FROM documents),
+      |tf AS (SELECT doc_id, tok, count(*) AS tf FROM t GROUP BY 1, 2),
+      |df AS (SELECT tok, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM t GROUP BY 1),
+      |n AS (SELECT count(*) AS n_docs FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+      |    (tf.tf * 1000000) // df.df AS salience,
+      |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df) + 1e-9, 4) AS tfidf
+      |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY doc_id
+      |    ORDER BY salience DESC, tok) AS rn
+      |  FROM scored)
+      |SELECT doc_id, tok, tf, df, salience, tfidf, rn
+      |FROM ranked WHERE rn <= 3
+      |ORDER BY doc_id, rn""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy(col("tok"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    val nDocs = Tables.load(spark, dir, "documents")
+      .agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
+      .withColumn("salience", expr("(tf * 1000000) div df"))
+      .withColumn("tfidf",
+        round(col("tf") * log(col("n_docs").cast("double") / col("df"))
+          + lit(1e-9), 4))
+    scored
+      .withColumn("rn", row_number().over(Window.partitionBy(col("doc_id"))
+        .orderBy(col("salience").desc, col("tok"))).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"),
+        col("salience"), col("tfidf"), col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(textStats, qualityScore, langId, fingerprint, vocabTop)
+    Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms)
 }

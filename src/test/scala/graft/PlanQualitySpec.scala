@@ -66,6 +66,15 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("HashAggregate"), plan.take(2000))
   }
 
+  test("q61's interval join plans as an equi join on (user, bin), not BNLJ") {
+    val plan = planOf("q61_interval_join")
+    // the bin-bucketing rewrite exists precisely so the range predicate
+    // rides as a residual on a hash/merge equi-join
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"),
+      plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

@@ -14,5 +14,7 @@ echo "== verify sf0.1 =="
 sbt -batch "runMain graft.Verify /root/testdata/sf0.1 /tmp/gate_sf01"
 python3 tools/check.py /root/testdata/sf0.1 /tmp/gate_sf01
 echo "== bench sf0.1 =="
-SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 sbt -batch "runMain graft.Bench"
+# 32 threads mirrors the round driver's local[32] bench environment
+SPARK_GRAFT_CPUS=${SPARK_GRAFT_BENCH_CPUS:-32} SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
+  sbt -batch "runMain graft.Bench"
 echo "== gate PASSED =="
