@@ -113,9 +113,14 @@ object IvfAnn {
     *
     * @return (qid, neighbor, cosine)
     */
-  def search(corpus: DataFrame, idCol: String, vecCol: String,
+  def search(corpus0: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, clusters: Int, nProbe: Int, iters: Int = 2): DataFrame = {
+    // the corpus feeds seeding, every Lloyd iteration (assign + rebuild),
+    // final assignment, and the probe scoring — persist once instead of
+    // re-running the scan for each of those jobs
+    val corpus = corpus0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cents = centroids(corpus, idCol, vecCol, clusters, iters)
     val cells = assign(corpus, cents, idCol, vecCol)
     val corpusByCell = corpus

@@ -54,6 +54,32 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Stream-stream interval join — the streaming twin of the batch
+    * bin-bucketed interval join (q61): purchases matched to the same
+    * user's clicks in the trailing `joinWindow`. Watermarks on BOTH
+    * inputs plus the two-sided time-range condition let Spark derive
+    * state-eviction bounds for each side (a click older than
+    * `watermark + joinWindow` can never match a future purchase, so its
+    * state is dropped) — without them, stream-stream join state grows
+    * forever. Output columns: (p_id, user_id, p_ts, c_ts, c_value).
+    */
+  def clickIntervalJoin(purchases: DataFrame, clicks: DataFrame,
+      joinWindow: String = "30 minutes",
+      delayThreshold: String = "1 hour"): DataFrame = {
+    val p = purchases.withWatermark("ts", delayThreshold)
+      .select(col("event_id").as("p_id"), col("user_id"),
+        col("ts").as("p_ts"))
+    val c = clicks.withWatermark("ts", delayThreshold)
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        col("value").as("c_value"))
+    p.join(c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr(s"INTERVAL $joinWindow") &&
+          col("c_ts") < col("p_ts"))
+      .select(col("p_id"), col("user_id"), col("p_ts"), col("c_ts"),
+        col("c_value"))
+  }
+
   /** foreachBatch MERGE-upsert into a parquet path keyed by `keys` —
     * the streaming twin of the silver-layer upsert. Each batch is
     * deduplicated to one row per key (latest ts wins) before the merge,

@@ -55,6 +55,13 @@ class OptimizeSpec extends SparkTestBase {
     val parent = new java.io.File(dir).getParentFile.listFiles().map(_.getName)
     assert(!parent.exists(_.contains("__cluster_tmp__")))
     assert(!parent.exists(_.contains("__old__")))
+    // the layout's whole point: a partition-key predicate prunes the scan
+    // to one directory (PartitionFilters, no data files from other years)
+    val pruned = spark.read.parquet(dir).filter(col("year") === 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(year"), scan.take(1500))
+    assert(pruned.select(input_file_name()).distinct()
+      .collect().forall(_.getString(0).contains("year=1")))
   }
 
   test("analyze records row count and size in the catalog") {

@@ -61,6 +61,30 @@ class StreamingPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("clickIntervalJoin matches clicks in the trailing window only") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val purchases = MemoryStream[Ev]
+    val clicks = MemoryStream[Ev]
+    val q = StreamingPipeline.clickIntervalJoin(
+        purchases.toDF(), clicks.toDF(), joinWindow = "30 minutes")
+      .writeStream.format("memory").queryName("ssj_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        ev("c1", "2024-01-01 10:05:00", v = 2.0), // in window
+        ev("c2", "2024-01-01 09:55:00", v = 3.0), // too old
+        ev("c3", "2024-01-01 10:31:00", v = 4.0), // after the purchase
+        ev("c4", "2024-01-01 10:10:00", u = "u2", v = 5.0)) // other user
+      purchases.addData(ev("p1", "2024-01-01 10:30:00", typ = "purchase"))
+      q.processAllAvailable()
+      val out = spark.table("ssj_out")
+        .select("p_id", "c_value").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSet
+      assert(out === Set(("p1", 2.0)))
+    } finally q.stop()
+  }
+
   test("upsertSink resumes from a checkpoint without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
