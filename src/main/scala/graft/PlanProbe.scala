@@ -1,31 +1,41 @@
 package graft
 
-/** Dev scratch: dump the analyzed/optimized condition tree of a range
-  * θ-join so the interval-join rewrite rule can match the real node
-  * shapes (not guessed ones). Not part of the shipped surface.
+import org.apache.spark.sql.functions._
+
+/** Dev scratch: measures the interval-join rewrite's effect at a scale
+  * where the nested-loop quadratic cost bites (200k × 200k rows → 4·10¹⁰
+  * timestamp comparisons naive; rows-per-bin linear work rewritten).
+  * Not part of the shipped surface.
   */
 object PlanProbe {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("plan-probe")
-    val dir = "/root/testdata/sf0.001"
-    graft.sources.Tables.registerAll(spark, dir)
-    val df = spark.sql(
-      """SELECT p.event_id, c.ts AS c_ts
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |JOIN (SELECT * FROM events WHERE event_type = 'click') c
-        |  ON p.user_id = c.user_id
-        | AND c.ts >= p.ts - INTERVAL 30 MINUTES
-        | AND c.ts < p.ts""".stripMargin)
-    val join = df.queryExecution.optimizedPlan.collect {
-      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
-    }.head
-    println("=== join condition tree ===")
-    join.condition.foreach { c =>
-      println(c.treeString)
-      c.foreach(e => println(s"node: ${e.getClass.getName} :: $e :: ${e.dataType}"))
+    val n = 200000L
+    // two synthetic streams spread over ~23 days, deterministic
+    spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 10000000L +
+          (col("id") % 97) * 13L).as("ts"))
+      .createOrReplaceTempView("errors")
+    spark.range(n).select(
+        col("id").as("event_id"),
+        timestamp_micros(lit(1704067200000000L) + col("id") * 10000000L +
+          (col("id") % 89) * 7919L).as("ts"))
+      .createOrReplaceTempView("signups")
+    val sql =
+      """SELECT count(*) AS n FROM signups s JOIN errors e
+        |  ON e.ts > s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTES""".stripMargin
+    def time(label: String): Unit = {
+      val t0 = System.nanoTime()
+      val r = spark.sql(sql).collect()(0).getLong(0)
+      println(f"[probe] $label: ${(System.nanoTime() - t0) / 1e9}%.2f s ($r pairs)")
     }
-    println("=== physical ===")
-    df.explain("formatted")
+    time("rewritten(warm0)")
+    time("rewritten")
+    spark.conf.set("spark.sql.optimizer.excludedRules",
+      "graft.plans.RewriteIntervalJoin")
+    time("nested-loop")
+    spark.conf.unset("spark.sql.optimizer.excludedRules")
     spark.stop()
   }
 }

@@ -3,7 +3,7 @@ package graft
 /** Dev utility: run a single named query with timing and an optional
   * formatted plan dump.
   *
-  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain]
+  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain] [exclude=<rules>]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -11,6 +11,10 @@ object RunOne {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
     val doExplain = args.contains("explain")
     val spark = Sessions.local(s"graft-$name")
+    // A/B a rewrite rule: exclude=graft.plans.RewriteIntervalJoin
+    args.collectFirst { case a if a.startsWith("exclude=") =>
+      spark.conf.set("spark.sql.optimizer.excludedRules", a.drop(8))
+    }
     val fn = SparkEntry.queries(name)
     // warmup: flagship query plus this query at the smallest sf
     SparkEntry.entry(spark).count()

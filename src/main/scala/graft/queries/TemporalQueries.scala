@@ -216,7 +216,32 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** Pure range θ-join through the SQL front door, written NAIVELY — no
+    * user equality, so vanilla Catalyst plans BroadcastNestedLoopJoin
+    * (|signups|·|errors| comparisons). The injected
+    * [[graft.plans.RewriteIntervalJoin]] rule rewrites it into the
+    * bin-bucketed hash join automatically (the declarative text stays
+    * naive; the optimizer owns the scale shape — spec-asserted in
+    * `RewriteIntervalJoinSpec`, plan-asserted in `PlanQualitySpec`).
+    * LEFT JOIN is safe because the preserved side is the bounded one.
+    * One query text runs in BOTH engines (DuckDB plans its native
+    * IEJoin for the same SQL).
+    */
+  val errorFollowup: QuerySpec = {
+    val sql =
+      """SELECT s.event_id, s.ts, CAST(count(e.ts) AS BIGINT) AS n_errors_5m
+        |FROM (SELECT event_id, ts FROM events WHERE event_type = 'signup') s
+        |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'error') e
+        |  ON e.ts > s.ts AND e.ts <= s.ts + INTERVAL 5 MINUTES
+        |GROUP BY s.event_id, s.ts
+        |ORDER BY s.event_id""".stripMargin
+    QuerySpec.sql("q64_range_join_followup", sql) { (spark, dir) =>
+      Tables.load(spark, dir, "events").createOrReplaceTempView("events")
+      spark.sql(sql)
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(asofLastClick, sessionGaps, topEventsPerUser, clickWindowJoin,
-      sessionStats)
+      sessionStats, errorFollowup)
 }

@@ -256,6 +256,128 @@ object TextQueries {
       .orderBy(col("doc_id"), col("rn"))
   }
 
+  /** Fixed-window document chunking with overlap — the training-data
+    * staple that turns documents into model-sized sequences. Tokens are
+    * windowed into 32-token chunks on a 24-token stride (8-token
+    * overlap); every doc yields at least one chunk, and the final chunk
+    * keeps the natural tail (no padding). The generator runs
+    * executor-side (`explode(sequence(...))` — a whole-stage-codegen
+    * Generate, not a driver loop), so chunk fan-out is embarrassingly
+    * parallel: at 100 TB this is one scan stage whose output is ~n/stride
+    * rows per doc with zero shuffle before the presentation sort.
+    */
+  val docChunks: QuerySpec = QuerySpec.sql(
+    "q65_doc_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents),
+      |sized AS (
+      |  SELECT doc_id, toks,
+      |    1 + greatest(0, CAST(ceil((len(toks) - 32) / 24.0) AS INT)) AS n_chunks
+      |  FROM toks),
+      |fanned AS (
+      |  SELECT doc_id, toks, unnest(range(0, n_chunks)) AS g FROM sized)
+      |SELECT doc_id, CAST(g AS BIGINT) AS chunk_idx,
+      |  CAST(len(list_slice(toks, g*24 + 1, g*24 + 32)) AS BIGINT) AS n_chunk_tokens,
+      |  array_to_string(list_slice(toks, g*24 + 1, g*24 + 32), ' ') AS chunk_text
+      |FROM fanned
+      |ORDER BY doc_id, chunk_idx""".stripMargin
+  ) { (spark, dir) =>
+    val chunk = slice(col("toks"), (col("g") * 24 + 1).cast("int"), lit(32))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("n_chunks",
+        (lit(1) + greatest(lit(0),
+          ceil((size(col("toks")) - lit(32)).cast("double") / 24.0))).cast("int"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), col("n_chunks") - 1)).as("g"))
+      .select(
+        col("doc_id"),
+        col("g").cast("long").as("chunk_idx"),
+        size(chunk).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", chunk).as("chunk_text"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  /** Deterministic corpus mixing: re-derive q19's quality score, band it
+    * with thresholds tuned to the fixture's score spread (>=30 HIGH /
+    * >=24 MEDIUM — q19's 70/40 ladder is all-LOW on this corpus), then
+    * subsample each band at its mixing rate (HIGH 100% / MEDIUM 50% /
+    * LOW 10%) using the q41 portable arithmetic hash of `doc_id` — no
+    * rand(), identical membership in any engine, stable across re-runs
+    * and partitionings (how training mixes stay reproducible). Output is
+    * the per-band audit: kept/total docs and kept token mass.
+    */
+  val corpusMix: QuerySpec = QuerySpec.sql(
+    "q66_corpus_mix",
+    """WITH scored AS (
+      |  SELECT doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    100 * (0.4 * (CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / greatest(len(toks), 1))
+      |           + 0.3 * least(len(toks), 200) / 200.0
+      |           + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))) AS score,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM (SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |        FROM documents)),
+      |banded AS (
+      |  SELECT *,
+      |    CASE WHEN round(score + 1e-9, 4) >= 30 THEN 'HIGH'
+      |         WHEN round(score + 1e-9, 4) >= 24 THEN 'MEDIUM'
+      |         ELSE 'LOW' END AS quality_band,
+      |    CASE WHEN round(score + 1e-9, 4) >= 30 THEN 100
+      |         WHEN round(score + 1e-9, 4) >= 24 THEN 50
+      |         ELSE 10 END AS mix_rate
+      |  FROM scored)
+      |SELECT quality_band, mix_rate,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN bucket < mix_rate THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+      |  CAST(sum(CASE WHEN bucket < mix_rate THEN n_tokens ELSE 0 END) AS BIGINT) AS kept_tokens
+      |FROM banded
+      |GROUP BY quality_band, mix_rate
+      |ORDER BY quality_band""".stripMargin
+  ) { (spark, dir) =>
+    val toks = col("toks")
+    val stop = array(Seq("the", "a", "an", "and", "of", "to", "in", "is")
+      .map(lit): _*)
+    // float-op association mirrors the oracle text exactly (ratio-first
+    // parens on the two ratios, (0.3*least)/200.0 on the saturation term)
+    // so band edges cannot diverge between engines
+    val stopRatio = size(filter(toks, t => array_contains(stop, t)))
+      .cast("double") / greatest(size(toks), lit(1))
+    val diversity = size(array_distinct(toks)).cast("double") /
+      greatest(size(toks), lit(1))
+    val scored = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (lit(100) * (lit(0.4) * stopRatio
+          + lit(0.3) * least(size(toks), lit(200)) / 200.0
+          + lit(0.3) * diversity)).as("score"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    // band on the ROUNDED score (repo float convention) so an ulp of
+    // engine difference cannot flip a document across a band edge;
+    // thresholds sit inside the fixture's observed 18-40 score range
+    val snapped = round(col("score") + lit(1e-9), 4)
+    scored
+      .withColumn("quality_band",
+        when(snapped >= 30, "HIGH")
+          .when(snapped >= 24, "MEDIUM").otherwise("LOW"))
+      .withColumn("mix_rate",
+        when(snapped >= 30, 100)
+          .when(snapped >= 24, 50).otherwise(10))
+      .groupBy(col("quality_band"), col("mix_rate"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("bucket") < col("mix_rate"), 1L).otherwise(0L))
+          .as("n_kept"),
+        sum(when(col("bucket") < col("mix_rate"), col("n_tokens"))
+          .otherwise(0L)).as("kept_tokens"))
+      .orderBy(col("quality_band"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms)
+    Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
+      docChunks, corpusMix)
 }

@@ -75,6 +75,12 @@ class PlanQualitySpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q64's naive range join is auto-rewritten off the nested-loop path") {
+    val plan = planOf("q64_range_join_followup")
+    assert(plan.contains("__graft_bin"), plan.take(2000))
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>

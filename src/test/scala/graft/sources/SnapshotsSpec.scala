@@ -1,0 +1,89 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkTestBase
+
+class SnapshotsSpec extends SparkTestBase {
+
+  private def tmpTable(): String =
+    Files.createTempDirectory("graft_snap").toString + "/t"
+
+  test("write assigns consecutive versions and read returns the latest") {
+    import spark.implicits._
+    val path = tmpTable()
+    assert(Snapshots.write(Seq((1, "a")).toDF("id", "s"), path) == 0L)
+    assert(Snapshots.write(Seq((2, "b")).toDF("id", "s"), path) == 1L)
+    assert(Snapshots.write(Seq((3, "c")).toDF("id", "s"), path) == 2L)
+    assert(Snapshots.latestVersion(spark, path).contains(2L))
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("c"))
+  }
+
+  test("time travel reads any prior committed version") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "v0")).toDF("id", "s"), path)
+    Snapshots.write(Seq((1, "v1"), (2, "v1")).toDF("id", "s"), path)
+    assert(Snapshots.readVersion(spark, path, 0).count() == 1)
+    assert(Snapshots.readVersion(spark, path, 1).count() == 2)
+    assert(Snapshots.readVersion(spark, path, 0).select("s")
+      .as[String].collect().toSeq == Seq("v0"))
+  }
+
+  test("a reader holding an old version survives a concurrent commit") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "old")).toDF("id", "s"), path)
+    val held = Snapshots.read(spark, path) // lazy — not yet materialized
+    Snapshots.write(Seq((9, "new")).toDF("id", "s"), path)
+    // the immutable _v=0 dir is untouched by the new commit
+    assert(held.select("s").as[String].collect().toSeq == Seq("old"))
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("new"))
+  }
+
+  test("history lists committed versions with stats, latest flagged") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "a")).toDF("id", "s"), path)
+    Snapshots.write(Seq((2, "b"), (3, "c")).toDF("id", "s"), path)
+    val h = Snapshots.history(spark, path)
+      .select("version", "num_files", "is_latest")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(h.map(_._1).toSeq == Seq(0L, 1L))
+    assert(h.forall(_._2 > 0))
+    assert(h.collect { case (v, _, true) => v }.toSeq == Seq(1L))
+  }
+
+  test("vacuum keeps the retention window and never the latest") {
+    import spark.implicits._
+    val path = tmpTable()
+    (0 until 5).foreach(i =>
+      Snapshots.write(Seq((i, s"v$i")).toDF("id", "s"), path))
+    val deleted = Snapshots.vacuum(spark, path, keepLast = 2)
+    assert(deleted == Seq(0L, 1L, 2L))
+    // survivors still readable; vacuumed versions gone
+    assert(Snapshots.readVersion(spark, path, 3).count() == 1)
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("v4"))
+    intercept[Exception](Snapshots.readVersion(spark, path, 0).collect())
+    // keepLast clamps to 1: latest always survives
+    assert(Snapshots.vacuum(spark, path, keepLast = 0) == Seq(3L))
+    assert(Snapshots.read(spark, path).count() == 1)
+  }
+
+  test("an orphaned snapshot dir (crash before pointer move) is invisible and vacuumed") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "a")).toDF("id", "s"), path)
+    // simulate a crash: snapshot dir exists past the pointer, no commit
+    Seq((2, "b")).toDF("id", "s").write.parquet(s"$path/_v=1")
+    assert(Snapshots.latestVersion(spark, path).contains(0L))
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("a"))
+    assert(!Snapshots.history(spark, path).select("version")
+      .as[Long].collect().contains(1L))
+    assert(Snapshots.vacuum(spark, path, keepLast = 3) == Seq(1L))
+  }
+}
