@@ -3,7 +3,8 @@ package graft
 /** Dev utility: run a single named query with timing and an optional
   * formatted plan dump.
   *
-  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain] [exclude=<rules>]
+  * Usage: runMain graft.RunOne <queryName> [sfDir] [explain] [metrics]
+  *          [exclude=<rules>]
   */
 object RunOne {
   def main(args: Array[String]): Unit = {
@@ -24,6 +25,10 @@ object RunOne {
       val t0 = System.nanoTime()
       val n = fn(spark, sfDir).count()
       println(f"[runone] $name run$i: ${(System.nanoTime() - t0) / 1e9}%.3f s ($n rows)")
+    }
+    if (args.contains("metrics")) {
+      val m = Metrics.measure(spark) { fn(spark, sfDir).count() }
+      println(s"[runone] $name metrics: ${m.pretty}")
     }
     spark.stop()
   }

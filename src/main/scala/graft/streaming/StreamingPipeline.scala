@@ -80,6 +80,30 @@ object StreamingPipeline {
         col("c_value"))
   }
 
+  /** Stream-static enrichment join: the streaming twin of the silver
+    * layer's dim join (J1/J2). The static side carries no streaming
+    * state at all — unlike stream-stream joins there is nothing to
+    * watermark, because the static side is complete by definition.
+    * Spark broadcasts the dim when it fits
+    * `autoBroadcastJoinThreshold`, which a dimension table should; at
+    * 100 TB of stream this stays a map-side join, the only shape that
+    * survives unbounded input. Left join preserves events with no dim
+    * match (the OTHER-region fallback semantics).
+    *
+    * Dim refresh caveat: the static side's FILE LISTING is pinned when
+    * the query starts, so refreshing the dim with an in-place
+    * [[Tables.overwrite]] deletes files a live micro-batch may still
+    * read → `FAILED_READ_FILE.FILE_NOT_EXIST`. Publish dims through
+    * [[graft.sources.Snapshots]] instead: a refresh writes a NEW
+    * immutable version directory, the running query keeps serving its
+    * pinned version, and a restart (or a foreachBatch re-read of
+    * `Snapshots.read`) picks up the new one — spec-asserted in
+    * `StreamingPipelineSpec`.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame,
+      joinKey: String = "event_type"): DataFrame =
+    events.join(broadcast(dim), Seq(joinKey), "left")
+
   /** foreachBatch MERGE-upsert into a parquet path keyed by `keys` —
     * the streaming twin of the silver-layer upsert. Each batch is
     * deduplicated to one row per key (latest ts wins) before the merge,

@@ -85,6 +85,44 @@ class StreamingPipelineSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("enrichStream joins a snapshot dim; a refresh never breaks the stream") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dimPath = Files.createTempDirectory("graft_dim").toString + "/dim"
+    graft.sources.Snapshots.write(
+      Seq(("click", 1.0), ("view", 0.5)).toDF("event_type", "weight"), dimPath)
+    val input = MemoryStream[Ev]
+    val q = StreamingPipeline.enrichStream(
+        input.toDF(), graft.sources.Snapshots.read(spark, dimPath))
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      input.addData(ev("e1", "2024-01-01 10:00:00", typ = "click"),
+        ev("e2", "2024-01-01 10:01:00", typ = "error")) // no dim row
+      q.processAllAvailable()
+      val b1 = spark.table("enrich_out")
+        .select("event_id", "weight").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toMap
+      assert(b1 === Map("e1" -> Some(1.0), "e2" -> None))
+      // dim refresh while the query runs: the new version lands in its
+      // own directory, so the pinned static side keeps serving v0 —
+      // an in-place Tables.overwrite here would instead delete files
+      // under the live query (FAILED_READ_FILE.FILE_NOT_EXIST)
+      graft.sources.Snapshots.write(
+        Seq(("click", 9.0)).toDF("event_type", "weight"), dimPath)
+      input.addData(ev("e3", "2024-01-01 10:02:00", typ = "click"))
+      q.processAllAvailable()
+      val b2 = spark.table("enrich_out")
+        .select("event_id", "weight").collect()
+        .map(r => (r.getString(0), Option(r.get(1)))).toMap
+      assert(b2("e3") === Some(1.0)) // pinned at v0, not broken
+      // a restart picks up the refreshed dim
+      assert(graft.sources.Snapshots.read(spark, dimPath)
+        .filter($"event_type" === "click").select("weight")
+        .as[Double].collect().toSeq == Seq(9.0))
+    } finally q.stop()
+  }
+
   test("upsertSink resumes from a checkpoint without reprocessing") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
