@@ -20,6 +20,11 @@ object Dedup {
   /** Keep the first row per key under `order` (pass descending columns for
     * keep-latest). `order` must be a total order within a key group —
     * include a unique tiebreaker column — or results are nondeterministic.
+    *
+    * Written as the declarative window idiom; the injected
+    * [[graft.plans.RewriteWindowTopK]] rule plans it as
+    * `TopKPerKeyExec(k = 1)` (bounded heap, map-side partial reduction)
+    * instead of a WindowExec full per-group sort.
     */
   def keepFirst(df: DataFrame, keys: Seq[String], order: Seq[Column]): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*).orderBy(order: _*)

@@ -18,6 +18,7 @@ object GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectOptimizerRule(_ => DeriveNanosWatermarkPushdown)
     ext.injectOptimizerRule(_ => RewriteIntervalJoin)
+    ext.injectOptimizerRule(_ => RewriteWindowTopK)
     ext.injectPlannerStrategy(_ => TopKPerKeyStrategy)
     ext.injectFunction((FunctionIdentifier("poly_hash"),
       new ExpressionInfo(classOf[PolyHash].getName, "poly_hash"),
