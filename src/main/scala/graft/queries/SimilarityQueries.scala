@@ -288,7 +288,28 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Product-quantization ADC search ([[graft.operators.ProductQuantizer]]
+    * — per-subspace codebooks, 32× vector compression, distance-table
+    * lookups instead of float dot products). Codebook training unrolls
+    * Lloyd iterations like q58's IVF, so this too is a rows-only gate
+    * entry; recall (cluster retrieval on synthetic clustered data, floor
+    * on the near-random fixture) and determinism are asserted in
+    * `ProductQuantizerSpec`.
+    */
+  val pqAnn: QuerySpec = QuerySpec.rowsOnly("q67_pq_ann") { (spark, dir) =>
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.ProductQuantizer
+      .search(corpus, "vec_id", "embedding", queries, "qid", "qv",
+        // one refinement pass over the deterministic seeds: the
+        // gate-scale setting (each extra Lloyd pass is a full corpus
+        // scan; production sizing raises it with the corpus)
+        k = 3, m = 8, dim = 64, codes = 16, iters = 1)
+      .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn)
+    quantizedKnn, pqAnn)
 }
