@@ -155,4 +155,32 @@ object ProductQuantizer {
     Dedup.topKPerKey(scored, Seq(qidCol),
       Seq(col("approx_dist").asc, col("neighbor").asc), k)
   }
+
+  /** PQ shortlist → EXACT re-rank — the production composition: ADC
+    * over codes prunes the corpus to a `shortlist` of `refine · k`
+    * candidates per query (codes-only scan, zero shuffle), then only
+    * the shortlist's FULL vectors are fetched (a semi-join against the
+    * corpus — at 10 B vectors this is the only stage touching float
+    * data) and re-scored exactly. Approximation error then affects only
+    * which candidates make the shortlist, not their final order.
+    * @return (qid, neighbor, dist2) — exact squared L2
+    */
+  def searchRefined(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, m: Int, dim: Int, codes: Int, iters: Int = 2,
+      refine: Int = 4): DataFrame = {
+    val corpus = corpus0
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shortlist = search(corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      k = refine * k, m = m, dim = dim, codes = codes, iters = iters)
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor"), col(vecCol)), "neighbor")
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
+      .select(col(qidCol), col("neighbor"),
+        (Vectors.dot(col(qvecCol), col(qvecCol))
+          + Vectors.dot(col(vecCol), col(vecCol))
+          - lit(2.0) * Vectors.dot(col(qvecCol), col(vecCol))).as("dist2"))
+    Dedup.topKPerKey(exact, Seq(qidCol),
+      Seq(col("dist2").asc, col("neighbor").asc), k)
+  }
 }

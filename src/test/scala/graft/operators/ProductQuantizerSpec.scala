@@ -85,6 +85,34 @@ class ProductQuantizerSpec extends SparkTestBase {
       s"same-cluster fraction ${sameCluster.toDouble / pq.length}")
   }
 
+  test("exact re-ranking beats raw ADC recall on the hard fixture") {
+    val k = 5
+    def recallOf(result: Set[(Long, Long)], bf: Set[(Long, Long)]) =
+      result.intersect(bf).size.toDouble / bf.size
+    val bf = Dedup.topKPerKey(
+        queries.crossJoin(corpus)
+          .filter(col("qid") =!= col("vec_id"))
+          .select(col("qid"), col("vec_id").as("neighbor"),
+            (Vectors.dot(col("qv"), col("qv"))
+              + Vectors.dot(col("embedding"), col("embedding"))
+              - lit(2.0) * Vectors.dot(col("qv"), col("embedding")))
+              .as("d2")),
+        Seq("qid"), Seq(col("d2").asc, col("neighbor").asc), k)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val adc = ProductQuantizer.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = k, m = M, dim = Dim, codes = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = ProductQuantizer.searchRefined(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = k, m = M, dim = Dim, codes = 16,
+        refine = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(refined.size == bf.size)
+    // re-ranking can only reorder ADC's shortlist with TRUE distances:
+    // recall must not drop, and on this near-random corpus it must rise
+    assert(recallOf(refined, bf) > recallOf(adc, bf),
+      s"refined ${recallOf(refined, bf)} vs adc ${recallOf(adc, bf)}")
+  }
+
   test("training, encoding, and search are deterministic across runs") {
     def run() = ProductQuantizer.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, m = M, dim = Dim, codes = 16)
