@@ -241,7 +241,115 @@ object TemporalQueries {
     }
   }
 
+  /** q62's session rollup computed through the TYPED Dataset API —
+    * `Dataset[SessionEv].groupByKey(_.user_id).flatMapGroups` walking
+    * each user's timeline imperatively (the per-partition state-machine
+    * style that windows cannot always express) — and verified against
+    * the SAME oracle SQL as q62, so the typed and declarative paths are
+    * proven equivalent end-to-end.
+    *
+    * Scale notes: one shuffle on the grouping key (same as the window
+    * formulation); a group must fit in memory (99 events/user max here;
+    * a power-law user at 100 TB would need the chunk-and-stitch noted
+    * for as-of joins). Float semantics replicate [[Stable.sum2]]
+    * exactly — per-value HALF_UP to the 1e-10 grid, exact decimal
+    * accumulation (order-invariant), one double cast, then Spark's
+    * `round(x + 1e-9, 2)` — so the hash still matches the oracle.
+    */
+  val typedSessions: QuerySpec = QuerySpec.sql(
+    "q68_typed_sessions",
+    s"""WITH g AS (
+      |  SELECT user_id, event_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |              OR CAST(floor(epoch(ts)) AS BIGINT) -
+      |                 CAST(floor(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS is_new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |s AS (
+      |  SELECT *, sum(is_new_session) OVER (
+      |    PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM g)
+      |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+      |  count(*) AS n_events,
+      |  min(ts) AS session_start, max(ts) AS session_end,
+      |  CAST(floor(epoch(max(ts))) - floor(epoch(min(ts))) AS BIGINT)
+      |    AS duration_seconds,
+      |  ${Stable.sum2Sql("value")} AS session_value
+      |FROM s
+      |GROUP BY user_id, session_seq
+      |ORDER BY user_id, session_seq""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val ds = Tables.load(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), col("ts"), col("value"))
+      .as[SessionEv]
+    ds.groupByKey(_.user_id)
+      .flatMapGroups { (uid: Long, it: Iterator[SessionEv]) =>
+        SessionWalk.sessions(uid, it)
+      }
+      .toDF()
+      .orderBy(col("user_id"), col("session_seq"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(asofLastClick, sessionGaps, topEventsPerUser, clickWindowJoin,
-      sessionStats, errorFollowup)
+      sessionStats, errorFollowup, typedSessions)
+}
+
+/** Typed rows for [[TemporalQueries.typedSessions]]. */
+case class SessionEv(user_id: Long, event_id: Long,
+    ts: java.sql.Timestamp, value: Double)
+
+case class SessionRow(user_id: Long, session_seq: Long, n_events: Long,
+    session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+    duration_seconds: Long, session_value: Double)
+
+/** The imperative per-user session walk (executor-side, one user's
+  * events in memory). Kept as plain Scala so the group function stays a
+  * serializable closure with no Spark references.
+  */
+object SessionWalk {
+
+  private def epochSec(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond
+
+  /** value → DECIMAL(28,10) grid exactly like Spark's cast (shortest
+    * decimal form, HALF_UP) so the exact accumulation matches
+    * [[graft.functions.Stable.sumD]].
+    */
+  private def dec10(v: Double): java.math.BigDecimal =
+    java.math.BigDecimal.valueOf(v)
+      .setScale(10, java.math.RoundingMode.HALF_UP)
+
+  /** `round(sum + 1e-9, 2)` with Spark's double-round semantics. */
+  private def round2(sum: java.math.BigDecimal): Double =
+    java.math.BigDecimal.valueOf(sum.doubleValue() + 1e-9)
+      .setScale(2, java.math.RoundingMode.HALF_UP).doubleValue()
+
+  def sessions(uid: Long, it: Iterator[SessionEv]): Iterator[SessionRow] = {
+    val evs = it.toArray.sortBy(e =>
+      (epochSec(e.ts), e.ts.getNanos.toLong, e.event_id))
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+    var seq = 0L
+    var prevSec = Long.MinValue
+    var n = 0L
+    var start: java.sql.Timestamp = null
+    var end: java.sql.Timestamp = null
+    var acc = java.math.BigDecimal.ZERO
+    def flush(): Unit = if (n > 0)
+      out += SessionRow(uid, seq, n, start, end,
+        epochSec(end) - epochSec(start), round2(acc))
+    evs.foreach { e =>
+      val sec = epochSec(e.ts)
+      if (prevSec == Long.MinValue || sec - prevSec > 1800) {
+        flush()
+        seq += 1; n = 0; start = e.ts; acc = java.math.BigDecimal.ZERO
+      }
+      n += 1; end = e.ts; acc = acc.add(dec10(e.value)); prevSec = sec
+    }
+    flush()
+    out.iterator
+  }
 }
