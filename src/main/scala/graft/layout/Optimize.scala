@@ -47,6 +47,56 @@ object Optimize {
     }
   }
 
+  /** Quantize a bounded numeric column onto the `[0, 2^bits)` integer
+    * grid (clamped), for [[zvalue]]. Domain bounds are caller-declared
+    * (lat ∈ [-90, 90], lon ∈ [-180, 180], …) — no stats pass needed.
+    */
+  private def quantize(c: org.apache.spark.sql.Column, lo: Double,
+      hi: Double, bits: Int): org.apache.spark.sql.Column = {
+    val max = (1L << bits) - 1
+    org.apache.spark.sql.functions.least(
+      org.apache.spark.sql.functions.greatest(
+        ((c - lo) / (hi - lo) * max), org.apache.spark.sql.functions.lit(0.0)),
+      org.apache.spark.sql.functions.lit(max.toDouble)).cast("long")
+  }
+
+  /** Morton z-value of two bounded numeric columns
+    * ([[graft.expressions.ZOrderInterleave]] — codegen bit interleave).
+    */
+  def zvalue(a: (org.apache.spark.sql.Column, Double, Double),
+      b: (org.apache.spark.sql.Column, Double, Double),
+      bits: Int = 16): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.toColumn(
+      graft.expressions.ZOrderInterleave(
+        org.apache.spark.sql.graftglue.ColumnGlue.toCatalyst(
+          quantize(a._1, a._2, a._3, bits)),
+        org.apache.spark.sql.graftglue.ColumnGlue.toCatalyst(
+          quantize(b._1, b._2, b._3, bits)),
+        bits))
+
+  /** TRUE multi-dimensional Z-ORDER clustering: range-partition and sort
+    * by the Morton z-value of two clustering columns, so every output
+    * file covers a bounded range in BOTH dimensions and predicates on
+    * EITHER column skip files. [[cluster]]'s lexicographic sort only
+    * bounds the leading column — its files span the full range of the
+    * second, and second-column predicates prune nothing (measured in
+    * `ZOrderSpec`). This is the faithful analog of the reference's
+    * `OPTIMIZE … ZORDER BY (magnitude, event_time, …)`
+    * (`TABLE OPTIMIZATION.py:60-63`).
+    */
+  def clusterZ(spark: SparkSession, path: String,
+      a: (String, Double, Double), b: (String, Double, Double),
+      targetFiles: Int, bits: Int = 16): Unit = {
+    val df = spark.read.parquet(path)
+    val z = zvalue((col(a._1), a._2, a._3), (col(b._1), b._2, b._3), bits)
+    val clustered = df
+      .withColumn("__z", z)
+      .repartitionByRange(targetFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+    graft.sources.Tables.overwrite(clustered, path)
+  }
+
   /** File-level stats for a table path — the `DESCRIBE DETAIL`
     * numFiles/sizeInBytes analog (S12, `TABLE OPTIMIZATION.py:24-28`).
     */

@@ -81,6 +81,19 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
   }
 
+  test("q03's keep-latest dedup rides the TopKPerKey rewrite, not a window") {
+    val plan = planOf("q03_dedup_latest")
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("WindowExec"), plan.take(2000))
+  }
+
+  test("q65's chunk fan-out runs in the scan stage (no hash exchange)") {
+    val plan = planOf("q65_doc_chunks")
+    assert(plan.contains("Generate"), plan.take(2000))
+    // only the presentation sort's range exchange may move data
+    assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
