@@ -91,6 +91,29 @@ object Multimodal {
       ceil(meta.getField("height") * factor).cast("int").as("height"),
       ceil(nBytes * factor * factor).cast("long").as("est_bytes"))
 
+  /** Frame sampling as a GENERATOR (stub for "take every k-th video
+    * frame"): one output row per sampled frame index — `0, stride,
+    * 2·stride, …` below [[frameCount]] — with a per-frame seed
+    * (`seed + frame_idx`, the deterministic stand-in for decoding that
+    * frame). The fan-out runs executor-side inside the scan stage
+    * (`explode(sequence(...))`, zero shuffle), which is the shape that
+    * matters at 100 TB of video: rows-per-asset scales with duration,
+    * never with driver involvement. Columns added: `frame_idx`,
+    * `frame_seed`.
+    */
+  def sampleFrames(assets: DataFrame, stride: Int,
+      nBytesCol: String = "n_bytes", seedCol: String = "seed"): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1, got $stride")
+    val frames = frameCount(col(nBytesCol))
+    // last sampled index: stride * floor((frames - 1) / stride); a
+    // zero-frame asset explodes an empty array, i.e. emits no rows
+    val indices = when(frames > 0,
+      sequence(lit(0L), (frames - 1) - pmod(frames - 1, lit(stride.toLong)),
+        lit(stride.toLong))).otherwise(array().cast("array<bigint>"))
+    assets.withColumn("frame_idx", explode(indices))
+      .withColumn("frame_seed", col(seedCol) + col("frame_idx"))
+  }
+
   /** The batched-decode pattern: one codec instance per PARTITION (real
     * codecs are expensive to open), streamed over the iterator — the
     * Scala twin of a `mapInPandas` batch UDF. Produces exactly the same

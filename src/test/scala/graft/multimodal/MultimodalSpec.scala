@@ -73,4 +73,27 @@ class MultimodalSpec extends SparkTestBase {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(out === Map(1L -> 0L, 2L -> 1L, 3L -> 1L, 4L -> 2L))
   }
+
+  test("frame sampling emits every k-th index; empty assets emit none") {
+    import spark.implicits._
+    // 320 bytes -> 5 frames, stride 2 -> indices 0,2,4; 0 bytes -> none;
+    // 65 bytes -> 2 frames, stride 2 -> index 0 only
+    val df = Seq((1L, 320, 100L), (2L, 0, 7L), (3L, 65, 50L))
+      .toDF("asset_id", "n_bytes", "seed")
+    val out = Multimodal.sampleFrames(df, stride = 2)
+      .select("asset_id", "frame_idx", "frame_seed")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(out === Set((1L, 0L, 100L), (1L, 2L, 102L), (1L, 4L, 104L),
+      (3L, 0L, 50L)))
+    // over the fixture: rows per asset == ceil(frameCount / stride)
+    val assets = assetsDf
+      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
+    val counts = Multimodal.sampleFrames(assets, stride = 3)
+      .groupBy("asset_id").count()
+      .join(assets.select(col("asset_id"),
+        Multimodal.frameCount(col("n_bytes")).as("fc")), "asset_id")
+      .select("count", "fc").collect()
+    assert(counts.nonEmpty)
+    counts.foreach(r => assert(r.getLong(0) === (r.getLong(1) + 2) / 3))
+  }
 }
