@@ -116,6 +116,24 @@ object Snapshots {
     rows.toDF("version", "num_files", "size_bytes", "commit_ts", "is_latest")
   }
 
+  /** Change-data-feed analog (Delta `table_changes`): the row-level diff
+    * between two committed versions, tagged `insert` / `delete` in a
+    * `_change_type` column (an update surfaces as its delete+insert
+    * pair — the reference's MERGE semantics over full snapshots).
+    * `exceptAll` keeps duplicate multiplicity, so a row appearing twice
+    * in `to` but once in `from` diffs as ONE insert. Runs as two
+    * distributed anti-semi set differences — no driver-side collection.
+    */
+  def diff(spark: SparkSession, path: String, fromVersion: Long,
+      toVersion: Long): DataFrame = {
+    import org.apache.spark.sql.functions.lit
+    val from = readVersion(spark, path, fromVersion)
+    val to = readVersion(spark, path, toVersion)
+    to.exceptAll(from).withColumn("_change_type", lit("insert"))
+      .unionByName(
+        from.exceptAll(to).withColumn("_change_type", lit("delete")))
+  }
+
   /** `VACUUM` analog: keep the newest `keepLast` committed versions,
     * delete everything older, plus any orphaned (uncommitted) snapshot
     * directories newer than the pointer. The latest version is never

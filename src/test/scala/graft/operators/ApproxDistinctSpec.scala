@@ -31,4 +31,34 @@ class ApproxDistinctSpec extends SparkTestBase {
       .collect().head.getLong(0)
     assert(once === repartitioned) // HLL merge is order-insensitive
   }
+
+  /** q44's exact `percentile` has a sketch twin for the 100 TB path:
+    * `approx_percentile(col, p, accuracy)` guarantees rank error ≤
+    * n/accuracy. Unlike HLL above, the quantile sketch is NOT bit-stable
+    * across partitionings (merge order moves the answer within the
+    * bound) — so the contract to assert, here and at scale, is the RANK
+    * bound under every partitioning, not value equality. Exact
+    * reproducibility needs the exact percentile (q44) or a post-sketch
+    * snap-to-data pass.
+    */
+  test("approx_percentile honors its rank-error contract under repartitioning") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+    val n = li.count()
+    val accuracy = 1000
+    val row = li.agg(
+      expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("ap"),
+      expr("percentile(l_extendedprice, 0.5)").as("exact")).collect().head
+    val approxMedian = row.getDouble(0)
+    // rank of the approx answer must be within n/accuracy of n/2
+    val rank = li.filter(col("l_extendedprice") <= approxMedian).count()
+    val maxRankErr = n.toDouble / accuracy
+    assert(math.abs(rank - n / 2.0) <= maxRankErr + 1,
+      s"rank $rank vs ${n / 2.0} (allowed ±$maxRankErr)")
+    val repartitioned = li.repartition(13)
+      .agg(expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)"))
+      .collect().head.getDouble(0)
+    val rankRep = li.filter(col("l_extendedprice") <= repartitioned).count()
+    assert(math.abs(rankRep - n / 2.0) <= maxRankErr + 1,
+      s"rank $rankRep vs ${n / 2.0} (allowed ±$maxRankErr)")
+  }
 }

@@ -73,6 +73,22 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, path).count() == 1)
   }
 
+  test("diff tags version-to-version changes as insert/delete pairs") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "a"), (2, "b"), (3, "c")).toDF("id", "s"), path)
+    // v1: row 2 updated, row 3 deleted, row 4 inserted
+    Snapshots.write(Seq((1, "a"), (2, "B"), (4, "d")).toDF("id", "s"), path)
+    val changes = Snapshots.diff(spark, path, 0, 1)
+      .select("id", "s", "_change_type")
+      .as[(Int, String, String)].collect().toSet
+    assert(changes === Set(
+      (2, "B", "insert"), (4, "d", "insert"),
+      (2, "b", "delete"), (3, "c", "delete")))
+    // identical versions diff empty
+    assert(Snapshots.diff(spark, path, 1, 1).count() == 0)
+  }
+
   test("an orphaned snapshot dir (crash before pointer move) is invisible and vacuumed") {
     import spark.implicits._
     val path = tmpTable()
