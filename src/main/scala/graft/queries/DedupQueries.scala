@@ -244,6 +244,59 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Train/eval DECONTAMINATION — the LLM-pipeline staple q41's split
+    * makes necessary: for every eval-split document, the fraction of its
+    * shingles that also occur anywhere in the train split (an eval doc
+    * leaking from train inflates benchmarks). Splits come from the q41
+    * portable hash (train < 80, eval ≥ 90), overlap from a semi-style
+    * left join of exploded eval shingles against the DISTINCT train
+    * shingle set. At 100 TB the train set becomes a broadcast bloom
+    * filter (one bit per shingle hash, the `InjectRuntimeFilter`
+    * pattern applied by hand) and the join cost collapses to the eval
+    * side's scan; here the exact join IS the oracle-checkable form.
+    */
+  val decontamination: QuerySpec = QuerySpec.sql(
+    "q69_decontamination",
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+      |train_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bucket < 80),
+      |eval_ex AS (SELECT doc_id, unnest(sh) AS s FROM sh WHERE bucket >= 90),
+      |hits AS (
+      |  SELECT e.doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN ts.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_overlap
+      |  FROM eval_ex e LEFT JOIN train_sh ts ON e.s = ts.s
+      |  GROUP BY e.doc_id)
+      |SELECT doc_id, n_shingles, n_overlap,
+      |  round(CAST(n_overlap AS DOUBLE) / n_shingles + 1e-9, 4) AS overlap_ratio,
+      |  CAST(n_overlap AS DOUBLE) / n_shingles >= 0.5 AS is_contaminated
+      |FROM hits
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val trainSh = base.filter(col("bucket") < 80)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1L))
+    val evalEx = base.filter(col("bucket") >= 90)
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val ratio = col("n_overlap").cast("double") / col("n_shingles")
+    evalEx.join(trainSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .select(col("doc_id"), col("n_shingles"), col("n_overlap"),
+        round(ratio + lit(1e-9), 4).as("overlap_ratio"),
+        (ratio >= 0.5).as("is_contaminated"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups)
+    Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
+      decontamination)
 }
