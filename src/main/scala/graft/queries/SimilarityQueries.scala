@@ -309,7 +309,57 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
   }
 
+  /** The RAG retrieval shape: vector search over `embeddings` joined
+    * back to `documents` for the neighbor's PAYLOAD (id, token count,
+    * snippet) — two stages with opposite layouts at scale: scoring
+    * touches only the packed vector store; payload fetch is a hash
+    * join on ids that moves just the k·queries winning rows to the much
+    * wider document table, never the reverse. vec_id and doc_id share
+    * the id domain in the fixture (the "embedding of document i" link).
+    */
+  val retrieveDocs: QuerySpec = QuerySpec.sql(
+    "q70_retrieve_docs",
+    s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+      |c AS (SELECT vec_id, embedding FROM embeddings),
+      |scored AS (
+      |  SELECT qid, vec_id,
+      |         ${Vectors.cosineSql("qv", "embedding")} AS cos,
+      |         row_number() OVER (PARTITION BY qid
+      |           ORDER BY ${Vectors.cosineSql("qv", "embedding")} DESC, vec_id) AS rk
+      |  FROM q JOIN c ON qid <> vec_id
+      |    AND ${Vectors.normSql("qv")} > 0 AND ${Vectors.normSql("embedding")} > 0),
+      |top AS (SELECT qid, vec_id, cos, rk FROM scored WHERE rk <= 3)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, vec_id AS neighbor,
+      |  round(cos + 1e-9, 4) AS cosine,
+      |  CAST(len(list_filter(regexp_split_to_array(lower(d.text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+      |  substr(d.text, 1, 40) AS snippet
+      |FROM top JOIN documents d ON top.vec_id = d.doc_id
+      |ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+    val q = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val top = broadcast(q)
+      .join(e, col("qid") =!= col("vec_id") &&
+        Vectors.norm(col("qv")) > 0 && Vectors.norm(col("embedding")) > 0)
+      .select(col("qid"), col("vec_id"),
+        Vectors.cosine(col("qv"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rk") <= 3)
+    val docs = Tables.load(spark, dir, "documents")
+    top.join(docs, top("vec_id") === docs("doc_id"))
+      .select(col("qid"), col("rk").cast("long").as("rank"),
+        col("vec_id").as("neighbor"),
+        round(col("cos") + lit(1e-9), 4).as("cosine"),
+        size(graft.functions.Text.tokens(col("text"))).cast("long")
+          .as("n_tokens"),
+        substring(col("text"), 1, 40).as("snippet"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn, pqAnn)
+    quantizedKnn, pqAnn, retrieveDocs)
 }
