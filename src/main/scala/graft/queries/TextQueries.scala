@@ -377,7 +377,58 @@ object TextQueries {
       .orderBy(col("quality_band"))
   }
 
+  /** Intra-document repetition signals — the Gopher/RefinedWeb-style
+    * quality filters that catch boilerplate and degenerate generation:
+    * duplicate-token fraction, duplicate-3-gram fraction, and
+    * top-token concentration (share of the single most frequent
+    * token). All per-document scalar expression work over one scan —
+    * the same embarrassingly-parallel shape as q18/q19.
+    */
+  val repetition: QuerySpec = QuerySpec.sql(
+    "q71_repetition",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '') AS toks
+      |  FROM documents),
+      |g AS (
+      |  SELECT doc_id, toks,
+      |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END AS grams
+      |  FROM t)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  round(1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1) + 1e-9, 4) AS dup_token_frac,
+      |  round(1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1) + 1e-9, 4) AS dup_gram_frac,
+      |  round(CAST(list_max(list_transform(list_distinct(toks), u -> len(list_filter(toks, x -> x = u)))) AS DOUBLE) / greatest(len(toks), 1) + 1e-9, 4) AS top_token_share
+      |FROM g
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = col("toks")
+    val grams = col("grams")
+    // 3-gram strings (same construction as the shingle SQL, pre-hash)
+    val gramsExpr = when(size(toks) < 3, array(array_join(toks, " ")))
+      .otherwise(transform(sequence(lit(1), size(toks) - 2),
+        i => array_join(slice(toks, i, lit(3)), " ")))
+    val topCount = array_max(transform(array_distinct(toks),
+      u => size(filter(toks, x => x === u))))
+    Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+      .withColumn("grams", gramsExpr)
+      .select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        round(lit(1.0) - size(array_distinct(toks)).cast("double")
+          / greatest(size(toks), lit(1)) + lit(1e-9), 4)
+          .as("dup_token_frac"),
+        round(lit(1.0) - size(array_distinct(grams)).cast("double")
+          / greatest(size(grams), lit(1)) + lit(1e-9), 4)
+          .as("dup_gram_frac"),
+        round(topCount.cast("double") / greatest(size(toks), lit(1))
+          + lit(1e-9), 4).as("top_token_share"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
-      docChunks, corpusMix)
+      docChunks, corpusMix, repetition)
 }
