@@ -87,6 +87,18 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("WindowExec"), plan.take(2000))
   }
 
+  test("q69 reads the shingled corpus once for both splits (persist reuse)") {
+    val plan = planOf("q69_decontamination")
+    try assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    finally spark.catalog.clearCache()
+  }
+
+  test("q70's payload fetch is a broadcast hash join, never a shuffle of documents") {
+    val plan = planOf("q70_retrieve_docs")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("q65's chunk fan-out runs in the scan stage (no hash exchange)") {
     val plan = planOf("q65_doc_chunks")
     assert(plan.contains("Generate"), plan.take(2000))
