@@ -24,6 +24,19 @@ object Upsert {
       .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
       .unionByName(updates)
 
+  /** [[upsert]] with automatic schema evolution — Delta's
+    * `mergeSchema`/`autoMerge` behavior: updates may ADD columns (target
+    * survivors read null there) and may omit target columns (update rows
+    * read null there). Delta guards evolution behind a flag because a
+    * typo'd column silently widens the table; callers here opt in by
+    * choosing this variant, and [[upsert]] stays strict.
+    */
+  def upsertEvolve(target: DataFrame, updates: DataFrame,
+      keys: Seq[String]): DataFrame =
+    target
+      .join(updates.select(keys.map(col): _*).distinct(), keys, "left_anti")
+      .unionByName(updates, allowMissingColumns = true)
+
   /** Full MERGE with a tombstone flag — `WHEN MATCHED AND s.deleted THEN
     * DELETE / WHEN MATCHED THEN UPDATE / WHEN NOT MATCHED AND NOT deleted
     * THEN INSERT` — the CDC-feed shape (Debezium-style change rows).

@@ -58,6 +58,24 @@ class UpsertSpec extends SparkTestBase {
     assert(once.collect().toSet === twice.collect().toSet)
   }
 
+  test("upsertEvolve widens the target schema when updates add a column") {
+    val target = Seq(("k1", 1), ("k2", 2)).toDF("k", "v")
+    val updates = Seq(("k2", 20, "new"), ("k3", 30, "row"))
+      .toDF("k", "v", "w")
+    val out = Upsert.upsertEvolve(target, updates, Seq("k"))
+    assert(out.columns.toSet === Set("k", "v", "w"))
+    val rows = out.collect()
+      .map(r => r.getString(0) -> ((r.getInt(1), Option(r.getString(2)))))
+      .toMap
+    assert(rows === Map(
+      "k1" -> ((1, None)), // untouched survivor: null in the new column
+      "k2" -> ((20, Some("new"))),
+      "k3" -> ((30, Some("row")))))
+    // strict upsert refuses the same evolution
+    intercept[org.apache.spark.sql.AnalysisException](
+      Upsert.upsert(target, updates, Seq("k")).collect())
+  }
+
   test("merge applies updates, inserts, and tombstone deletes") {
     val target = Seq(("k1", 1), ("k2", 2), ("k3", 3)).toDF("k", "v")
     val feed = Seq(
