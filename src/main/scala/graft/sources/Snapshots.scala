@@ -116,6 +116,14 @@ object Snapshots {
     rows.toDF("version", "num_files", "size_bytes", "commit_ts", "is_latest")
   }
 
+  /** `RESTORE TABLE ... TO VERSION AS OF` analog: re-commit an old
+    * snapshot as the NEW latest version. History is preserved (restore
+    * is itself a commit, same as Delta), so a restore can be restored;
+    * the copied data is one distributed read+write of the old version.
+    */
+  def restore(spark: SparkSession, path: String, version: Long): Long =
+    write(readVersion(spark, path, version), path)
+
   /** Change-data-feed analog (Delta `table_changes`): the row-level diff
     * between two committed versions, tagged `insert` / `delete` in a
     * `_change_type` column (an update surfaces as its delete+insert

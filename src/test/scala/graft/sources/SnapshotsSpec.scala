@@ -73,6 +73,24 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.read(spark, path).count() == 1)
   }
 
+  test("restore re-commits an old version as the new latest") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "good")).toDF("id", "s"), path)
+    Snapshots.write(Seq((1, "bad"), (2, "bad2")).toDF("id", "s"), path)
+    val v = Snapshots.restore(spark, path, 0)
+    assert(v == 2L)
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("good"))
+    // history survives: the bad version is still time-travelable
+    assert(Snapshots.readVersion(spark, path, 1).count() == 2)
+    // and the restore itself diffs as the inverse of the bad commit
+    val changes = Snapshots.diff(spark, path, 1, 2)
+      .select("_change_type").as[String].collect()
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(changes === Map("insert" -> 1, "delete" -> 2))
+  }
+
   test("diff tags version-to-version changes as insert/delete pairs") {
     import spark.implicits._
     val path = tmpTable()
