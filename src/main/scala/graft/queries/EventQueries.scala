@@ -361,7 +361,89 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** Incremental aggregate maintenance on the GATE surface: the fixture
+    * is split into three time increments, each reduced to mergeable
+    * per-group state ([[graft.operators.IncrementalAgg]] — count /
+    * decimal sums / min / max), the states folded, and derived measures
+    * computed at read time. The ORACLE is the direct one-shot
+    * aggregation over all events — hash equality proves
+    * fold-of-increments ≡ direct aggregation bit-for-bit, the property
+    * that lets a 100 TB gold table absorb a daily increment without a
+    * full rebuild (work per run tracks |increment| + |state|).
+    */
+  val incrementalGold: QuerySpec = QuerySpec.sql(
+    "q72_incremental_gold",
+    """WITH st AS (
+      |  SELECT event_type,
+      |    count(value) AS n_events,
+      |    CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS s,
+      |    CAST(sum(CAST(value * value AS DECIMAL(28,10))) AS DOUBLE) AS sq,
+      |    min(value) AS min_value, max(value) AS max_value
+      |  FROM events GROUP BY event_type)
+      |SELECT event_type, n_events,
+      |  round(s + 1e-9, 2) AS sum_value,
+      |  round(s / n_events + 1e-6, 4) AS avg_value,
+      |  round(CASE WHEN n_events > 1
+      |             THEN sqrt(greatest((sq - s * s / n_events) / (n_events - 1), 0.0))
+      |             ELSE 0.0 END + 1e-6, 4) AS stddev_value,
+      |  min_value, max_value
+      |FROM st
+      |ORDER BY event_type""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.IncrementalAgg
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("value"))
+    val t1 = lit(java.sql.Timestamp.valueOf("2024-01-11 00:00:00"))
+    val t2 = lit(java.sql.Timestamp.valueOf("2024-01-21 00:00:00"))
+    val state = Seq(
+      ev.filter(col("ts") < t1),
+      ev.filter(col("ts") >= t1 && col("ts") < t2),
+      ev.filter(col("ts") >= t2))
+      .map(d => IncrementalAgg.partialState(d, Seq("event_type"), "value"))
+      .reduce((a, b) => IncrementalAgg.merge(a, b, Seq("event_type")))
+    IncrementalAgg.finalized(state)
+      .select(col("event_type"),
+        col("state_cnt").as("n_events"),
+        round(col("state_sum").cast("double") + lit(1e-9), 2).as("sum_value"),
+        round(col("avg_value") + lit(1e-6), 4).as("avg_value"),
+        round(col("stddev_value") + lit(1e-6), 4).as("stddev_value"),
+        col("state_min").as("min_value"),
+        col("state_max").as("max_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Array aggregation surfaced on the gate: the sorted distinct set of
+    * high-value event types per user (`collect_set` → `array_sort` →
+    * `array_join`), the capability behind per-entity feature vectors
+    * (a training-data pipeline's "what behaviors has this user shown"
+    * column). Emitted as a canonical comma-joined STRING so the
+    * cross-engine hash compares element-order-deterministically —
+    * `collect_set`'s internal order is partition-dependent and only the
+    * sort makes it stable. One hash-aggregation shuffle on `user_id`;
+    * set cardinality is bounded by the type vocabulary, so state per
+    * group stays O(|vocab|) at any fact scale.
+    */
+  val typeSets: QuerySpec = QuerySpec.sql(
+    "q74_type_sets",
+    """SELECT user_id,
+      |  count(DISTINCT event_type) AS n_types,
+      |  array_to_string(list_sort(list(DISTINCT event_type)), ',') AS type_set
+      |FROM events WHERE value >= 90
+      |GROUP BY user_id
+      |ORDER BY user_id""".stripMargin
+  ) { (spark, dir) =>
+    Tables.load(spark, dir, "events")
+      .filter(col("value") >= 90)
+      .groupBy(col("user_id"))
+      .agg(
+        countDistinct(col("event_type")).as("n_types"),
+        array_join(array_sort(collect_set(col("event_type"))), ",")
+          .as("type_set"))
+      .orderBy(col("user_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
-    typeDistribution, typePivot, splitAssign, dqUnpivot, mergeTombstones)
+    typeDistribution, typePivot, splitAssign, dqUnpivot, mergeTombstones,
+    incrementalGold, typeSets)
 }

@@ -145,7 +145,52 @@ object RelationalQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** FULL OUTER join as a reconciliation audit — the one outer-join
+    * flavor the surface lacked (the reference's MERGE is semantically a
+    * full outer on `event_id`, `04_silver_transformation.py:196-202`,
+    * but [[graft.operators.Upsert]] realizes it as anti-join + union).
+    * Two independently-filtered per-customer aggregates (finished
+    * orders vs big-ticket orders) are stitched with `full_outer` and
+    * each row tagged by side presence. Both inputs are pre-aggregated
+    * to customer grain BEFORE the join, so the shuffle moves one row
+    * per customer per side, not raw orders; at 100 TB both sides share
+    * the `o_custkey` hash partitioning and AQE plans a single exchange
+    * per side regardless of fact skew.
+    */
+  val fullOuterRecon: QuerySpec = QuerySpec.sql(
+    "q73_full_outer_recon",
+    """WITH f AS (SELECT o_custkey, count(*) AS n_finished
+      |           FROM orders WHERE o_orderstatus = 'F' GROUP BY 1),
+      |     b AS (SELECT o_custkey, count(*) AS n_big
+      |           FROM orders WHERE o_totalprice >= 200000 GROUP BY 1)
+      |SELECT coalesce(f.o_custkey, b.o_custkey) AS custkey,
+      |  coalesce(n_finished, 0) AS n_finished,
+      |  coalesce(n_big, 0) AS n_big,
+      |  CASE WHEN f.o_custkey IS NULL THEN 'right_only'
+      |       WHEN b.o_custkey IS NULL THEN 'left_only'
+      |       ELSE 'both' END AS presence
+      |FROM f FULL OUTER JOIN b ON f.o_custkey = b.o_custkey
+      |ORDER BY custkey""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Tables.load(spark, dir, "orders")
+    val f = orders.filter(col("o_orderstatus") === "F")
+      .groupBy(col("o_custkey").as("f_custkey"))
+      .agg(count(lit(1)).as("n_finished"))
+    val b = orders.filter(col("o_totalprice") >= 200000)
+      .groupBy(col("o_custkey").as("b_custkey"))
+      .agg(count(lit(1)).as("n_big"))
+    f.join(b, f("f_custkey") === b("b_custkey"), "full_outer")
+      .select(
+        coalesce(col("f_custkey"), col("b_custkey")).as("custkey"),
+        coalesce(col("n_finished"), lit(0L)).as("n_finished"),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        when(col("f_custkey").isNull, "right_only")
+          .when(col("b_custkey").isNull, "left_only")
+          .otherwise("both").as("presence"))
+      .orderBy(col("custkey"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(semiBigSpenders, antiNoOrders, aboveCustomerAvg, spendQuartiles,
-      saltedRevenue)
+      saltedRevenue, fullOuterRecon)
 }
