@@ -432,13 +432,17 @@ object EventQueries {
       |GROUP BY user_id
       |ORDER BY user_id""".stripMargin
   ) { (spark, dir) =>
+    // n_types is derived as size(set) rather than countDistinct: a
+    // distinct-agg alongside collect_set plans TWO shuffle stages
+    // (pre-dedup on (user, type), then re-agg on user), while the set
+    // already carries the distinct count — one shuffle total.
     Tables.load(spark, dir, "events")
       .filter(col("value") >= 90)
       .groupBy(col("user_id"))
-      .agg(
-        countDistinct(col("event_type")).as("n_types"),
-        array_join(array_sort(collect_set(col("event_type"))), ",")
-          .as("type_set"))
+      .agg(array_sort(collect_set(col("event_type"))).as("types"))
+      .select(col("user_id"),
+        size(col("types")).cast("long").as("n_types"),
+        array_join(col("types"), ",").as("type_set"))
       .orderBy(col("user_id"))
   }
 

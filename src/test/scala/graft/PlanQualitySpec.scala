@@ -106,6 +106,24 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Exchange hashpartitioning"), plan.take(2000))
   }
 
+  test("q73's full outer join reuses each side's aggregation partitioning") {
+    val plan = planOf("q73_full_outer_recon")
+    assert(plan.contains("FullOuter"), plan.take(2000))
+    // two agg shuffles + the presentation sort's range exchange — the
+    // join itself must add NO exchange (agg output is already hash-
+    // partitioned on the join key)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 2,
+      plan.take(2000))
+  }
+
+  test("q74 derives the distinct count from the set (one agg shuffle)") {
+    val plan = planOf("q74_type_sets")
+    // countDistinct alongside collect_set would plan a second
+    // Expand/re-agg shuffle stage; size(collect_set) keeps it to one
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
