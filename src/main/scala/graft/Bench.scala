@@ -27,12 +27,23 @@ object Bench {
       name -> times.min
     }
     val failed = results.collect { case (n, t) if t.isInfinity => n }
+    // The harness capturing this output keeps only a bounded tail of stdout;
+    // the JSON line must fit entirely inside it or it can't be parsed. Keys
+    // are therefore the short query id (prefix before the first '_', unique
+    // by construction) and values are rounded to ms — ~1 kB for 74 queries.
+    def ms3(v: Double): String = {
+      val r = math.rint(v * 1000) / 1000
+      if (r == r.toLong) r.toLong.toString else r.toString
+    }
+    def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v) => "\"" + k + "\":" + (if (v.isInfinity) -1 else v) }
+      .map { case (k, v) => "\"" + short(k) + "\":" + (if (v.isInfinity) -1 else ms3(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isInfinity).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$failedJson,"runs":$Runs,"agg":"min","sf":"$sfDir"}""")
+    val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$failedJson,"runs":$Runs,"agg":"min","sf":"$sfDir"}"""
+    assert(line.length < 1800, s"bench JSON line too long: ${line.length}")
+    println(line)
     spark.stop()
   }
 }

@@ -156,10 +156,10 @@ object GoldQueries {
       |         AND CAST(n_orders AS DOUBLE) > rolling_7d_count / 7.0 * 2
       |       THEN TRUE ELSE FALSE END AS is_anomaly
       |FROM (SELECT *,
-      |        sum(n_orders) OVER (ORDER BY order_date
-      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rolling_7d_count,
-      |        sum(n_orders) OVER (ORDER BY order_date
-      |          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS rolling_30d_count
+      |        CAST(sum(n_orders) OVER (ORDER BY order_date
+      |          ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_7d_count,
+      |        CAST(sum(n_orders) OVER (ORDER BY order_date
+      |          ROWS BETWEEN 29 PRECEDING AND CURRENT ROW) AS BIGINT) AS rolling_30d_count
       |      FROM daily)
       |ORDER BY order_date""".stripMargin
   ) { (spark, dir) =>
