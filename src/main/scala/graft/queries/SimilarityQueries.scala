@@ -204,20 +204,95 @@ object SimilarityQueries {
       .orderBy(col("id1"), col("id2"))
   }
 
-  /** IVF ANN ([[graft.operators.IvfAnn]]): deterministic k-means coarse
-    * quantizer, nProbe-cell search, custom top-k ranking. The trained
-    * index is not practically SQL-expressible (two unrolled Lloyd
-    * iterations), so this is a rows-only gate entry; recall vs the
-    * brute-force ground truth and run-to-run determinism are asserted in
-    * `IvfAnnSpec`.
+  /** Unrolled-Lloyd DuckDB oracle for [[graft.operators.IvfAnn]]: because
+    * the operator is deterministic end-to-end (lowest-id seeding,
+    * decimal-exact centroid means cast double→float, argmin ties toward
+    * the lower cell, double left-fold dots), a FIXED iteration count can
+    * be written out as a CTE chain — assignment (argmin over the centroid
+    * table) then update (per-(cell,dim) decimal mean) per iteration — and
+    * the whole trained index, probe set, and final top-k hash-match the
+    * Spark run bit-for-bit.
     */
-  val ivfAnn: QuerySpec = QuerySpec.rowsOnly("q58_ivf_ann") { (spark, dir) =>
+  private def ivfOracleSql(clusters: Int, nProbe: Int, iters: Int, k: Int,
+      dim: Int, nQueries: Int): String = {
+    import Vectors.{dotSql, normSql}
+    // argmin cell per corpus vector against centroid CTE `cents`
+    def assign(name: String, cents: String) =
+      s"""$name AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+        |    FROM corpus v CROSS JOIN $cents c) t WHERE rk = 1)""".stripMargin
+    // recompute centroids as the decimal-exact per-dimension mean of `asg`
+    def update(i: Int, asg: String) =
+      s"""m$i AS (
+        |  SELECT a.cell, i.i AS pos,
+        |    CAST(CAST(sum(CAST(v.embedding[i.i] AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(*) AS FLOAT) AS m
+        |  FROM $asg a JOIN corpus v USING (vec_id)
+        |  CROSS JOIN range(1, ${dim + 1}) i(i)
+        |  GROUP BY a.cell, i.i),
+        |c$i AS (
+        |  SELECT cell, list(m ORDER BY pos) AS cvec FROM m$i GROUP BY cell),
+        |c${i}n AS (
+        |  SELECT cell, cvec, ${dotSql("cvec", "cvec")} AS cnorm2 FROM c$i)""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      assign(s"a$i", s"c${i - 1}n") + ",\n" + update(i, s"a$i")
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |c0 AS (
+      |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
+      |         embedding AS cvec
+      |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $clusters) s),
+      |c0n AS (
+      |  SELECT cell, cvec, ${dotSql("cvec", "cvec")} AS cnorm2 FROM c0),
+      |$lloyd,
+      |${assign("af", s"c${iters}n")},
+      |probes AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT v.vec_id AS qid, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM corpus v CROSS JOIN c${iters}n c
+      |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe),
+      |scored AS (
+      |  SELECT p.qid, v.vec_id AS neighbor,
+      |    ${dotSql("q.embedding", "v.embedding")}
+      |      / (${normSql("q.embedding")} * ${normSql("v.embedding")}) AS cos
+      |  FROM probes p
+      |  JOIN corpus q ON q.vec_id = p.qid
+      |  JOIN af f ON f.cell = p.cell
+      |  JOIN corpus v ON v.vec_id = f.vec_id
+      |  WHERE v.vec_id <> p.qid
+      |    AND ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0)
+      |SELECT qid, neighbor, round(cos + 1e-9, 4) AS cosine
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY cos DESC, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, cosine DESC, neighbor""".stripMargin
+  }
+
+  /** IVF ANN ([[graft.operators.IvfAnn]]): deterministic k-means coarse
+    * quantizer, nProbe-cell search, custom top-k ranking. The operator's
+    * determinism contract makes even the TRAINING SQL-expressible: the
+    * oracle unrolls both Lloyd iterations as CTEs (see [[ivfOracleSql]]),
+    * so the full index build + search hash-matches in DuckDB. Recall vs
+    * brute force is asserted separately in `IvfAnnSpec`.
+    */
+  val ivfAnn: QuerySpec = QuerySpec.sql(
+    "q58_ivf_ann",
+    ivfOracleSql(clusters = 16, nProbe = 4, iters = 2, k = 3, dim = 64,
+      nQueries = 10)
+  ) { (spark, dir) =>
     val corpus = Tables.load(spark, dir, "embeddings")
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     graft.operators.IvfAnn
       .search(corpus, "vec_id", "embedding", queries, "qid", "qv",
         k = 3, clusters = 16, nProbe = 4, iters = 2)
+      .select(col("qid"), col("neighbor"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
       .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
   }
 
@@ -288,15 +363,86 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** Unrolled DuckDB oracle for [[graft.operators.ProductQuantizer]] —
+    * the q58 pattern keyed by (subspace, cell): slice → per-subspace
+    * Lloyd iterations (argmin assignment + decimal-exact means) → encode
+    * → ADC tables → per-pair distance as an m-ordered left-fold sum
+    * (`list_sum(list(d ORDER BY m))`, the same fold-order contract
+    * [[graft.functions.Vectors.dotSql]] relies on).
+    */
+  private def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int, k: Int,
+      nQueries: Int): String = {
+    import Vectors.dotSql
+    val sub = dim / m
+    def assign(name: String, cents: String, outCol: String) =
+      s"""$name AS (
+        |  SELECT vec_id, m, cell AS $outCol FROM (
+        |    SELECT v.vec_id, v.m, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id, v.m
+        |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.sv", "c.cvec")}, c.cell) AS rk
+        |    FROM subvecs v JOIN $cents c ON v.m = c.m) t WHERE rk = 1)""".stripMargin
+    def update(i: Int) =
+      s"""pm$i AS (
+        |  SELECT a.m, a.cell, i.i AS pos,
+        |    CAST(CAST(sum(CAST(v.sv[i.i] AS DECIMAL(28,10))) AS DOUBLE)
+        |      / count(*) AS FLOAT) AS mu
+        |  FROM pa$i a JOIN subvecs v USING (vec_id, m)
+        |  CROSS JOIN range(1, ${sub + 1}) i(i)
+        |  GROUP BY a.m, a.cell, i.i),
+        |p$i AS (
+        |  SELECT m, cell, list(mu ORDER BY pos) AS cvec FROM pm$i
+        |  GROUP BY m, cell),
+        |p${i}n AS (
+        |  SELECT m, cell, cvec, ${dotSql("cvec", "cvec")} AS cnorm2 FROM p$i)""".stripMargin
+    val lloyd = (1 to iters).map { i =>
+      assign(s"pa$i", s"p${i - 1}n", "cell") + ",\n" + update(i)
+    }.mkString(",\n")
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |subvecs AS (
+      |  SELECT vec_id, s.m AS m,
+      |    list_slice(embedding, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM corpus CROSS JOIN range(0, $m) s(m)),
+      |seeds AS (
+      |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell
+      |  FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $codes) z),
+      |p0 AS (
+      |  SELECT sv.m, s.cell, sv.sv AS cvec
+      |  FROM seeds s JOIN subvecs sv USING (vec_id)),
+      |p0n AS (
+      |  SELECT m, cell, cvec, ${dotSql("cvec", "cvec")} AS cnorm2 FROM p0),
+      |$lloyd,
+      |${assign("enc", s"p${iters}n", "code")},
+      |adc AS (
+      |  SELECT v.vec_id AS qid, v.m, c.cell,
+      |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
+      |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
+      |  FROM subvecs v JOIN p${iters}n c ON v.m = c.m
+      |  WHERE v.vec_id < $nQueries),
+      |scored AS (
+      |  SELECT a.qid, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc e JOIN adc a ON a.m = e.m AND a.cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, e.vec_id)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
   /** Product-quantization ADC search ([[graft.operators.ProductQuantizer]]
     * — per-subspace codebooks, 32× vector compression, distance-table
-    * lookups instead of float dot products). Codebook training unrolls
-    * Lloyd iterations like q58's IVF, so this too is a rows-only gate
-    * entry; recall (cluster retrieval on synthetic clustered data, floor
-    * on the near-random fixture) and determinism are asserted in
-    * `ProductQuantizerSpec`.
+    * lookups instead of float dot products). Like q58, the operator's
+    * determinism contract makes the whole pipeline SQL-expressible: the
+    * oracle ([[pqOracleSql]]) unrolls the joint subspace training and
+    * replays encode + ADC scoring, so codebooks, codes, and distances
+    * hash-match in DuckDB. Recall is asserted in `ProductQuantizerSpec`.
     */
-  val pqAnn: QuerySpec = QuerySpec.rowsOnly("q67_pq_ann") { (spark, dir) =>
+  val pqAnn: QuerySpec = QuerySpec.sql(
+    "q67_pq_ann",
+    pqOracleSql(m = 8, dim = 64, codes = 16, iters = 1, k = 3, nQueries = 10)
+  ) { (spark, dir) =>
     val corpus = Tables.load(spark, dir, "embeddings")
     val queries = corpus.filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -306,6 +452,8 @@ object SimilarityQueries {
         // gate-scale setting (each extra Lloyd pass is a full corpus
         // scan; production sizing raises it with the corpus)
         k = 3, m = 8, dim = 64, codes = 16, iters = 1)
+      .select(col("qid"), col("neighbor"),
+        round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
       .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
   }
 
