@@ -14,7 +14,8 @@ object SparkEntry {
     GoldQueries.all ++ EventQueries.all ++ PhysicsQueries.all ++
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ ReportQueries.all ++ TemporalQueries.all ++
-      AnalyticsQueries.all ++ RelationalQueries.all ++ StreamingQueries.all
+      AnalyticsQueries.all ++ RelationalQueries.all ++ StreamingQueries.all ++
+      SketchQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,104 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+
+/** Deterministic, engine-portable sketches (north-star scale tier).
+  *
+  * Spark ships HLL (`approx_count_distinct`) and a Bloom aggregate
+  * (`bloom_filter_agg`), but both are implementation-defined binary
+  * blobs: a DuckDB oracle cannot replay them, and two engines can't
+  * share them. These variants trade a constant factor for PORTABILITY —
+  * every bit is defined by arithmetic both engines evaluate identically
+  * (the [[Text.charHash]] polynomial), so a sketch built by one engine
+  * is probed by the other and the gate hash-checks the whole pipeline.
+  *
+  * - KMV (k-minimum-values) distinct-count: keep the k smallest distinct
+  *   hashes; estimate = (k−1) / (h_k / P). Mergeable (union of k-min
+  *   sets, re-take k smallest ⇒ the plan is a partial `TakeOrdered` per
+  *   partition, no full shuffle of the distinct set), error ~1/sqrt(k).
+  * - Portable Bloom filter: `mBits`-bit array packed into 32-bit words
+  *   (held in BIGINTs — 64-bit shifts would hit DuckDB's signed-overflow
+  *   error at bit 63), double hashing h_j = (h + j·(1 + h mod (m−1)))
+  *   mod m — the standard Kirsch–Mitzenmacher construction. Built with
+  *   one `bit_or` aggregation (mergeable, map-side combinable);
+  *   membership is a broadcast join on word index + a mask test.
+  */
+object Sketches {
+
+  /** Modulus of the portable hash. */
+  val P: Long = Text.HashP
+
+  /** Affine scrambler constants: KMV's estimator reads ORDER STATISTICS
+    * off the hash values, so it needs uniformity the raw polynomial hash
+    * of patterned keys ("key_1", "key_2", …) doesn't provide (measured
+    * 3× skew in the k-min tail). `(A·h + B) mod P` is a pairwise-
+    * independent permutation of [0, P) — the same family the MinHash
+    * signatures use — and `A·h < P² < 2^63` keeps every intermediate in
+    * BIGINT range in both engines.
+    */
+  val MixA = 914334281L
+  val MixB = 271828183L
+
+  /** The scrambled hash both sides of the sketch use. */
+  def uniformHash(keyCol: Column): Column =
+    (Text.charHash(keyCol.cast("string")) * MixA + MixB) % P
+
+  def uniformHashSql(e: String): String =
+    s"(${Text.charHashSql(s"CAST(($e) AS VARCHAR)")} * $MixA + $MixB) % $P"
+
+  /** `(k_used, kth_hash)` one-row frame: the KMV sketch of `keyCol`.
+    * `k_used < k` means the distinct set fit entirely (sketch is exact).
+    */
+  def kmv(df: DataFrame, keyCol: Column, k: Int): DataFrame =
+    df.select(uniformHash(keyCol).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k) // TakeOrdered: per-partition heap, no sort
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+
+  /** KMV estimate column from [[kmv]]'s output columns. */
+  def kmvEstimate(kUsed: Column, kthHash: Column, k: Int): Column =
+    when(kUsed < k, kUsed.cast("double"))
+      .otherwise((kUsed - 1).cast("double") * lit(P.toDouble) / kthHash)
+
+  /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
+    * filter (double hashing; every op stays far from BIGINT overflow).
+    */
+  def bloomPositions(h: Column, mBits: Int, nHashes: Int): Column =
+    transform(sequence(lit(0), lit(nHashes - 1)),
+      j => (pmod(h, lit(mBits)) + j * (lit(1L) + pmod(h, lit(mBits - 1))))
+        % mBits)
+
+  /** Build the filter over a column of hashes: (w, bits) — word index →
+    * 32-bit word (in a BIGINT). Tiny (mBits/32 rows): always broadcast.
+    */
+  def bloomBuild(hashes: DataFrame, hashCol: String, mBits: Int,
+      nHashes: Int): DataFrame =
+    hashes
+      .select(explode(bloomPositions(col(hashCol), mBits, nHashes)).as("pos"))
+      .select((col("pos") / 32).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("bit"))
+      .groupBy(col("w"))
+      .agg(bit_or(col("bit")).as("bits"))
+
+  /** Probe: append a `might_contain` boolean per input row by testing
+    * all `nHashes` bits of `hashCol` against the (broadcast) filter.
+    */
+  def bloomProbe(df: DataFrame, hashCol: String, filter: DataFrame,
+      mBits: Int, nHashes: Int): DataFrame = {
+    val probes = df
+      .select(col("*"), posexplode(bloomPositions(col(hashCol), mBits, nHashes))
+        .as(Seq("j", "pos")))
+      .select(col("*"), (col("pos") / 32).cast("int").as("w"),
+        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
+      .join(broadcast(filter), Seq("w"), "left")
+      .withColumn("hit",
+        coalesce(col("bits").bitwiseAND(col("mask")) =!= 0, lit(false)))
+    probes
+      .groupBy(df.columns.map(col): _*)
+      .agg((sum(when(col("hit"), 1).otherwise(0)) === nHashes)
+        .as("might_contain"))
+  }
+}

@@ -222,6 +222,128 @@ object AnalyticsQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** Declarative expectations report ([[graft.operators.Expectations]]):
+    * four scalar constraints evaluated in ONE table scan (the
+    * reference's DQ notebook re-scanned per column) plus a referential
+    * FK rule as an anti-join count, unioned into one (expectation,
+    * n_violations, total_rows, violation_rate) report. Null semantics
+    * are SQL-standard in both engines: a NULL predicate is not a
+    * violation unless an explicit not-null rule says so.
+    */
+  val expectations: QuerySpec = QuerySpec.sql(
+    "q78_expectations",
+    """WITH t AS (SELECT count(*) AS total_rows FROM lineitem),
+      |v AS (
+      |  SELECT 'discount_range' AS expectation,
+      |    CAST(count(*) FILTER (WHERE NOT (l_discount BETWEEN 0 AND 0.1)) AS BIGINT) AS n_violations
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'price_positive',
+      |    CAST(count(*) FILTER (WHERE NOT (l_extendedprice > 0)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'quantity_range',
+      |    CAST(count(*) FILTER (WHERE NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'shipdate_not_null',
+      |    CAST(count(*) FILTER (WHERE l_shipdate IS NULL) AS BIGINT)
+      |  FROM lineitem
+      |  UNION ALL
+      |  SELECT 'orderkey_fk',
+      |    (SELECT CAST(count(*) AS BIGINT) FROM lineitem l
+      |     LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |     WHERE o.o_orderkey IS NULL))
+      |SELECT expectation, n_violations, CAST(total_rows AS BIGINT) AS total_rows,
+      |  round(CAST(n_violations AS DOUBLE) / total_rows + 1e-9, 6) AS violation_rate
+      |FROM v, t
+      |ORDER BY expectation""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.Expectations
+    import graft.operators.Expectations.Rule
+    val li = Tables.load(spark, dir, "lineitem")
+    val scalarRules = Seq(
+      Rule("discount_range", col("l_discount").between(0, 0.1)),
+      Rule("price_positive", col("l_extendedprice") > 0),
+      Rule("quantity_range", col("l_quantity").between(1, 50)),
+      Rule("shipdate_not_null", col("l_shipdate").isNotNull))
+    val fk = li
+      .join(Tables.load(spark, dir, "orders").select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("n_violations"))
+      .select(lit("orderkey_fk").as("expectation"), col("n_violations"))
+    Expectations.report(li, scalarRules)
+      .unionByName(fk)
+      .crossJoin(li.agg(count(lit(1)).as("total_rows")))
+      .select(col("expectation"), col("n_violations"), col("total_rows"),
+        round(col("n_violations").cast("double") / col("total_rows")
+          + lit(1e-9), 6).as("violation_rate"))
+      .orderBy(col("expectation"))
+  }
+
+  /** Per-brand least-squares fit + correlation of extended price vs
+    * quantity, from decimal-exact moment sums (n, Σx, Σy, Σxx, Σyy,
+    * Σxy): the `regr_slope`/`corr` family re-derived order-invariantly
+    * — built-in `corr` accumulates doubles in merge-arrival order and
+    * cannot hash-match across engines. One broadcast join (part is the
+    * small dim) + one hash aggregation; the six moments are one partial
+    * state, so scale cost equals a plain groupBy.
+    */
+  val regrStats: QuerySpec = {
+    def sqlMoments(x: String, y: String) = Seq(
+      s"count(*) AS n",
+      s"${Stable.sumDSql(x)} AS sx", s"${Stable.sumDSql(y)} AS sy",
+      s"${Stable.sumDSql(s"($x) * ($x)")} AS sxx",
+      s"${Stable.sumDSql(s"($y) * ($y)")} AS syy",
+      s"${Stable.sumDSql(s"($x) * ($y)")} AS sxy").mkString(",\n    ")
+    QuerySpec.sql(
+      "q79_regr_stats",
+      s"""WITH m AS (
+        |  SELECT p_brand,
+        |    ${sqlMoments("l_quantity", "l_extendedprice")}
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  GROUP BY p_brand),
+        |f AS (
+        |  SELECT p_brand, n,
+        |    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+        |    (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+        |      AS intercept,
+        |    (n * sxy - sx * sy)
+        |      / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS r
+        |  FROM m)
+        |SELECT p_brand, CAST(n AS BIGINT) AS n_lines,
+        |  round(slope + 1e-9, 6) AS slope,
+        |  round(intercept + 1e-9, 6) AS intercept,
+        |  round(r + 1e-9, 6) AS corr_qty_price
+        |FROM f
+        |ORDER BY p_brand""".stripMargin
+    ) { (spark, dir) =>
+      val x = col("l_quantity")
+      val y = col("l_extendedprice")
+      val m = Tables.load(spark, dir, "lineitem")
+        .join(broadcast(Tables.load(spark, dir, "part")
+          .select(col("p_partkey"), col("p_brand"))),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).cast("double").as("n"),
+          Stable.sumD(x).as("sx"), Stable.sumD(y).as("sy"),
+          Stable.sumD(x * x).as("sxx"), Stable.sumD(y * y).as("syy"),
+          Stable.sumD(x * y).as("sxy"))
+      val cov = col("n") * col("sxy") - col("sx") * col("sy")
+      val varX = col("n") * col("sxx") - col("sx") * col("sx")
+      val varY = col("n") * col("syy") - col("sy") * col("sy")
+      val slope = cov / varX
+      m.select(col("p_brand"), col("n").cast("long").as("n_lines"),
+          round(slope + lit(1e-9), 6).as("slope"),
+          round((col("sy") - slope * col("sx")) / col("n") + lit(1e-9), 6)
+            .as("intercept"),
+          round(cov / (sqrt(varX) * sqrt(varY)) + lit(1e-9), 6)
+            .as("corr_qty_price"))
+        .orderBy(col("p_brand"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract,
-    cubeSummary, rangeFrame, fuzzyParts, shipLatency)
+    cubeSummary, rangeFrame, fuzzyParts, shipLatency, expectations,
+    regrStats)
 }

@@ -79,5 +79,58 @@ object MultimodalQueries {
       .orderBy(col("kind"))
   }
 
-  val all: Seq[QuerySpec] = Seq(assetDecode, kindProfile)
+  /** Fixed-size binary block chunking + per-block checksums — the
+    * content-addressable-storage shape (dedupe/transfer at block
+    * granularity): each asset's payload splits into 64-byte blocks via a
+    * `sequence`+`explode` generator, every block gets an md5, and the
+    * per-asset rollup reports block counts, distinct-block counts (intra-
+    * asset dedup potential), and the head checksum. Block bytes travel as
+    * hex text because the oracle's engine has no BLOB slicing — the md5
+    * is over the hex string in BOTH engines, byte-identical either way.
+    * At scale this is pure per-row generator work: no shuffle until the
+    * (already tiny) per-asset rollup.
+    */
+  val binaryBlocks: QuerySpec = QuerySpec.sql(
+    "q77_binary_blocks",
+    s"""WITH assets AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+      |    hex(CAST(text AS BLOB)) AS hx
+      |  FROM documents),
+      |b AS (
+      |  SELECT asset_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+      |    greatest(CAST(ceil(n_bytes / 64.0) AS BIGINT), 1) AS n_blocks, hx
+      |  FROM assets),
+      |bl AS (
+      |  SELECT asset_id, kind, n_bytes, n_blocks,
+      |    [md5(substring(hx, CAST(i * 128 + 1 AS BIGINT), 128))
+      |     FOR i IN range(0, n_blocks)] AS bhs
+      |  FROM b)
+      |SELECT asset_id, kind, n_bytes, n_blocks,
+      |  CAST(len(list_distinct(bhs)) AS BIGINT) AS n_distinct_blocks,
+      |  bhs[1] AS head_md5,
+      |  CAST(n_bytes - 64 * (n_blocks - 1) AS BIGINT) AS tail_bytes
+      |FROM bl
+      |ORDER BY asset_id""".stripMargin
+  ) { (spark, dir) =>
+    val a = Multimodal.assets(Tables.load(spark, dir, "documents"))
+      .select(col("asset_id"), col("kind"),
+        col("n_bytes").cast("long").as("n_bytes"),
+        greatest(ceil(col("n_bytes") / 64.0).cast("long"), lit(1L))
+          .as("n_blocks"),
+        hex(col("payload")).as("hx"))
+    a.select(col("asset_id"), col("kind"), col("n_bytes"), col("n_blocks"),
+        col("hx"), explode(sequence(lit(0L), col("n_blocks") - 1)).as("blk"))
+      .withColumn("bh",
+        md5(expr("cast(substring(hx, blk * 128 + 1, 128) as binary)")))
+      .groupBy(col("asset_id"), col("kind"), col("n_bytes"), col("n_blocks"))
+      .agg(countDistinct(col("bh")).as("n_distinct_blocks"),
+        max(when(col("blk") === 0, col("bh"))).as("head_md5"))
+      .withColumn("tail_bytes",
+        col("n_bytes") - lit(64L) * (col("n_blocks") - 1))
+      .orderBy(col("asset_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(assetDecode, kindProfile, binaryBlocks)
 }

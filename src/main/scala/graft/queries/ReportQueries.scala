@@ -55,5 +55,23 @@ object ReportQueries {
       |ORDER BY ts DESC, event_id DESC
       |LIMIT 50""".stripMargin)
 
-  val all: Seq[QuerySpec] = Seq(topCustomers, statusReport, severeRecent)
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the "top-k per
+    * outer row" SQL front-door shape (Catalyst plans the correlated
+    * limit via LateralJoin; the DSL twin is the q46 top-k-per-key
+    * operator). Same text runs in both engines.
+    */
+  val lateralTopK: QuerySpec = sqlQuery(
+    "q80_lateral_topk", Seq("region", "nation", "customer", "orders"),
+    """SELECT r.r_name, t.o_orderkey, t.o_totalprice
+      |FROM region r, LATERAL (
+      |  SELECT o.o_orderkey, o.o_totalprice
+      |  FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+      |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |  WHERE n.n_regionkey = r.r_regionkey
+      |  ORDER BY o.o_totalprice DESC, o.o_orderkey
+      |  LIMIT 3) t
+      |ORDER BY r.r_name, t.o_totalprice DESC, t.o_orderkey""".stripMargin)
+
+  val all: Seq[QuerySpec] = Seq(topCustomers, statusReport, severeRecent,
+    lateralTopK)
 }

@@ -1,0 +1,151 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.functions.Text
+import graft.operators.Sketches
+import graft.sources.Tables
+
+/** Portable-sketch tier ([[graft.operators.Sketches]]): distinct-count
+  * and membership sketches whose every bit is reproducible in the DuckDB
+  * oracle — unlike `approx_count_distinct`/`bloom_filter_agg`, whose
+  * binary states are engine-private. The queries check the SKETCH
+  * (k-min set, bit words, probe verdicts) exactly, and report accuracy
+  * against the exact answer computed alongside.
+  */
+object SketchQueries {
+
+  private val KmvK = 256
+
+  /** KMV distinct-count sketch of `o_custkey` vs the exact distinct
+    * count. At 100 TB the exact side is the expensive one (full distinct
+    * shuffle); the sketch side is a per-partition top-k heap merged on
+    * the driver-sized final partition — the query carries both to report
+    * the relative error the sketch actually achieves.
+    */
+  val kmvDistinct: QuerySpec = QuerySpec.sql(
+    "q75_kmv_distinct",
+    s"""WITH h AS (
+      |  SELECT DISTINCT ${Sketches.uniformHashSql("o_custkey")} AS h
+      |  FROM orders),
+      |km AS (SELECT h FROM h ORDER BY h LIMIT $KmvK),
+      |sk AS (SELECT count(*) AS k_used, max(h) AS kth_hash FROM km),
+      |ex AS (SELECT count(DISTINCT o_custkey) AS exact_distinct FROM orders),
+      |est AS (
+      |  SELECT k_used, kth_hash, exact_distinct,
+      |    CASE WHEN k_used < $KmvK THEN CAST(k_used AS DOUBLE)
+      |         ELSE CAST(k_used - 1 AS DOUBLE) * ${Sketches.P}.0 / kth_hash
+      |    END AS e
+      |  FROM sk, ex)
+      |SELECT CAST(k_used AS BIGINT) AS k_used, kth_hash,
+      |  round(e + 1e-9, 2) AS estimate,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  round(abs(e - exact_distinct) / exact_distinct + 1e-9, 4) AS rel_error
+      |FROM est""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Tables.load(spark, dir, "orders")
+    val sk = Sketches.kmv(orders, col("o_custkey"), KmvK)
+    val ex = orders.agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    val e = Sketches.kmvEstimate(col("k_used"), col("kth_hash"), KmvK)
+    sk.crossJoin(ex)
+      .select(col("k_used"), col("kth_hash"),
+        round(e + lit(1e-9), 2).as("estimate"),
+        col("exact_distinct"),
+        round(abs(e - col("exact_distinct")) / col("exact_distinct")
+          + lit(1e-9), 4).as("rel_error"))
+  }
+
+  // Sized for the LARGER gate scale: sf0.1 has ~17 k distinct eval
+  // shingles, so 2^19 bits / 4 hashes gives m/n ≈ 30 → per-probe FP
+  // ≈ 0.02 % (a 4096-bit first cut saturated — every bit set — and
+  // flagged all 400 train docs). 16 k packed words = 128 kB broadcast.
+  private val MBits = 524288
+  private val NHashes = 4
+
+  private val tokSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"""
+  private val shinglesSql =
+    s"""list_distinct(list_transform(
+      |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+      |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END,
+      |      s -> ${Text.charHashSql("s")}))""".stripMargin
+
+  /** Bloom-filtered decontamination — q69's scale path made concrete:
+    * the EVAL set's shingle hashes build a [[Sketches.bloomBuild]]
+    * filter (one bit_or aggregation over the SMALL side); every TRAIN
+    * document is then probed with a broadcast join instead of
+    * semi-joining the full train shingle explosion against the eval
+    * set. False positives are the price — the query reports them by
+    * carrying the exact overlap verdict per flagged doc (at production
+    * scale the exact join would re-check only the flagged docs, a
+    * ~100× smaller input).
+    */
+  val bloomDecon: QuerySpec = QuerySpec.sql(
+    "q81_bloom_decon",
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+      |eval_h AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE bucket >= 90),
+      |pos AS (
+      |  SELECT ((h % $MBits) + j.j * (1 + h % ${MBits - 1})) % $MBits AS pos
+      |  FROM eval_h CROSS JOIN range(0, $NHashes) j(j)),
+      |words AS (
+      |  SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
+      |  FROM pos GROUP BY 1),
+      |train AS (
+      |  SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket < 80),
+      |probe AS (
+      |  SELECT tr.doc_id, tr.h,
+      |    ((tr.h % $MBits) + j.j * (1 + tr.h % ${MBits - 1})) % $MBits AS pos
+      |  FROM train tr CROSS JOIN range(0, $NHashes) j(j)),
+      |hits AS (
+      |  SELECT p.doc_id, p.h,
+      |    CAST(sum(CASE WHEN (w.bits & (1::BIGINT << CAST(p.pos % 32 AS INT))) <> 0
+      |             THEN 1 ELSE 0 END) AS BIGINT) AS n_set
+      |  FROM probe p LEFT JOIN words w ON p.pos // 32 = w.w
+      |  GROUP BY p.doc_id, p.h),
+      |per_doc AS (
+      |  SELECT hi.doc_id,
+      |    count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN hi.n_set = $NHashes THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_bloom_pos,
+      |    CAST(sum(CASE WHEN eh.h IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_exact
+      |  FROM hits hi LEFT JOIN eval_h eh ON hi.h = eh.h
+      |  GROUP BY hi.doc_id)
+      |SELECT doc_id, n_shingles, n_bloom_pos, n_exact,
+      |  n_bloom_pos > 0 AS flagged, n_exact > 0 AS exact_hit
+      |FROM per_doc
+      |WHERE n_bloom_pos > 0
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.operators.MinHashLSH.shingleHashes(Text.tokens(col("text")), 3)
+          .as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val evalH = base.filter(col("bucket") >= 90)
+      .select(explode(col("sh")).as("h")).distinct()
+    val words = Sketches.bloomBuild(evalH, "h", MBits, NHashes)
+    val train = base.filter(col("bucket") < 80)
+      .select(col("doc_id"), explode(col("sh")).as("h"))
+    val probed = Sketches.bloomProbe(train, "h", words, MBits, NHashes)
+    probed
+      .join(evalH.withColumn("exact", lit(1L)), Seq("h"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("might_contain"), 1L).otherwise(0L)).as("n_bloom_pos"),
+        sum(when(col("exact").isNotNull, 1L).otherwise(0L)).as("n_exact"))
+      .filter(col("n_bloom_pos") > 0)
+      .select(col("doc_id"), col("n_shingles"), col("n_bloom_pos"),
+        col("n_exact"), (col("n_bloom_pos") > 0).as("flagged"),
+        (col("n_exact") > 0).as("exact_hit"))
+      .orderBy(col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon)
+}

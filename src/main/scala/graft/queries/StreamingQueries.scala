@@ -57,5 +57,45 @@ object StreamingQueries {
       .orderBy(col("window_start"), col("event_type"))
   }
 
-  val all: Seq[QuerySpec] = Seq(streamWindowCounts)
+  /** Native `session_window` (gap-based merging windows) in batch mode,
+    * verified against a gaps-and-islands oracle: Spark merges an event
+    * into the open session while `ts < prev_end` (= prev ts + gap,
+    * STRICT), which is exactly `lag`-diff `< INTERVAL` islanding; the
+    * session end is `last ts + gap` in both. This pins the semantics the
+    * streaming sessionization operators ([[graft.streaming.Sessionize]],
+    * q62/q68's islands) rely on, with the engine-native operator rather
+    * than a hand-built window chain — at scale it is one shuffle on
+    * user_id with state merged inside the aggregation.
+    */
+  val sessionWindow: QuerySpec = QuerySpec.sql(
+    "q76_session_window",
+    """WITH d AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |              < INTERVAL 30 MINUTE
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM events),
+      |s AS (
+      |  SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |    ROWS UNBOUNDED PRECEDING) AS sid
+      |  FROM d)
+      |SELECT user_id, min(ts) AS session_start,
+      |  max(ts) + INTERVAL 30 MINUTE AS session_end,
+      |  count(*) AS n_events,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) + 1e-9, 2)
+      |    AS sum_value
+      |FROM s GROUP BY user_id, sid
+      |ORDER BY user_id, session_start""".stripMargin
+  ) { (spark, dir) =>
+    graft.sources.Tables.load(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        round(graft.functions.Stable.sumD(col("value")) + lit(1e-9), 2)
+          .as("sum_value"))
+      .select(col("user_id"), col("sw.start").as("session_start"),
+        col("sw.end").as("session_end"), col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("session_start"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(streamWindowCounts, sessionWindow)
 }

@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class SketchesSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("kmv is exact below k and estimates within ~3/sqrt(k) above it") {
+    val small = (1 to 100).map(i => s"key_$i").toDF("k")
+    val Seq((kUsed, _, est)) = kmvRun(small, 256)
+    assert(kUsed == 100L && est == 100.0)
+
+    val big = (1 to 20000).map(i => s"key_$i").toDF("k")
+    val Seq((kUsed2, _, est2)) = kmvRun(big, 256)
+    assert(kUsed2 == 256L)
+    assert(math.abs(est2 - 20000) / 20000.0 < 3.0 / math.sqrt(256),
+      s"estimate $est2 off by more than 3/sqrt(k)")
+  }
+
+  private def kmvRun(df: org.apache.spark.sql.DataFrame, k: Int) =
+    Sketches.kmv(df, col("k"), k)
+      .select(col("k_used"), col("kth_hash"),
+        Sketches.kmvEstimate(col("k_used"), col("kth_hash"), k).as("e"))
+      .as[(Long, Long, Double)].collect().toSeq
+
+  test("kmv result is partition-count invariant (mergeable sketch)") {
+    val data = (1 to 5000).map(i => s"u$i")
+    val a = kmvRun(data.toDF("k").repartition(1), 128)
+    val b = kmvRun(data.toDF("k").repartition(17), 128)
+    assert(a == b)
+  }
+
+  test("bloom has no false negatives and a bounded false-positive rate") {
+    val m = 1 << 14
+    val nh = 4
+    val members = (1 to 1000).map(i => s"in_$i").toDF("s")
+      .select(graft.functions.Text.charHash(col("s")).as("h"))
+    val filter = Sketches.bloomBuild(members, "h", m, nh)
+    // every member must probe positive
+    val memberHits = Sketches.bloomProbe(members, "h", filter, m, nh)
+      .filter(!col("might_contain")).count()
+    assert(memberHits == 0, "bloom false negative")
+    // disjoint probes: FP rate should be near (1 - e^{-kn/m})^k ≈ 0.24%
+    val outsiders = (1 to 5000).map(i => s"out_$i").toDF("s")
+      .select(graft.functions.Text.charHash(col("s")).as("h"))
+    val fp = Sketches.bloomProbe(outsiders, "h", filter, m, nh)
+      .filter(col("might_contain")).count()
+    assert(fp < 5000 * 0.02, s"false-positive count $fp exceeds 2%")
+  }
+
+  test("bloom bit words are identical regardless of input partitioning") {
+    val hs = (1 to 2000).map(i => s"x$i").toDF("s")
+      .select(graft.functions.Text.charHash(col("s")).as("h"))
+    val w1 = Sketches.bloomBuild(hs.repartition(1), "h", 4096, 3)
+      .orderBy(col("w")).as[(Int, Long)].collect().toSeq
+    val w2 = Sketches.bloomBuild(hs.repartition(13), "h", 4096, 3)
+      .orderBy(col("w")).as[(Int, Long)].collect().toSeq
+    assert(w1 == w2)
+  }
+}
