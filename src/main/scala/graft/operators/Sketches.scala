@@ -83,22 +83,41 @@ object Sketches {
       .groupBy(col("w"))
       .agg(bit_or(col("bit")).as("bits"))
 
-  /** Probe: append a `might_contain` boolean per input row by testing
-    * all `nHashes` bits of `hashCol` against the (broadcast) filter.
+  private def shiftL(v: Column, n: Column): Column =
+    org.apache.spark.sql.graftglue.ColumnGlue.toColumn(
+      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
+        org.apache.spark.sql.graftglue.ColumnGlue.toExpression(v),
+        org.apache.spark.sql.graftglue.ColumnGlue.toExpression(n)))
+
+  /** Probe: annotate every input row with a `might_contain` boolean by
+    * testing all `nHashes` bits of `hashCol` against the (broadcast)
+    * filter. `nHashes` is a FIXED small constant, so the probes are
+    * unrolled as one column + one broadcast hash join EACH instead of a
+    * posexplode (which would multiply the probe-side row count by
+    * `nHashes` and force a re-grouping shuffle to AND the verdicts back
+    * together — measured two shuffles saved on the decontamination
+    * query). Purely row-local: adds no exchange to the caller's plan.
     */
   def bloomProbe(df: DataFrame, hashCol: String, filter: DataFrame,
       mBits: Int, nHashes: Int): DataFrame = {
-    val probes = df
-      .select(col("*"), posexplode(bloomPositions(col(hashCol), mBits, nHashes))
-        .as(Seq("j", "pos")))
-      .select(col("*"), (col("pos") / 32).cast("int").as("w"),
-        expr("shiftleft(1L, cast(pos % 32 as int))").as("mask"))
-      .join(broadcast(filter), Seq("w"), "left")
-      .withColumn("hit",
-        coalesce(col("bits").bitwiseAND(col("mask")) =!= 0, lit(false)))
-    probes
-      .groupBy(df.columns.map(col): _*)
-      .agg((sum(when(col("hit"), 1).otherwise(0)) === nHashes)
-        .as("might_contain"))
+    val annotated = (0 until nHashes).foldLeft(df) { (acc, j) =>
+      val h = col(hashCol)
+      val pos = (pmod(h, lit(mBits)) +
+        lit(j) * (lit(1L) + pmod(h, lit(mBits - 1)))) % mBits
+      val f = broadcast(filter
+        .withColumnRenamed("w", s"__w$j")
+        .withColumnRenamed("bits", s"__bits$j"))
+      acc.withColumn(s"__pos$j", pos)
+        .join(f, (col(s"__pos$j") / 32).cast("int") === col(s"__w$j"), "left")
+        .withColumn(s"__hit$j",
+          coalesce(col(s"__bits$j").bitwiseAND(
+            shiftL(lit(1L), (col(s"__pos$j") % 32).cast("int"))) =!= 0,
+            lit(false)))
+    }
+    annotated
+      .withColumn("might_contain",
+        (0 until nHashes).map(j => col(s"__hit$j")).reduce(_ && _))
+      .drop((0 until nHashes).flatMap(j =>
+        Seq(s"__pos$j", s"__w$j", s"__bits$j", s"__hit$j")): _*)
   }
 }

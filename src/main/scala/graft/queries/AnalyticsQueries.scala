@@ -343,7 +343,39 @@ object AnalyticsQueries {
     }
   }
 
+  /** Positional value windows — `first_value` (default running frame),
+    * `last_value` and `nth_value` (explicit full frame: the default
+    * frame ends at CURRENT ROW, where last_value degenerates to the row
+    * itself — the classic window gotcha, pinned here cross-engine).
+    * Deterministic: the order key is (date, orderkey), a total order.
+    */
+  val valueWindows: QuerySpec = QuerySpec.sql(
+    "q82_value_windows",
+    """SELECT o_orderkey, o_custkey, o_totalprice,
+      |  first_value(o_orderkey) OVER w1 AS first_order,
+      |  last_value(o_orderkey) OVER w2 AS last_order,
+      |  nth_value(o_orderkey, 2) OVER w2 AS second_order
+      |FROM orders
+      |WINDOW
+      |  w1 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+      |  w2 AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |ORDER BY o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val w1 = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    val w2 = w1.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        first(col("o_orderkey")).over(w1).as("first_order"),
+        last(col("o_orderkey")).over(w2).as("last_order"),
+        nth_value(col("o_orderkey"), 2).over(w2).as("second_order"))
+      .orderBy(col("o_orderkey"))
+  }
+
   val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract,
     cubeSummary, rangeFrame, fuzzyParts, shipLatency, expectations,
-    regrStats)
+    regrStats, valueWindows)
 }
