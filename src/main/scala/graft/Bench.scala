@@ -6,11 +6,13 @@ object Bench {
     // JIT/codegen warmup outside any measured window, then run queries in
     // name order so per-query numbers are attributable and stable.
     SparkEntry.entry(spark).count()
-    // two measured runs per query, min reported: single-shot numbers on a
-    // shared box carry ±40% GC/JIT noise that would swamp real regressions
-    val Runs = 2
+    // one untimed warm-up run per query, then three measured runs with the
+    // min reported: single-shot numbers on a shared box carry ±40% GC/JIT
+    // noise, and round-over-round deltas at runs=2 swung 1.5–2.4× on
+    // unchanged queries — too noisy to catch real regressions.
+    val Runs = 3
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val times = (1 to Runs).map { _ =>
+      val times = (0 to Runs).map { run =>
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).count(); true }
@@ -24,13 +26,13 @@ object Bench {
         // it win the min and report a misleadingly fast number
         if (ok) elapsed else Double.PositiveInfinity
       }
-      name -> times.min
+      name -> times.drop(1).min // run 0 is the untimed warm-up
     }
     val failed = results.collect { case (n, t) if t.isInfinity => n }
     // The harness capturing this output keeps only a bounded tail of stdout;
     // the JSON line must fit entirely inside it or it can't be parsed. Keys
     // are therefore the short query id (prefix before the first '_', unique
-    // by construction) and values are rounded to ms — ~1 kB for 74 queries.
+    // by construction) and values are rounded to ms — ~1 kB for 85 queries.
     def ms3(v: Double): String = {
       val r = math.rint(v * 1000) / 1000
       if (r == r.toLong) r.toLong.toString else r.toString
@@ -41,9 +43,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isInfinity).sum
     val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$qs,"errors":${failed.size},"failed":$failedJson,"runs":$Runs,"agg":"min","sf":"$sfDir"}"""
-    assert(line.length < 1800, s"bench JSON line too long: ${line.length}")
-    println(line)
+    def line(queries: String, extra: String) =
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size},"failed":$failedJson,"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
+    val full = line(qs, "")
+    // never throw after the measurements exist: if the per-query map would
+    // overflow the captured tail, drop it and say so in the JSON itself
+    val out =
+      if (full.length < 1800) full
+      else line("{}", s""","warning":"queries omitted: line was ${full.length} chars"""")
+    println(out)
     spark.stop()
   }
 }
