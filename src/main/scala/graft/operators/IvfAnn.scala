@@ -4,6 +4,7 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.functions.Vectors
+import graft.operators.CentroidState.Cent
 
 /** IVF (inverted-file) approximate nearest neighbour — the scale path
   * past sign-bucket LSH (SCALING.md "Dedup / similarity"): a coarse
@@ -12,101 +13,86 @@ import graft.functions.Vectors
   * pairs track `nProbe / clusters` of brute force while recall stays
   * high for clustered data.
   *
-  * Everything is DataFrame algebra — no RDDs, no driver-side vectors:
+  * The trained quantizer is driver-held O(clusters·dim) state
+  * ([[CentroidState]] — the Spark MLlib `KMeans` pattern), so:
   *
   *  - seeding is deterministic (the `clusters` lowest-id vectors), so
   *    re-runs build the same index — no `rand()`, reproducible like every
   *    other operator here;
-  *  - each Lloyd iteration is assign (cross join against the broadcast
-  *    centroid table, argmin via one `min(struct)` aggregate — no window)
-  *    then update (posexplode → per-(cell, dim) mean → array rebuild);
-  *    iterations are a FIXED count, the batch analog of "train for n
-  *    steps", so the plan size is bounded;
-  *  - search reuses the custom [[graft.plans.TopKPerKeyPlan]] operator
-  *    for both the query→cells probe assignment and the final top-k, so
-  *    the map-side bounded-heap reduction applies before every shuffle.
+  *  - each Lloyd iteration is ONE corpus scan: nearest-cell assignment is
+  *    an inline `array_min` expression over the literal centroid table
+  *    (no crossJoin, no argmin shuffle, no join-back), feeding a single
+  *    partially-aggregated per-(cell, dim) decimal mean whose k·dim-row
+  *    result is collected — the batch analog of "train for n steps";
+  *  - assignment and probe selection at search time are likewise pure
+  *    per-row expressions (zero shuffle before the candidate join), and
+  *    the final top-k runs through the custom
+  *    [[graft.plans.TopKPerKeyPlan]] operator so the map-side
+  *    bounded-heap reduction applies before the one remaining shuffle.
   *
-  * At 10 B vectors: centroids are O(clusters·dim) — always broadcast;
-  * the corpus is written bucketed by cell so a probe reads `nProbe`
-  * buckets; raising `clusters` keeps cell size constant as the corpus
-  * grows (clusters ≈ sqrt(n) is the classical sizing).
+  * At 10 B vectors: centroids are O(clusters·dim) — always driver/
+  * broadcast-sized; the corpus is written bucketed by cell so a probe
+  * reads `nProbe` buckets; raising `clusters` keeps cell size constant as
+  * the corpus grows (clusters ≈ sqrt(n) is the classical sizing).
   */
 object IvfAnn {
 
-  /** Squared-distance argmin only needs `|c|² − 2·v·c` — `|v|²` is
-    * constant per vector and drops out of the comparison.
+  /** Train the coarse quantizer driver-side: deterministic lowest-id
+    * seeds, then `iters` Lloyd passes of one corpus scan each.
     */
-  private def cellScore = {
-    (vec: org.apache.spark.sql.Column, cvec: org.apache.spark.sql.Column,
-        cnorm2: org.apache.spark.sql.Column) =>
-      cnorm2 - lit(2.0) * Vectors.dot(vec, cvec)
-  }
-
-  /** Train the coarse quantizer: (cell, cvec, cnorm2). */
-  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
-      clusters: Int, iters: Int): DataFrame = {
-    val spark = corpus.sparkSession
-    import org.apache.spark.sql.expressions.Window
-    // deterministic seeds: the `clusters` lowest-id vectors
-    var cents = corpus
+  private[operators] def lloyd(corpus: DataFrame, idCol: String,
+      vecCol: String, clusters: Int, iters: Int): Seq[Cent] = {
+    var cents: Seq[Cent] = corpus.select(col(idCol), col(vecCol))
       .orderBy(col(idCol)).limit(clusters)
-      .select(row_number().over(Window.orderBy(col(idCol))).cast("int")
-          .as("cell"),
-        col(vecCol).as("cvec"))
-      .withColumn("cnorm2", Vectors.dot(col("cvec"), col("cvec")))
-      .localCheckpoint(true)
+      .collect().zipWithIndex
+      .map { case (r, i) => Cent(i + 1, r.getSeq[Float](1).toArray) }
+      .toSeq
     var i = 0
     while (i < iters) {
-      val assigned = assign(corpus, cents, idCol, vecCol)
-        .join(corpus.select(col(idCol), col(vecCol)), idCol)
-      val next = assigned
-        .select(col("cell"), posexplode(col(vecCol)).as(Seq("pos", "x")))
+      // decimal-backed mean (Stable rationale): centroids come out
+      // bit-identical regardless of partitioning, so the trained index
+      // is reproducible run to run
+      val means = corpus
+        .select(CentroidState.nearestCell(col(vecCol),
+            CentroidState.toLit(cents)).as("cell"),
+          posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
-        // decimal-backed mean (Stable rationale): centroids come out
-        // bit-identical regardless of partitioning, so the trained index
-        // is reproducible run to run
         .agg((graft.functions.Stable.sumD(col("x")) / count(col("x")))
-          .as("m"))
-        .groupBy(col("cell"))
-        // rebuild the vector ordered by dimension; struct sort orders by
-        // the leading `pos` field, making collect_list's order irrelevant
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("m")))),
-          s => s.getField("m").cast("float")).as("cvec"))
-        .withColumn("cnorm2", Vectors.dot(col("cvec"), col("cvec")))
-        .localCheckpoint(true)
-      cents = next
+          .as("mu"))
+        .collect()
+      cents = CentroidState.fromMeans(means.toSeq)
       i += 1
     }
     cents
   }
 
-  /** Hard assignment: one cell per vector, argmin of the cell score via a
-    * single `min(struct)` aggregate (ties break toward the lower cell id).
+  /** Train the coarse quantizer: (cell, cvec, cnorm2). */
+  def centroids(corpus: DataFrame, idCol: String, vecCol: String,
+      clusters: Int, iters: Int): DataFrame =
+    CentroidState.toDF(corpus.sparkSession,
+      lloyd(corpus, idCol, vecCol, clusters, iters))
+
+  /** Hard assignment: one cell per vector — a pure projection (the
+    * argmin is an inline expression over the collected centroid table;
+    * ties break toward the lower cell id).
     */
   def assign(vecs: DataFrame, cents: DataFrame, idCol: String,
-      vecCol: String): DataFrame =
-    vecs.select(col(idCol), col(vecCol))
-      .crossJoin(broadcast(cents))
-      .select(col(idCol),
-        struct(cellScore(col(vecCol), col("cvec"), col("cnorm2"))
-          .as("score"), col("cell")).as("sc"))
-      .groupBy(col(idCol))
-      .agg(min(col("sc")).getField("cell").as("cell"))
+      vecCol: String): DataFrame = {
+    val centsArr = CentroidState.toLit(CentroidState.collect(cents))
+    vecs.select(col(idCol),
+      CentroidState.nearestCell(col(vecCol), centsArr).as("cell"))
+  }
 
   /** Probe assignment: each query's `nProbe` nearest cells — the same
-    * scoring, ranked through the custom top-k operator.
+    * scoring, one row per (query, probed cell), still projection-only.
     */
   def probes(queries: DataFrame, cents: DataFrame, qidCol: String,
-      qvecCol: String, nProbe: Int): DataFrame =
-    Dedup.topKPerKey(
-      queries.select(col(qidCol), col(qvecCol))
-        .crossJoin(broadcast(cents))
-        .select(col(qidCol), col("cell"),
-          cellScore(col(qvecCol), col("cvec"), col("cnorm2")).as("score")),
-      keys = Seq(qidCol),
-      order = Seq(col("score").asc, col("cell").asc),
-      k = nProbe)
-      .select(col(qidCol), col("cell"))
+      qvecCol: String, nProbe: Int): DataFrame = {
+    val centsArr = CentroidState.toLit(CentroidState.collect(cents))
+    queries.select(col(qidCol),
+      explode(CentroidState.nearestCells(col(qvecCol), centsArr, nProbe))
+        .as("cell"))
+  }
 
   /** End-to-end IVF search: top-`k` cosine neighbours per query scored
     * only inside the query's probed cells.
@@ -116,20 +102,25 @@ object IvfAnn {
   def search(corpus0: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, clusters: Int, nProbe: Int, iters: Int = 2): DataFrame = {
-    // the corpus feeds seeding, every Lloyd iteration (assign + rebuild),
-    // final assignment, and the probe scoring — persist once instead of
-    // re-running the scan for each of those jobs
+    // the corpus feeds seeding, one scan per Lloyd iteration, and the
+    // final cell-pruned scoring — persist once instead of re-reading
+    // parquet for each of those jobs
     val corpus = corpus0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cents = centroids(corpus, idCol, vecCol, clusters, iters)
-    val cells = assign(corpus, cents, idCol, vecCol)
+    val cents = lloyd(corpus, idCol, vecCol, clusters, iters)
+    val centsArr = CentroidState.toLit(cents)
     val corpusByCell = corpus
-      .select(col(idCol), col(vecCol), Vectors.norm(col(vecCol)).as("__n"))
-      .join(cells, idCol)
-    val probed = probes(queries, cents, qidCol, qvecCol, nProbe)
-      .join(queries.select(col(qidCol), col(qvecCol),
-        Vectors.norm(col(qvecCol)).as("__qn")), qidCol)
-    val scored = probed.join(corpusByCell, "cell")
+      .select(col(idCol), col(vecCol), Vectors.norm(col(vecCol)).as("__n"),
+        CentroidState.nearestCell(col(vecCol), centsArr).as("cell"))
+    val probed = queries
+      .select(col(qidCol), col(qvecCol),
+        Vectors.norm(col(qvecCol)).as("__qn"),
+        explode(CentroidState.nearestCells(col(qvecCol), centsArr, nProbe))
+          .as("cell"))
+    // the probe side is (queries · nProbe) rows — a bounded request batch
+    // by the search contract — so broadcast it and the corpus never
+    // shuffles: candidate generation is a map-side hash join on cell
+    val scored = broadcast(probed).join(corpusByCell, "cell")
       .filter(col(qidCol) =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
       .select(col(qidCol), col(idCol).as("neighbor"),
         (Vectors.dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n")))

@@ -1,26 +1,36 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 import graft.functions.Vectors
+import graft.operators.CentroidState.Cent
 
 /** Product quantization (PQ) — the memory-compression tier of the ANN
   * family (brute q27 → LSH q28 → IVF q58 → int8 q59 → PQ): each
   * `dim`-float vector splits into `m` subvectors, each subspace gets its
-  * own small k-means codebook (reusing [[IvfAnn.centroids]] — same
-  * deterministic seeding, same decimal-exact means), and a vector is
-  * stored as `m` small codes. 64 floats (256 B) at m=8 become 8 codes —
-  * 32× compression, the difference between an in-memory corpus and not
-  * at 10 B vectors.
+  * own small k-means codebook (the same deterministic seeding and
+  * decimal-exact means as [[IvfAnn]]), and a vector is stored as `m`
+  * small codes. 64 floats (256 B) at m=8 become 8 codes — 32×
+  * compression, the difference between an in-memory corpus and not at
+  * 10 B vectors.
+  *
+  * Codebooks are driver-held `m · codes · dim/m = codes · dim` floats
+  * (kilobytes — [[CentroidState]] scale rationale), so training is joint
+  * across all subspaces with ONE corpus scan per Lloyd iteration (the
+  * per-(subspace, cell, dim) decimal mean is a single partial-aggregated
+  * groupBy), and encoding is a pure projection: each row's `m` nearest
+  * codewords come from an inline `array_min` over the literal codebook —
+  * no explode, no argmin shuffle, no array-rebuild aggregations.
   *
   * Search is asymmetric distance computation (ADC): per query, the
   * distance from its subvector to EVERY codebook centroid is
-  * precomputed (`m · k` numbers — tiny) and broadcast; a corpus row's
-  * approximate distance is then `m` map lookups summed by a
-  * higher-order function over its codes — one corpus scan, ZERO
-  * shuffle before the final top-k (which runs through the bounded-heap
-  * [[graft.plans.TopKPerKeyPlan]] operator).
+  * precomputed (`m · k` numbers — tiny) as an inline expression and
+  * broadcast; a corpus row's approximate distance is then `m` map
+  * lookups summed by a higher-order function over its codes — one
+  * corpus scan, ZERO shuffle before the final top-k (which runs through
+  * the bounded-heap [[graft.plans.TopKPerKeyPlan]] operator).
   *
   * Tables are `map<cell,dist>` rather than position-indexed arrays
   * because Lloyd iterations can empty a cell: codebook cell ids stay a
@@ -35,104 +45,120 @@ object ProductQuantizer {
       i => slice(vec, i * sub + 1, lit(sub)))
   }
 
-  /** Train one codebook per subspace: (m, cell, cvec, cnorm2).
-    *
-    * JOINT training: all `m` subspaces run their Lloyd iterations in one
-    * DataFrame pipeline keyed by (subspace, cell) — the exploded corpus
-    * is scanned once per iteration instead of once per subspace per
-    * iteration (m× fewer job rounds; it cut q67's bench time ~3×).
-    * Semantics are identical to training each subspace independently
-    * through [[IvfAnn.centroids]]: same lowest-id deterministic seeds,
+  /** Literal codebook: `array` over subspaces of centroid tables —
+    * subspace `i`'s table is `element_at(…, i + 1)`.
+    */
+  private def cbLit(cb: IndexedSeq[Seq[Cent]]): Column =
+    array(cb.map(CentroidState.toLit): _*)
+
+  private val pqSchema: StructType = StructType(
+    StructField("m", IntegerType, nullable = false) +:
+      CentroidState.schema.fields.toSeq)
+
+  private def toDF(spark: SparkSession, cb: IndexedSeq[Seq[Cent]]): DataFrame =
+    spark.createDataFrame(
+      java.util.Arrays.asList(cb.zipWithIndex.flatMap { case (cells, i) =>
+        cells.map(c => Row(i, c.cell, c.cvec.toSeq, c.cnorm2))
+      }: _*),
+      pqSchema)
+
+  /** Re-collect a codebook DataFrame into per-subspace driver state
+    * (small by the `codes · dim` contract); `cnorm2` is re-derived the
+    * [[CentroidState.collect]] way.
+    */
+  private def collectCodebook(codebook: DataFrame, m: Int): IndexedSeq[Seq[Cent]] = {
+    val byM = codebook
+      .select(col("m").cast("int"), col("cell").cast("int"), col("cvec"))
+      .collect()
+      .groupBy(_.getInt(0))
+    (0 until m).map { i =>
+      byM.getOrElse(i, Array.empty[Row])
+        .map(r => Cent(r.getInt(1), r.getSeq[Float](2).toArray))
+        .toSeq.sortBy(_.cell)
+    }
+  }
+
+  /** Joint Lloyd training across all `m` subspaces — one corpus scan per
+    * iteration. Semantics are identical to training each subspace
+    * independently through [[IvfAnn]]: same lowest-id deterministic
+    * seeds (each seed vector's m-th slice seeds cell 1..k of subspace m),
     * same decimal-exact means, and subspaces never interact (every
     * aggregation is keyed by `m`).
     */
+  private[operators] def lloyd(corpus: DataFrame, idCol: String,
+      vecCol: String, m: Int, dim: Int, k: Int,
+      iters: Int): IndexedSeq[Seq[Cent]] = {
+    val sub = dim / m
+    val seeds = corpus.select(col(idCol), col(vecCol))
+      .orderBy(col(idCol)).limit(k).collect()
+    var cb: IndexedSeq[Seq[Cent]] = (0 until m).map { i =>
+      seeds.zipWithIndex.map { case (r, j) =>
+        Cent(j + 1, r.getSeq[Float](1).slice(i * sub, (i + 1) * sub).toArray)
+      }.toSeq
+    }
+    var it = 0
+    while (it < iters) {
+      val arr = cbLit(cb)
+      // decimal-backed mean (Stable rationale): codebooks come out
+      // bit-identical regardless of partitioning
+      val means = corpus
+        .select(posexplode(subvectors(col(vecCol), m, dim)).as(Seq("m", "sv")))
+        .select(col("m"),
+          CentroidState.nearestCell(col("sv"), element_at(arr, col("m") + 1))
+            .as("cell"),
+          posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("m"), col("cell"), col("pos"))
+        .agg((graft.functions.Stable.sumD(col("x")) / count(col("x")))
+          .as("mu"))
+        .collect()
+      val byM = means.groupBy(_.getInt(0))
+      cb = (0 until m).map { i =>
+        byM.getOrElse(i, Array.empty[Row])
+          .groupBy(_.getInt(1)).toSeq
+          .map { case (cell, rs) =>
+            Cent(cell,
+              rs.sortBy(_.getInt(2)).map(_.getDouble(3).toFloat).toArray)
+          }.sortBy(_.cell)
+      }
+      it += 1
+    }
+    cb
+  }
+
+  /** Train one codebook per subspace: (m, cell, cvec, cnorm2). */
   def train(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int, dim: Int, k: Int, iters: Int): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    import org.apache.spark.sql.expressions.Window
-    val subvecs = corpus
-      .select(col(idCol),
-        posexplode(subvectors(col(vecCol), m, dim)).as(Seq("m", "sv")))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // deterministic seeds: the k lowest-id vectors seed cell 1..k in
-    // EVERY subspace (their m-th slice) — matches IvfAnn's seeding
-    val seedIds = corpus.select(col(idCol)).orderBy(col(idCol)).limit(k)
-      .select(col(idCol),
-        row_number().over(Window.orderBy(col(idCol))).cast("int").as("cell"))
-    var cents = subvecs.join(broadcast(seedIds), idCol)
-      .select(col("m"), col("cell"), col("sv").as("cvec"))
-      .withColumn("cnorm2", Vectors.dot(col("cvec"), col("cvec")))
-      .localCheckpoint(true)
-    var i = 0
-    while (i < iters) {
-      val assigned = subvecs.join(broadcast(cents), "m")
-        .select(col(idCol), col("m"),
-          struct((col("cnorm2")
-            - lit(2.0) * Vectors.dot(col("sv"), col("cvec"))).as("score"),
-            col("cell")).as("sc"))
-        .groupBy(col(idCol), col("m"))
-        .agg(min(col("sc")).getField("cell").as("cell"))
-        .join(subvecs, Seq(idCol, "m"))
-      cents = assigned
-        .select(col("m"), col("cell"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy(col("m"), col("cell"), col("pos"))
-        // decimal-backed mean (Stable rationale): codebooks come out
-        // bit-identical regardless of partitioning
-        .agg((graft.functions.Stable.sumD(col("x")) / count(col("x")))
-          .as("mu"))
-        .groupBy(col("m"), col("cell"))
-        .agg(transform(array_sort(collect_list(struct(col("pos"), col("mu")))),
-          s => s.getField("mu").cast("float")).as("cvec"))
-        .withColumn("cnorm2", Vectors.dot(col("cvec"), col("cvec")))
-        .localCheckpoint(true)
-      i += 1
-    }
-    subvecs.unpersist()
-    cents
+    toDF(corpus.sparkSession, lloyd(corpus, idCol, vecCol, m, dim, k, iters))
   }
 
-  /** Encode each vector as its `m` nearest-codeword cells: (id, codes).
-    * One explode to (id, subspace, subvector), a broadcast argmin per
-    * subspace, and an ordered array rebuild — the same shapes as
-    * [[IvfAnn.assign]].
+  /** Encode each vector as its `m` nearest-codeword cells: (id, codes) —
+    * a pure projection, zero shuffle.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, m: Int, dim: Int): DataFrame =
-    corpus
-      .select(col(idCol),
-        posexplode(subvectors(col(vecCol), m, dim)).as(Seq("m", "sv")))
-      .join(broadcast(codebook), "m")
-      .select(col(idCol), col("m"),
-        struct((col("cnorm2") - lit(2.0) * Vectors.dot(col("sv"), col("cvec")))
-          .as("score"), col("cell")).as("sc"))
-      .groupBy(col(idCol), col("m"))
-      .agg(min(col("sc")).getField("cell").as("code"))
-      .groupBy(col(idCol))
-      .agg(transform(array_sort(collect_list(struct(col("m"), col("code")))),
-        s => s.getField("code")).as("codes"))
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val arr = cbLit(collectCodebook(codebook, m))
+    corpus.select(col(idCol),
+      transform(subvectors(col(vecCol), m, dim),
+        (sv, i) => CentroidState.nearestCell(sv, element_at(arr, i + 1)))
+        .as("codes"))
+  }
 
   /** Per-query ADC tables: (qid, tables) with `tables[m][cell] =
-    * ||q_m − c||²` as an array (over subspaces, in order) of maps.
+    * ||q_m − c||²` as an array (over subspaces, in order) of maps —
+    * also a pure projection.
     */
   def distTables(queries: DataFrame, qidCol: String, qvecCol: String,
-      codebook: DataFrame, m: Int, dim: Int): DataFrame =
-    queries
-      .select(col(qidCol),
-        posexplode(subvectors(col(qvecCol), m, dim)).as(Seq("m", "qsv")))
-      .join(broadcast(codebook), "m")
-      .select(col(qidCol), col("m"), col("cell"),
-        (Vectors.dot(col("qsv"), col("qsv")) + col("cnorm2")
-          - lit(2.0) * Vectors.dot(col("qsv"), col("cvec"))).as("d"))
-      .groupBy(col(qidCol), col("m"))
-      .agg(map_from_entries(array_sort(collect_list(
-        struct(col("cell"), col("d"))))).as("t"))
-      .groupBy(col(qidCol))
-      // comparator form: default struct ordering cannot compare the
-      // nested map field, so order by the leading subspace index only
-      .agg(transform(
-        array_sort(collect_list(struct(col("m"), col("t"))),
-          (l, r) => l.getField("m") - r.getField("m")),
-        s => s.getField("t")).as("tables"))
+      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
+    val arr = cbLit(collectCodebook(codebook, m))
+    queries.select(col(qidCol),
+      transform(subvectors(col(qvecCol), m, dim), (qsv, i) =>
+        map_from_entries(transform(element_at(arr, i + 1), c =>
+          struct(c.getField("cell").as("cell"),
+            (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
+              - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d")))))
+        .as("tables"))
+  }
 
   /** End-to-end PQ search: top-`k` neighbours per query by approximate
     * (ADC) squared L2 distance. @return (qid, neighbor, approx_dist)
@@ -140,12 +166,22 @@ object ProductQuantizer {
   def search(corpus0: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, m: Int, dim: Int, codes: Int, iters: Int = 2): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val corpus = corpus0
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val codebook = train(corpus, idCol, vecCol, m, dim, codes, iters)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val encoded = encode(corpus, idCol, vecCol, codebook, m, dim)
-    val tables = distTables(queries, qidCol, qvecCol, codebook, m, dim)
+    val cb = lloyd(corpus, idCol, vecCol, m, dim, codes, iters)
+    val arr = cbLit(cb)
+    val encoded = corpus.select(col(idCol),
+      transform(subvectors(col(vecCol), m, dim),
+        (sv, i) => CentroidState.nearestCell(sv, element_at(arr, i + 1)))
+        .as("codes"))
+    val tables = queries.select(col(qidCol),
+      transform(subvectors(col(qvecCol), m, dim), (qsv, i) =>
+        map_from_entries(transform(element_at(arr, i + 1), c =>
+          struct(c.getField("cell").as("cell"),
+            (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
+              - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d")))))
+        .as("tables"))
     val scored = encoded.crossJoin(broadcast(tables))
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),
