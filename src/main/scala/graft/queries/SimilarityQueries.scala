@@ -11,19 +11,28 @@ import graft.sources.Tables
   * extension): brute-force cosine near-dup pairs and top-k nearest
   * neighbours, plus a sign-bucket LSH ANN variant and a table profile.
   *
-  * Scale shapes: q26 is the honest O(n²) baseline (self-join); q27
-  * broadcasts the tiny query set against the corpus — one scan, a
-  * per-query top-k window; q28 is the 100 TB path — bucket equi-join
-  * prunes the corpus to one LSH cell per query before scoring. All
+  * Scale shapes: q26 is the exact baseline over a fixed-size calibration
+  * sample (pair count constant in corpus size); q27 broadcasts the tiny
+  * query set against the corpus — one scan, a per-query top-k window;
+  * q28 is the 100 TB path — bucket equi-join prunes the corpus to one
+  * LSH cell per query before scoring. All
   * cosine arithmetic is double-precision left-fold, bit-identical with
   * the DuckDB oracle (see [[graft.functions.Vectors]]).
   */
 object SimilarityQueries {
 
-  /** Brute-force embedding near-duplicate pairs: cosine ≥ 0.35. */
+  /** Exact cosine near-duplicate pairs (≥ 0.35) over a FIXED-SIZE
+    * calibration sample — the 1024 lowest-id vectors. The exact all-pairs
+    * computation is the ground truth every bucketed near-dup path is
+    * calibrated against (q38's recall is measured vs exactly this), but
+    * an unbounded self-join is a scale-killer, so the gate pins the
+    * baseline to a sample whose pair count (≤ 1024²/2) is CONSTANT in
+    * corpus size — at 100 TB you run precisely this: exact pairs on a
+    * bounded sample to tune LSH bands, the bucketed q38 plan on the rest.
+    */
   val embeddingNearDup: QuerySpec = QuerySpec.sql(
     "q26_embedding_neardup",
-    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH e AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 1024),
       |p AS (
       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
       |         ${Vectors.cosineSql("a.embedding", "b.embedding")} AS cos
@@ -38,6 +47,7 @@ object SimilarityQueries {
     // per PAIR (n² extra dots); cos = dot/(n1*n2) is the same expression
     // tree as Vectors.cosine, so values are bit-identical to the oracle
     val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 1024)
       .select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding")).as("nrm"))
     val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
@@ -372,6 +382,47 @@ object SimilarityQueries {
     */
   private def pqOracleSql(m: Int, dim: Int, codes: Int, iters: Int, k: Int,
       nQueries: Int): String = {
+    pqOracleCore(m, dim, codes, iters, nQueries) +
+      s"""
+        |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+        |WHERE rk <= $k
+        |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
+  /** [[pqOracleSql]]'s training/encode/ADC chain plus the exact re-rank:
+    * ADC ranks a `refine·k` shortlist per query, then only those pairs'
+    * FULL vectors are re-scored with the true squared L2 — the
+    * [[graft.operators.ProductQuantizer.searchRefined]] contract.
+    */
+  private def pqRefinedOracleSql(m: Int, dim: Int, codes: Int, iters: Int,
+      k: Int, refine: Int, nQueries: Int): String = {
+    import Vectors.dotSql
+    pqOracleCore(m, dim, codes, iters, nQueries) +
+      s""",
+        |shortlist AS (
+        |  SELECT qid, neighbor FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+        |  WHERE rk <= ${refine * k}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    ${dotSql("q.embedding", "q.embedding")}
+        |      + ${dotSql("v.embedding", "v.embedding")}
+        |      - 2.0 * ${dotSql("q.embedding", "v.embedding")} AS dist2
+        |  FROM shortlist s
+        |  JOIN corpus q ON q.vec_id = s.qid
+        |  JOIN corpus v ON v.vec_id = s.neighbor)
+        |SELECT qid, neighbor, round(dist2 + 1e-9, 4) AS dist2
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY dist2, neighbor) AS rk FROM exact) r
+        |WHERE rk <= $k
+        |ORDER BY qid, dist2, neighbor""".stripMargin
+  }
+
+  private def pqOracleCore(m: Int, dim: Int, codes: Int, iters: Int,
+      nQueries: Int): String = {
     import Vectors.dotSql
     val sub = dim / m
     def assign(name: String, cents: String, outCol: String) =
@@ -423,12 +474,7 @@ object SimilarityQueries {
       |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
       |  FROM enc e JOIN adc a ON a.m = e.m AND a.cell = e.code
       |  WHERE a.qid <> e.vec_id
-      |  GROUP BY a.qid, e.vec_id)
-      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
-      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
-      |WHERE rk <= $k
-      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+      |  GROUP BY a.qid, e.vec_id)""".stripMargin
   }
 
   /** Product-quantization ADC search ([[graft.operators.ProductQuantizer]]
@@ -455,6 +501,32 @@ object SimilarityQueries {
       .select(col("qid"), col("neighbor"),
         round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
       .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+  }
+
+  /** PQ shortlist → exact re-rank
+    * ([[graft.operators.ProductQuantizer.searchRefined]]) — the
+    * production ANN composition: the ADC codes-only scan prunes the
+    * corpus to `refine·k` candidates per query, and only those rows'
+    * full vectors are fetched and re-scored with the true squared L2, so
+    * quantization error affects which candidates make the shortlist but
+    * never their final order. Same determinism contract as q67, so the
+    * oracle ([[pqRefinedOracleSql]]) replays the whole composition —
+    * training, encode, ADC shortlist, exact re-rank — and hash-matches.
+    */
+  val pqRefined: QuerySpec = QuerySpec.sql(
+    "q83_pq_refined",
+    pqRefinedOracleSql(m = 8, dim = 64, codes = 16, iters = 1, k = 3,
+      refine = 4, nQueries = 10)
+  ) { (spark, dir) =>
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.ProductQuantizer
+      .searchRefined(corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 3, m = 8, dim = 64, codes = 16, iters = 1, refine = 4)
+      .select(col("qid"), col("neighbor"),
+        round(col("dist2") + lit(1e-9), 4).as("dist2"))
+      .orderBy(col("qid"), col("dist2"), col("neighbor"))
   }
 
   /** The RAG retrieval shape: vector search over `embeddings` joined
@@ -509,5 +581,5 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn, pqAnn, retrieveDocs)
+    quantizedKnn, pqAnn, pqRefined, retrieveDocs)
 }
