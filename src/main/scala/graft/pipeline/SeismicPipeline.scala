@@ -108,14 +108,17 @@ object SeismicPipeline {
       year(col("ts")).as("year"),
       current_timestamp().as("processed_ts"))
 
-    // S7 MERGE-upsert into silver
+    // S7 MERGE-upsert into silver, laid out hive-partitioned by
+    // (year, month): every downstream year/month-scoped read — including
+    // this pipeline's own next incremental merge — prunes to matching
+    // partition directories instead of scanning the whole table
     val silverP = silverPath(workDir)
     val merged =
       if (!Tables.exists(spark, silverP)) silverNew
       else Upsert.upsert(
         spark.read.parquet(silverP).select(silverNew.columns.toIndexedSeq.map(col): _*),
         silverNew, Seq("event_id"))
-    Tables.overwrite(merged, silverP)
+    Tables.overwritePartitioned(merged, silverP, Seq("year", "month"))
 
     // S8 watermark advance to max event time of the written batch
     val maxTs = silverNew.agg(max(col("event_time"))).collect()

@@ -118,6 +118,22 @@ object Tables {
     publish(df.sparkSession, tmp, path)
   }
 
+  /** Overwrite with a hive-style `key=value` partition layout — the
+    * [[overwrite]] swap semantics plus `partitionBy`. This is the
+    * reference's partitioned-Delta-table layer (partition maintenance in
+    * `TABLE OPTIMIZATION.py:33-97`): at 100 TB, time-partitioning a fact
+    * table buys PARTITION pruning (directories never listed) above
+    * row-group min/max pruning, so an incremental or year-scoped query
+    * touches only its slice regardless of total table size.
+    */
+  def overwritePartitioned(df: DataFrame, path: String,
+      partitionCols: Seq[String]): Unit = {
+    val tmp = path + ".__tmp__"
+    df.write.mode(SaveMode.Overwrite).partitionBy(partitionCols: _*)
+      .parquet(tmp)
+    publish(df.sparkSession, tmp, path)
+  }
+
   /** Swap an already-materialized directory into place at `path` via the
     * crash-safe rename chain. The staged directory moves wholesale, so any
     * hive-style `key=value` partition layout inside it is preserved.

@@ -28,6 +28,33 @@ class SeismicPipelineSpec extends SparkTestBase {
     assert(r2.watermark === r1.watermark)
   }
 
+  test("silver is hive-partitioned by (year, month) and a year predicate " +
+      "prunes to matching partition directories") {
+    val work = Files.createTempDirectory("pipe3").toString
+    SeismicPipeline.runIncremental(spark, sfDir, work)
+    val silverP = SeismicPipeline.silverPath(work)
+
+    // layout: year=... directories with month=... below them
+    val years = new java.io.File(silverP).listFiles().map(_.getName)
+      .filter(_.startsWith("year=")).sorted
+    assert(years.nonEmpty, s"no year= dirs under $silverP")
+    val months = new java.io.File(s"$silverP/${years.head}").listFiles()
+      .map(_.getName).filter(_.startsWith("month="))
+    assert(months.nonEmpty, s"no month= dirs under $silverP/${years.head}")
+
+    // a year predicate becomes a PartitionFilter (pruned at listing time,
+    // not per-row), and only files from that year's directories are read
+    val y = years.head.stripPrefix("year=").toInt
+    val pruned = spark.read.parquet(silverP).filter(col("year") === y)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(scan.contains("PartitionFilters: [isnotnull(year"), scan.take(1500))
+    assert(pruned.select(input_file_name()).distinct()
+      .collect().forall(_.getString(0).contains(s"year=$y")))
+    // pruning did not change semantics: partition slice == row filter
+    assert(pruned.count() ===
+      spark.read.parquet(silverP).collect().count(_.getAs[Int]("year") == y))
+  }
+
   test("silver layer carries enrichment, physics, and calendar columns") {
     val work = Files.createTempDirectory("pipe2").toString
     SeismicPipeline.runIncremental(spark, sfDir, work)
