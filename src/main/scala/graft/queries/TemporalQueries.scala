@@ -293,9 +293,41 @@ object TemporalQueries {
       .orderBy(col("user_id"), col("session_seq"))
   }
 
+  /** GLOBAL trailing-hour rolling metrics at event grain
+    * ([[graft.operators.StitchedWindow]]): the oracle is the naive
+    * unpartitioned window — `ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING AND CURRENT ROW` with no PARTITION BY, a single-partition
+    * WindowExec in Spark — while the engine evaluates the identical
+    * frames partitioned by month with the previous month's trailing hour
+    * ghost-copied across the boundary. Decimal-backed frame sum for the
+    * usual order-invariance reasons ([[graft.functions.Stable]]).
+    */
+  val stitchedRolling: QuerySpec = QuerySpec.sql(
+    "q84_stitched_rolling",
+    """SELECT event_id, ts,
+      |  CAST(count(*) OVER w AS BIGINT) AS events_last_hour,
+      |  round(CAST(sum(CAST(value AS DECIMAL(28,10))) OVER w AS DOUBLE) + 1e-9, 2) AS value_last_hour
+      |FROM events
+      |WINDOW w AS (ORDER BY ts
+      |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+      |ORDER BY ts, event_id""".stripMargin
+  ) { (spark, dir) =>
+    val ev = Tables.load(spark, dir, "events")
+      .select(col("event_id"), col("ts"), col("value"))
+    graft.operators.StitchedWindow
+      .trailing(ev, "ts", "month", "INTERVAL 1 HOUR",
+        Seq("count(*)" -> "__n",
+          "sum(CAST(value AS DECIMAL(28,10)))" -> "__s"))
+      .select(col("event_id"), col("ts"),
+        col("__n").cast("long").as("events_last_hour"),
+        round(col("__s").cast("double") + lit(1e-9), 2)
+          .as("value_last_hour"))
+      .orderBy(col("ts"), col("event_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(asofLastClick, sessionGaps, topEventsPerUser, clickWindowJoin,
-      sessionStats, errorFollowup, typedSessions)
+      sessionStats, errorFollowup, typedSessions, stitchedRolling)
 }
 
 /** Typed rows for [[TemporalQueries.typedSessions]]. */
