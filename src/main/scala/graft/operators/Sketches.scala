@@ -63,6 +63,20 @@ object Sketches {
     when(kUsed < k, kUsed.cast("double"))
       .otherwise((kUsed - 1).cast("double") * lit(P.toDouble) / kthHash)
 
+  /** Build-side-derived filter sizing: `bitsPerKey · n` rounded up to
+    * whole 32-bit words, floored at 64 bits (an empty build side still
+    * yields a probeable filter) and capped at 2^30 (32 MB packed — the
+    * broadcast budget). Pure integer arithmetic so an external oracle
+    * replays the exact same size from the same count. Sizing from the
+    * OBSERVED count matters because a constant `mBits` silently
+    * saturates once the build side outgrows it: a 4096-bit first cut at
+    * sf0.1 set every bit and flagged every train document.
+    */
+  def bloomBits(n: Long, bitsPerKey: Int): Int = {
+    val m = ((n * bitsPerKey + 31) / 32) * 32
+    math.min(math.max(m, 64L), 1L << 30).toInt
+  }
+
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
     * filter (double hashing; every op stays far from BIGINT overflow).
     */

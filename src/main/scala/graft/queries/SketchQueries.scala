@@ -56,12 +56,17 @@ object SketchQueries {
           + lit(1e-9), 4).as("rel_error"))
   }
 
-  // Sized for the LARGER gate scale: sf0.1 has ~17 k distinct eval
-  // shingles, so 2^19 bits / 4 hashes gives m/n ≈ 30 → per-probe FP
-  // ≈ 0.02 % (a 4096-bit first cut saturated — every bit set — and
-  // flagged all 400 train docs). 16 k packed words = 128 kB broadcast.
-  private val MBits = 524288
+  // Filter size derives from the OBSERVED eval-shingle count
+  // ([[Sketches.bloomBits]]): 32 bits/key at 4 hashes gives per-probe
+  // FP ≈ 0.02 % at EVERY scale factor — a constant saturates once the
+  // build side outgrows it (a 4096-bit first cut set every bit and
+  // flagged all 400 train docs). ~17 k eval shingles at sf0.1 → 544 k
+  // bits = 68 kB broadcast. The oracle replays the identical integer
+  // sizing arithmetic from its own count — see the `mb` CTE.
+  private val BloomBitsPerKey = 32
   private val NHashes = 4
+  // the oracle's copy of Sketches.bloomBits, textually parallel
+  private val mSql = "(SELECT m FROM mb)"
 
   private val tokSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"""
@@ -89,8 +94,12 @@ object SketchQueries {
       |  FROM documents),
       |sh AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
       |eval_h AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE bucket >= 90),
+      |mb AS (
+      |  SELECT CAST(least(greatest(((count(*) * $BloomBitsPerKey + 31) // 32) * 32,
+      |                             64), 1073741824) AS BIGINT) AS m
+      |  FROM eval_h),
       |pos AS (
-      |  SELECT ((h % $MBits) + j.j * (1 + h % ${MBits - 1})) % $MBits AS pos
+      |  SELECT ((h % $mSql) + j.j * (1 + h % ($mSql - 1))) % $mSql AS pos
       |  FROM eval_h CROSS JOIN range(0, $NHashes) j(j)),
       |words AS (
       |  SELECT pos // 32 AS w, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS bits
@@ -99,7 +108,7 @@ object SketchQueries {
       |  SELECT doc_id, unnest(sh) AS h FROM sh WHERE bucket < 80),
       |probe AS (
       |  SELECT tr.doc_id, tr.h,
-      |    ((tr.h % $MBits) + j.j * (1 + tr.h % ${MBits - 1})) % $MBits AS pos
+      |    ((tr.h % $mSql) + j.j * (1 + tr.h % ($mSql - 1))) % $mSql AS pos
       |  FROM train tr CROSS JOIN range(0, $NHashes) j(j)),
       |hits AS (
       |  SELECT p.doc_id, p.h,
@@ -130,10 +139,14 @@ object SketchQueries {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val evalH = base.filter(col("bucket") >= 90)
       .select(explode(col("sh")).as("h")).distinct()
-    val words = Sketches.bloomBuild(evalH, "h", MBits, NHashes)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // size from the observed build side (one count over the SMALL side —
+    // the same number the oracle's mb CTE derives its m from)
+    val mBits = Sketches.bloomBits(evalH.count(), BloomBitsPerKey)
+    val words = Sketches.bloomBuild(evalH, "h", mBits, NHashes)
     val train = base.filter(col("bucket") < 80)
       .select(col("doc_id"), explode(col("sh")).as("h"))
-    val probed = Sketches.bloomProbe(train, "h", words, MBits, NHashes)
+    val probed = Sketches.bloomProbe(train, "h", words, mBits, NHashes)
     probed
       .join(evalH.withColumn("exact", lit(1L)), Seq("h"), "left")
       .groupBy(col("doc_id"))

@@ -42,6 +42,38 @@ class IvfAnnSpec extends SparkTestBase {
     assert(recall >= 0.4, s"recall $recall")
   }
 
+  test("on clustered data probed search keeps same-cluster recall high") {
+    // deterministic synthetic corpus: 16 well-separated centroids (hash
+    // components in [-1,1]) + small hash noise; no rand(), reproducible —
+    // the ProductQuantizerSpec clustered fixture, IVF-sized
+    val dim = 64
+    val n = 480
+    val centroid = (id: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) =>
+      pmod(id % 16 * lit(131) + d * lit(31), lit(97)) / lit(48.5) - lit(1.0)
+    val noise = (id: org.apache.spark.sql.Column,
+        d: org.apache.spark.sql.Column) =>
+      (pmod(id * lit(7919) + d * lit(104729), lit(101)) - lit(50.0)) / lit(1000.0)
+    val synth = spark.range(n).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        d => (centroid(col("id"), d) + noise(col("id"), d)).cast("float"))
+        .as("embedding"))
+    val q = synth.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val k = 5
+    val ivf = IvfAnn.search(synth, "vec_id", "embedding", q, "qid", "qv",
+        k = k, clusters = 16, nProbe = 2, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    // with well-separated clusters the coarse quantizer must route each
+    // query to its own cluster's cell: neighbours share the query's
+    // cluster (true nearest all do by construction) — probing 2 of 16
+    // cells yet recalling the right ones is the whole IVF contract
+    assert(ivf.length === 8 * k)
+    val sameCluster = ivf.count { case (qid, nb) => qid % 16 == nb % 16 }
+    assert(sameCluster.toDouble / ivf.length >= 0.9,
+      s"same-cluster fraction ${sameCluster.toDouble / ivf.length}")
+  }
+
   test("index build and search are deterministic across runs") {
     def run() = IvfAnn.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 8, nProbe = 2, iters = 2)

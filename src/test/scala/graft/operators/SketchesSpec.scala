@@ -50,6 +50,39 @@ class SketchesSpec extends SparkTestBase {
     assert(fp < 5000 * 0.02, s"false-positive count $fp exceeds 2%")
   }
 
+  test("bloomBits sizing: word-aligned, floored, capped, linear in n") {
+    assert(Sketches.bloomBits(0, 32) === 64)   // empty build side
+    assert(Sketches.bloomBits(1, 32) === 64)   // floor
+    assert(Sketches.bloomBits(1000, 32) === 32000)
+    assert(Sketches.bloomBits(1000, 10) === 10016) // rounded up to words
+    assert(Sketches.bloomBits(1000, 10) % 32 === 0)
+    assert(Sketches.bloomBits(Long.MaxValue / 64, 32) === (1 << 30)) // cap
+  }
+
+  test("derived sizing keeps the FP rate at its m/n-determined bound " +
+      "as the build side grows") {
+    // the failure mode that motivated derived sizing: a filter sized for
+    // n keys saturates at 100n. With bloomBits the load factor — and so
+    // the FP bound (1 - e^{-kn/m})^k — is the same at both scales.
+    val nh = 4
+    def fpRate(n: Int): Double = {
+      val members = (1 to n).map(i => s"in_$i").toDF("s")
+        .select(Sketches.uniformHash(col("s")).as("h"))
+      val m = Sketches.bloomBits(n, 32)
+      val filter = Sketches.bloomBuild(members, "h", m, nh)
+      assert(Sketches.bloomProbe(members, "h", filter, m, nh)
+        .filter(!col("might_contain")).count() === 0, "false negative")
+      val outsiders = (1 to 5000).map(i => s"out_$i").toDF("s")
+        .select(Sketches.uniformHash(col("s")).as("h"))
+      Sketches.bloomProbe(outsiders, "h", filter, m, nh)
+        .filter(col("might_contain")).count().toDouble / 5000
+    }
+    // k=4, m/n=32 -> theoretical FP (1 - e^{-1/8})^4 ~= 1.9e-4; allow
+    // generous sampling slack but stay an order below the saturated 100%
+    assert(fpRate(500) <= 0.005, s"fp at n=500: ${fpRate(500)}")
+    assert(fpRate(20000) <= 0.005, s"fp at n=20000: ${fpRate(20000)}")
+  }
+
   test("bloom bit words are identical regardless of input partitioning") {
     val hs = (1 to 2000).map(i => s"x$i").toDF("s")
       .select(graft.functions.Text.charHash(col("s")).as("h"))
