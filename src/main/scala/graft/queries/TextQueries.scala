@@ -208,9 +208,10 @@ object TextQueries {
     * computed in exact integer arithmetic, so the per-doc row_number cut
     * is bit-identical across engines (ranking on the float tf·ln(N/df)
     * itself would let one-ulp libm differences flip rank at ties). The
-    * float score is still reported, rounded. Shape: two hash aggregates
-    * (tf, df) + a broadcast corpus-size scalar + top-k window — all
-    * shuffles are on the exploded token stream, map-side combinable.
+    * float score is still reported, rounded. Shape: ONE tokenization
+    * scan into the tf hash aggregate; df is a plain count over tf
+    * ((doc, tok) is unique there, so no two-phase distinct and no
+    * second scan) + a broadcast corpus-size scalar + top-k window.
     */
   val tfidfTopTerms: QuerySpec = QuerySpec.sql(
     "q63_tfidf_top_terms",
@@ -238,8 +239,16 @@ object TextQueries {
       .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy(col("tok"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+      // both df and the scored join consume tf; column pruning makes the
+      // two subtrees differ, so ReuseExchange cannot dedup them — persist
+      // the (bounded: distinct (doc, tok) pairs) frame instead of
+      // re-running the tokenization scan
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (doc, tok) is unique in tf, so document frequency is a plain count
+    // over tf — df aggregates the distinct-pair frame, not the raw token
+    // stream, and the two-phase distinct aggregation disappears
+    val df = tf.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
     val nDocs = Tables.load(spark, dir, "documents")
       .agg(count(lit(1)).as("n_docs"))
     val scored = tf.join(df, "tok").crossJoin(broadcast(nDocs))
