@@ -99,6 +99,15 @@ private[operators] object CentroidState {
         Row(c.cell, c.cvec.toSeq, c.cnorm2)): _*),
       schema)
 
+  /** Persist `df` unless a caller already did (e.g. [[ProductQuantizer
+    * .searchRefined]] hands its cached corpus to `search`) — avoids the
+    * double-cache warning and keeps one owner per cache entry.
+    */
+  def ensureCached(df: DataFrame): DataFrame =
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    else df
+
   /** Re-collect a centroid DataFrame (small by the O(k·dim) contract)
     * back into driver state; `cnorm2` is re-derived so any caller-built
     * table gets the same left-fold value the expressions assume.

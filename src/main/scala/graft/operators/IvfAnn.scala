@@ -105,8 +105,7 @@ object IvfAnn {
     // the corpus feeds seeding, one scan per Lloyd iteration, and the
     // final cell-pruned scoring — persist once instead of re-reading
     // parquet for each of those jobs
-    val corpus = corpus0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = CentroidState.ensureCached(corpus0)
     val cents = lloyd(corpus, idCol, vecCol, clusters, iters)
     val centsArr = CentroidState.toLit(cents)
     val corpusByCell = corpus

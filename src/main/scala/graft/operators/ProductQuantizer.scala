@@ -167,8 +167,7 @@ object ProductQuantizer {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, m: Int, dim: Int, codes: Int, iters: Int = 2): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
-    val corpus = corpus0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = CentroidState.ensureCached(corpus0)
     val cb = lloyd(corpus, idCol, vecCol, m, dim, codes, iters)
     val arr = cbLit(cb)
     val encoded = corpus.select(col(idCol),
@@ -205,8 +204,7 @@ object ProductQuantizer {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, m: Int, dim: Int, codes: Int, iters: Int = 2,
       refine: Int = 4): DataFrame = {
-    val corpus = corpus0
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val corpus = CentroidState.ensureCached(corpus0)
     val shortlist = search(corpus, idCol, vecCol, queries, qidCol, qvecCol,
       k = refine * k, m = m, dim = dim, codes = codes, iters = iters)
     val exact = shortlist
