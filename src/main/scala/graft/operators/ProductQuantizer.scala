@@ -39,7 +39,7 @@ import graft.operators.CentroidState.Cent
 object ProductQuantizer {
 
   /** Per-subspace slice of `vec`: `[i*sub+1, (i+1)*sub]` (1-based). */
-  private def subvectors(vec: Column, m: Int, dim: Int): Column = {
+  private[operators] def subvectors(vec: Column, m: Int, dim: Int): Column = {
     val sub = dim / m
     transform(sequence(lit(0), lit(m - 1)),
       i => slice(vec, i * sub + 1, lit(sub)))
@@ -48,7 +48,7 @@ object ProductQuantizer {
   /** Literal codebook: `array` over subspaces of centroid tables —
     * subspace `i`'s table is `element_at(…, i + 1)`.
     */
-  private def cbLit(cb: IndexedSeq[Seq[Cent]]): Column =
+  private[operators] def cbLit(cb: IndexedSeq[Seq[Cent]]): Column =
     array(cb.map(CentroidState.toLit): _*)
 
   private val pqSchema: StructType = StructType(

@@ -223,9 +223,14 @@ object SimilarityQueries {
     * the whole trained index, probe set, and final top-k hash-match the
     * Spark run bit-for-bit.
     */
-  private def ivfOracleSql(clusters: Int, nProbe: Int, iters: Int, k: Int,
-      dim: Int, nQueries: Int): String = {
-    import Vectors.{dotSql, normSql}
+  /** Coarse-quantizer CTE chain shared by q58 and q85: seeds (`c0`) →
+    * unrolled Lloyd iterations (`a_i`/`m_i`/`c_i`) → final corpus
+    * assignment (`af`) → per-query probe cells (`probes`). Assumes a
+    * `corpus(vec_id, embedding)` CTE is already in scope.
+    */
+  private def coarseCtes(clusters: Int, nProbe: Int, iters: Int, dim: Int,
+      nQueries: Int): String = {
+    import Vectors.dotSql
     // argmin cell per corpus vector against centroid CTE `cents`
     def assign(name: String, cents: String) =
       s"""$name AS (
@@ -250,8 +255,7 @@ object SimilarityQueries {
     val lloyd = (1 to iters).map { i =>
       assign(s"a$i", s"c${i - 1}n") + ",\n" + update(i, s"a$i")
     }.mkString(",\n")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
-      |c0 AS (
+    s"""c0 AS (
       |  SELECT CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell,
       |         embedding AS cvec
       |  FROM (SELECT * FROM corpus ORDER BY vec_id LIMIT $clusters) s),
@@ -265,7 +269,14 @@ object SimilarityQueries {
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
       |    FROM corpus v CROSS JOIN c${iters}n c
-      |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe),
+      |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe)""".stripMargin
+  }
+
+  private def ivfOracleSql(clusters: Int, nProbe: Int, iters: Int, k: Int,
+      dim: Int, nQueries: Int): String = {
+    import Vectors.{dotSql, normSql}
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
       |scored AS (
       |  SELECT p.qid, v.vec_id AS neighbor,
       |    ${dotSql("q.embedding", "v.embedding")}
@@ -421,7 +432,13 @@ object SimilarityQueries {
         |ORDER BY qid, dist2, neighbor""".stripMargin
   }
 
-  private def pqOracleCore(m: Int, dim: Int, codes: Int, iters: Int,
+  /** PQ training/encode/ADC CTE chain shared by q67/q83 and q85:
+    * subvector slices (`subvecs`) → per-subspace unrolled Lloyd
+    * (`pa_i`/`pm_i`/`p_i`) → corpus codes (`enc`) → per-query ADC
+    * distance tables (`adc`). Assumes a `corpus(vec_id, embedding)` CTE
+    * is already in scope.
+    */
+  private def pqCtes(m: Int, dim: Int, codes: Int, iters: Int,
       nQueries: Int): String = {
     import Vectors.dotSql
     val sub = dim / m
@@ -448,8 +465,7 @@ object SimilarityQueries {
     val lloyd = (1 to iters).map { i =>
       assign(s"pa$i", s"p${i - 1}n", "cell") + ",\n" + update(i)
     }.mkString(",\n")
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
-      |subvecs AS (
+    s"""subvecs AS (
       |  SELECT vec_id, s.m AS m,
       |    list_slice(embedding, s.m * $sub + 1, s.m * $sub + $sub) AS sv
       |  FROM corpus CROSS JOIN range(0, $m) s(m)),
@@ -468,14 +484,45 @@ object SimilarityQueries {
       |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
       |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
       |  FROM subvecs v JOIN p${iters}n c ON v.m = c.m
-      |  WHERE v.vec_id < $nQueries),
+      |  WHERE v.vec_id < $nQueries)""".stripMargin
+  }
+
+  private def pqOracleCore(m: Int, dim: Int, codes: Int, iters: Int,
+      nQueries: Int): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${pqCtes(m, dim, codes, iters, nQueries)},
       |scored AS (
       |  SELECT a.qid, e.vec_id AS neighbor,
       |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
       |  FROM enc e JOIN adc a ON a.m = e.m AND a.cell = e.code
       |  WHERE a.qid <> e.vec_id
       |  GROUP BY a.qid, e.vec_id)""".stripMargin
-  }
+
+  /** The q85 oracle: the [[coarseCtes]] coarse-quantizer chain and the
+    * [[pqCtes]] PQ chain share one corpus; scoring joins a corpus row's
+    * codes ONLY when its coarse cell is among the query's probes — the
+    * composed IVF+PQ contract ([[graft.operators.IvfPq]]).
+    */
+  private def ivfPqOracleSql(clusters: Int, nProbe: Int, coarseIters: Int,
+      m: Int, dim: Int, codes: Int, pqIters: Int, k: Int,
+      nQueries: Int): String =
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, coarseIters, dim, nQueries)},
+      |${pqCtes(m, dim, codes, pqIters, nQueries)},
+      |scored AS (
+      |  SELECT a.qid, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc e
+      |  JOIN af f ON f.vec_id = e.vec_id
+      |  JOIN probes p ON p.cell = f.cell
+      |  JOIN adc a ON a.qid = p.qid AND a.m = e.m AND a.cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, e.vec_id)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
 
   /** Product-quantization ADC search ([[graft.operators.ProductQuantizer]]
     * — per-subspace codebooks, 32× vector compression, distance-table
@@ -527,6 +574,31 @@ object SimilarityQueries {
       .select(col("qid"), col("neighbor"),
         round(col("dist2") + lit(1e-9), 4).as("dist2"))
       .orderBy(col("qid"), col("dist2"), col("neighbor"))
+  }
+
+  /** Composed IVF + PQ ([[graft.operators.IvfPq]]) — the production
+    * 10 B-vector index shape: coarse cells prune candidates to `nProbe /
+    * clusters` of the corpus, PQ codes score them by ADC lookups, one
+    * corpus projection computes both. The oracle ([[ivfPqOracleSql]])
+    * replays both unrolled trainings over one shared corpus CTE and
+    * restricts scoring to probed cells, so the entire composition
+    * hash-matches in DuckDB.
+    */
+  val ivfPqAnn: QuerySpec = QuerySpec.sql(
+    "q85_ivfpq_ann",
+    ivfPqOracleSql(clusters = 16, nProbe = 4, coarseIters = 1,
+      m = 8, dim = 64, codes = 16, pqIters = 1, k = 3, nQueries = 10)
+  ) { (spark, dir) =>
+    val corpus = Tables.load(spark, dir, "embeddings")
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.IvfPq
+      .search(corpus, "vec_id", "embedding", queries, "qid", "qv",
+        k = 3, clusters = 16, nProbe = 4, m = 8, dim = 64, codes = 16,
+        coarseIters = 1, pqIters = 1)
+      .select(col("qid"), col("neighbor"),
+        round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+      .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
   }
 
   /** The RAG retrieval shape: vector search over `embeddings` joined
@@ -581,5 +653,5 @@ object SimilarityQueries {
 
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn, pqAnn, pqRefined, retrieveDocs)
+    quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs)
 }
