@@ -73,13 +73,27 @@ private[operators] object CentroidState {
         - lit(2.0) * Vectors.dot(vec, c.getField("cvec"))).as("score"),
         c.getField("cell").as("cell")))
 
-  /** Nearest cell id for `vec` — a pure scalar expression. */
-  def nearestCell(vec: Column, centsArr: Column): Column =
-    array_min(scoredCells(vec, centsArr)).getField("cell")
+  /** Nearest cell id for `vec` — the codegen
+    * [[graft.expressions.NearestCell]] kernel (the centroid table rides
+    * along as a JVM reference object, so plan size stays constant in
+    * `clusters`); [[nearestCellHof]] is the pure-expression reference
+    * formulation, bit-identical, kept for the equivalence tests.
+    */
+  def nearestCell(vec: Column, cents: Seq[Cent]): Column =
+    graft.expressions.NearestCell.column(vec,
+      cents.map(_.cell).toArray, cents.map(_.cvec).toArray,
+      cents.map(_.cnorm2).toArray)
 
-  /** The `nProbe` nearest cell ids, nearest first. */
-  def nearestCells(vec: Column, centsArr: Column, nProbe: Int): Column =
-    transform(slice(array_sort(scoredCells(vec, centsArr)), 1, nProbe),
+  def nearestCellHof(vec: Column, cents: Seq[Cent]): Column =
+    array_min(scoredCells(vec, toLit(cents))).getField("cell")
+
+  /** The `nProbe` nearest cell ids, nearest first. Query-side only
+    * (`queries · clusters` evaluations), so the expression formulation
+    * is kept — it shares `scoredCells` with the [[nearestCellHof]]
+    * reference path.
+    */
+  def nearestCells(vec: Column, cents: Seq[Cent], nProbe: Int): Column =
+    transform(slice(array_sort(scoredCells(vec, toLit(cents))), 1, nProbe),
       s => s.getField("cell"))
 
   /** Rebuild centroids from collected `(cell, pos, mu)` mean rows; the

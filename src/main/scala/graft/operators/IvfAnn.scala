@@ -53,8 +53,7 @@ object IvfAnn {
       // bit-identical regardless of partitioning, so the trained index
       // is reproducible run to run
       val means = corpus
-        .select(CentroidState.nearestCell(col(vecCol),
-            CentroidState.toLit(cents)).as("cell"),
+        .select(CentroidState.nearestCell(col(vecCol), cents).as("cell"),
           posexplode(col(vecCol)).as(Seq("pos", "x")))
         .groupBy(col("cell"), col("pos"))
         .agg((graft.functions.Stable.sumD(col("x")) / count(col("x")))
@@ -78,9 +77,9 @@ object IvfAnn {
     */
   def assign(vecs: DataFrame, cents: DataFrame, idCol: String,
       vecCol: String): DataFrame = {
-    val centsArr = CentroidState.toLit(CentroidState.collect(cents))
+    val cs = CentroidState.collect(cents)
     vecs.select(col(idCol),
-      CentroidState.nearestCell(col(vecCol), centsArr).as("cell"))
+      CentroidState.nearestCell(col(vecCol), cs).as("cell"))
   }
 
   /** Probe assignment: each query's `nProbe` nearest cells — the same
@@ -88,9 +87,9 @@ object IvfAnn {
     */
   def probes(queries: DataFrame, cents: DataFrame, qidCol: String,
       qvecCol: String, nProbe: Int): DataFrame = {
-    val centsArr = CentroidState.toLit(CentroidState.collect(cents))
+    val cs = CentroidState.collect(cents)
     queries.select(col(qidCol),
-      explode(CentroidState.nearestCells(col(qvecCol), centsArr, nProbe))
+      explode(CentroidState.nearestCells(col(qvecCol), cs, nProbe))
         .as("cell"))
   }
 
@@ -107,14 +106,13 @@ object IvfAnn {
     // parquet for each of those jobs
     val corpus = CentroidState.ensureCached(corpus0)
     val cents = lloyd(corpus, idCol, vecCol, clusters, iters)
-    val centsArr = CentroidState.toLit(cents)
     val corpusByCell = corpus
       .select(col(idCol), col(vecCol), Vectors.norm(col(vecCol)).as("__n"),
-        CentroidState.nearestCell(col(vecCol), centsArr).as("cell"))
+        CentroidState.nearestCell(col(vecCol), cents).as("cell"))
     val probed = queries
       .select(col(qidCol), col(qvecCol),
         Vectors.norm(col(qvecCol)).as("__qn"),
-        explode(CentroidState.nearestCells(col(qvecCol), centsArr, nProbe))
+        explode(CentroidState.nearestCells(col(qvecCol), cents, nProbe))
           .as("cell"))
     // the probe side is (queries · nProbe) rows — a bounded request batch
     // by the search contract — so broadcast it and the corpus never

@@ -3,8 +3,6 @@ package graft.operators
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.functions.Vectors
-
 /** Composed IVF + PQ search — the production 10 B-vector ANN
   * architecture (the FAISS `IVF…,PQ…` index shape): the coarse k-means
   * quantizer ([[IvfAnn.lloyd]]) PRUNES candidates to each query's
@@ -42,26 +40,18 @@ object IvfPq {
       coarseIters: Int = 1, pqIters: Int = 1): DataFrame = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val corpus = CentroidState.ensureCached(corpus0)
-    val coarseArr = CentroidState.toLit(
-      IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters))
-    val cbArr = ProductQuantizer.cbLit(
-      ProductQuantizer.lloyd(corpus, idCol, vecCol, m, dim, codes, pqIters))
+    val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
+    val cb = ProductQuantizer.lloyd(corpus, idCol, vecCol, m, dim, codes,
+      pqIters)
     // one projection: coarse routing cell + PQ codes per corpus row
     val encoded = corpus.select(col(idCol),
-      CentroidState.nearestCell(col(vecCol), coarseArr).as("cell"),
-      transform(ProductQuantizer.subvectors(col(vecCol), m, dim),
-        (sv, i) => CentroidState.nearestCell(sv, element_at(cbArr, i + 1)))
-        .as("codes"))
+      CentroidState.nearestCell(col(vecCol), coarse).as("cell"),
+      ProductQuantizer.codesExpr(col(vecCol), cb, m, dim).as("codes"))
     // one projection per query row: probed cells + ADC distance tables
     val probed = queries.select(col(qidCol),
-      explode(CentroidState.nearestCells(col(qvecCol), coarseArr, nProbe))
+      explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
         .as("cell"),
-      transform(ProductQuantizer.subvectors(col(qvecCol), m, dim),
-        (qsv, i) => map_from_entries(transform(element_at(cbArr, i + 1),
-          c => struct(c.getField("cell").as("cell"),
-            (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
-              - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d")))))
-        .as("tables"))
+      ProductQuantizer.tablesExpr(col(qvecCol), cb, m, dim).as("tables"))
     val scored = broadcast(probed).join(encoded, "cell")
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),

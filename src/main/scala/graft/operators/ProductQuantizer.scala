@@ -21,8 +21,9 @@ import graft.operators.CentroidState.Cent
   * across all subspaces with ONE corpus scan per Lloyd iteration (the
   * per-(subspace, cell, dim) decimal mean is a single partial-aggregated
   * groupBy), and encoding is a pure projection: each row's `m` nearest
-  * codewords come from an inline `array_min` over the literal codebook —
-  * no explode, no argmin shuffle, no array-rebuild aggregations.
+  * codewords come from one [[graft.expressions.NearestCell]] codegen
+  * kernel per subspace — no explode, no argmin shuffle, no
+  * array-rebuild aggregations.
   *
   * Search is asymmetric distance computation (ADC): per query, the
   * distance from its subvector to EVERY codebook centroid is
@@ -38,18 +39,32 @@ import graft.operators.CentroidState.Cent
   */
 object ProductQuantizer {
 
-  /** Per-subspace slice of `vec`: `[i*sub+1, (i+1)*sub]` (1-based). */
-  private[operators] def subvectors(vec: Column, m: Int, dim: Int): Column = {
+  /** The `m` PQ codes of `vec` — one [[graft.expressions.NearestCell]]
+    * kernel per subspace over its static slice: a pure projection whose
+    * plan size is constant in `codes`.
+    */
+  private[operators] def codesExpr(vec: Column, cb: IndexedSeq[Seq[Cent]],
+      m: Int, dim: Int): Column = {
     val sub = dim / m
-    transform(sequence(lit(0), lit(m - 1)),
-      i => slice(vec, i * sub + 1, lit(sub)))
+    array((0 until m).map(i =>
+      CentroidState.nearestCell(slice(vec, i * sub + 1, sub), cb(i))): _*)
   }
 
-  /** Literal codebook: `array` over subspaces of centroid tables —
-    * subspace `i`'s table is `element_at(…, i + 1)`.
+  /** Per-query ADC distance tables — an array (over subspaces, in
+    * order) of `map<cell, ||q_m − c||²>`. Query-side only, so the
+    * expression formulation over the literal codebook is fine.
     */
-  private[operators] def cbLit(cb: IndexedSeq[Seq[Cent]]): Column =
-    array(cb.map(CentroidState.toLit): _*)
+  private[operators] def tablesExpr(qvec: Column, cb: IndexedSeq[Seq[Cent]],
+      m: Int, dim: Int): Column = {
+    val sub = dim / m
+    array((0 until m).map { i =>
+      val qsv = slice(qvec, i * sub + 1, sub)
+      map_from_entries(transform(CentroidState.toLit(cb(i)), c =>
+        struct(c.getField("cell").as("cell"),
+          (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
+            - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d"))))
+    }: _*)
+  }
 
   private val pqSchema: StructType = StructType(
     StructField("m", IntegerType, nullable = false) +:
@@ -98,15 +113,19 @@ object ProductQuantizer {
     }
     var it = 0
     while (it < iters) {
-      val arr = cbLit(cb)
+      // one exploded struct per subspace: (m, assigned cell, slice) —
+      // the assignment kernel runs BEFORE the explode, on static slices
+      val perSub = array((0 until m).map { i =>
+        val sv = slice(col(vecCol), i * sub + 1, sub)
+        struct(lit(i).as("m"),
+          CentroidState.nearestCell(sv, cb(i)).as("cell"), sv.as("sv"))
+      }: _*)
       // decimal-backed mean (Stable rationale): codebooks come out
       // bit-identical regardless of partitioning
       val means = corpus
-        .select(posexplode(subvectors(col(vecCol), m, dim)).as(Seq("m", "sv")))
-        .select(col("m"),
-          CentroidState.nearestCell(col("sv"), element_at(arr, col("m") + 1))
-            .as("cell"),
-          posexplode(col("sv")).as(Seq("pos", "x")))
+        .select(explode(perSub).as("e"))
+        .select(col("e.m").as("m"), col("e.cell").as("cell"),
+          posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("m"), col("cell"), col("pos"))
         .agg((graft.functions.Stable.sumD(col("x")) / count(col("x")))
           .as("mu"))
@@ -136,29 +155,20 @@ object ProductQuantizer {
     * a pure projection, zero shuffle.
     */
   def encode(corpus: DataFrame, idCol: String, vecCol: String,
-      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    val arr = cbLit(collectCodebook(codebook, m))
+      codebook: DataFrame, m: Int, dim: Int): DataFrame =
     corpus.select(col(idCol),
-      transform(subvectors(col(vecCol), m, dim),
-        (sv, i) => CentroidState.nearestCell(sv, element_at(arr, i + 1)))
+      codesExpr(col(vecCol), collectCodebook(codebook, m), m, dim)
         .as("codes"))
-  }
 
   /** Per-query ADC tables: (qid, tables) with `tables[m][cell] =
     * ||q_m − c||²` as an array (over subspaces, in order) of maps —
     * also a pure projection.
     */
   def distTables(queries: DataFrame, qidCol: String, qvecCol: String,
-      codebook: DataFrame, m: Int, dim: Int): DataFrame = {
-    val arr = cbLit(collectCodebook(codebook, m))
+      codebook: DataFrame, m: Int, dim: Int): DataFrame =
     queries.select(col(qidCol),
-      transform(subvectors(col(qvecCol), m, dim), (qsv, i) =>
-        map_from_entries(transform(element_at(arr, i + 1), c =>
-          struct(c.getField("cell").as("cell"),
-            (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
-              - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d")))))
+      tablesExpr(col(qvecCol), collectCodebook(codebook, m), m, dim)
         .as("tables"))
-  }
 
   /** End-to-end PQ search: top-`k` neighbours per query by approximate
     * (ADC) squared L2 distance. @return (qid, neighbor, approx_dist)
@@ -169,18 +179,10 @@ object ProductQuantizer {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val corpus = CentroidState.ensureCached(corpus0)
     val cb = lloyd(corpus, idCol, vecCol, m, dim, codes, iters)
-    val arr = cbLit(cb)
     val encoded = corpus.select(col(idCol),
-      transform(subvectors(col(vecCol), m, dim),
-        (sv, i) => CentroidState.nearestCell(sv, element_at(arr, i + 1)))
-        .as("codes"))
+      codesExpr(col(vecCol), cb, m, dim).as("codes"))
     val tables = queries.select(col(qidCol),
-      transform(subvectors(col(qvecCol), m, dim), (qsv, i) =>
-        map_from_entries(transform(element_at(arr, i + 1), c =>
-          struct(c.getField("cell").as("cell"),
-            (Vectors.dot(qsv, qsv) + c.getField("cnorm2")
-              - lit(2.0) * Vectors.dot(qsv, c.getField("cvec"))).as("d")))))
-        .as("tables"))
+      tablesExpr(col(qvecCol), cb, m, dim).as("tables"))
     val scored = encoded.crossJoin(broadcast(tables))
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),
