@@ -97,41 +97,32 @@ object Sketches {
       .groupBy(col("w"))
       .agg(bit_or(col("bit")).as("bits"))
 
-  private def shiftL(v: Column, n: Column): Column =
-    org.apache.spark.sql.graftglue.ColumnGlue.toColumn(
-      org.apache.spark.sql.catalyst.expressions.ShiftLeft(
-        org.apache.spark.sql.graftglue.ColumnGlue.toExpression(v),
-        org.apache.spark.sql.graftglue.ColumnGlue.toExpression(n)))
+  /** Collect a [[bloomBuild]] (w, bits) frame into the packed `long[]`
+    * word layout (missing words stay all-zero). The filter is
+    * broadcast-sized by the [[bloomBits]] cap, so this is the same data
+    * movement a broadcast join would do — minus the join.
+    */
+  def collectFilter(filter: DataFrame, mBits: Int): Array[Long] = {
+    val arr = new Array[Long]((mBits + 31) / 32)
+    filter.select(col("w").cast("int"), col("bits")).collect()
+      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+    arr
+  }
 
   /** Probe: annotate every input row with a `might_contain` boolean by
-    * testing all `nHashes` bits of `hashCol` against the (broadcast)
-    * filter. `nHashes` is a FIXED small constant, so the probes are
-    * unrolled as one column + one broadcast hash join EACH instead of a
-    * posexplode (which would multiply the probe-side row count by
-    * `nHashes` and force a re-grouping shuffle to AND the verdicts back
-    * together — measured two shuffles saved on the decontamination
-    * query). Purely row-local: adds no exchange to the caller's plan.
+    * testing all `nHashes` bits of `hashCol` against the filter — one
+    * [[graft.expressions.BloomContains]] codegen kernel carrying the
+    * packed words as a reference object. Purely row-local scalar work:
+    * no joins, no exchanges, nothing added to the caller's plan shape.
+    * (The previous formulation unrolled one broadcast hash join per
+    * hash function — `nHashes` join operators for a few bit tests.)
+    * A NULL hash probes false, matching the join formulation's
+    * left-join + coalesce behavior.
     */
   def bloomProbe(df: DataFrame, hashCol: String, filter: DataFrame,
-      mBits: Int, nHashes: Int): DataFrame = {
-    val annotated = (0 until nHashes).foldLeft(df) { (acc, j) =>
-      val h = col(hashCol)
-      val pos = (pmod(h, lit(mBits)) +
-        lit(j) * (lit(1L) + pmod(h, lit(mBits - 1)))) % mBits
-      val f = broadcast(filter
-        .withColumnRenamed("w", s"__w$j")
-        .withColumnRenamed("bits", s"__bits$j"))
-      acc.withColumn(s"__pos$j", pos)
-        .join(f, (col(s"__pos$j") / 32).cast("int") === col(s"__w$j"), "left")
-        .withColumn(s"__hit$j",
-          coalesce(col(s"__bits$j").bitwiseAND(
-            shiftL(lit(1L), (col(s"__pos$j") % 32).cast("int"))) =!= 0,
-            lit(false)))
-    }
-    annotated
-      .withColumn("might_contain",
-        (0 until nHashes).map(j => col(s"__hit$j")).reduce(_ && _))
-      .drop((0 until nHashes).flatMap(j =>
-        Seq(s"__pos$j", s"__w$j", s"__bits$j", s"__hit$j")): _*)
-  }
+      mBits: Int, nHashes: Int): DataFrame =
+    df.withColumn("might_contain",
+      coalesce(graft.expressions.BloomContains.column(
+        col(hashCol), collectFilter(filter, mBits), mBits, nHashes),
+        lit(false)))
 }
