@@ -40,20 +40,25 @@ object StitchedWindow {
   def trailing(df: DataFrame, tsCol: String, bucket: String,
       lookback: String, aggs: Seq[(String, String)]): DataFrame = {
     require(aggs.nonEmpty, "StitchedWindow.trailing needs at least one agg")
-    val b = (c: Column) => date_trunc(bucket, c)
-    val look = expr(s"$lookback")
-    val orig = df
-      .withColumn("__b", b(col(tsCol)))
-      .withColumn("__ghost", lit(false))
-    // rows whose ts + lookback crosses a bucket boundary can fall inside
-    // the trailing frame of next-bucket rows — copy them forward
-    val ghosts = df
-      .filter(b(col(tsCol) + look) > b(col(tsCol)))
-      .withColumn("__b", b(col(tsCol) + look))
-      .withColumn("__ghost", lit(true))
+    val b = date_trunc(bucket, col(tsCol))
+    val bNext = date_trunc(bucket, col(tsCol) + expr(s"$lookback"))
+    // ONE scan: each row emits its own (bucket, ghost=false) tag, plus a
+    // forward (next-bucket, ghost=true) copy when ts + lookback crosses a
+    // bucket boundary — those rows can fall inside next-bucket frames. (A
+    // union of a filtered second branch would scan the input twice: the
+    // boundary predicate is an expression, nothing pushes to the source.)
+    val tags = when(bNext > b,
+      array(struct(b.as("b"), lit(false).as("g")),
+        struct(bNext.as("b"), lit(true).as("g"))))
+      .otherwise(array(struct(b.as("b"), lit(false).as("g"))))
+    val tagged = df
+      .select(col("*"), explode(tags).as("__e"))
+      .withColumn("__b", col("__e.b"))
+      .withColumn("__ghost", col("__e.g"))
+      .drop("__e")
     val frame = s"PARTITION BY __b ORDER BY $tsCol " +
       s"RANGE BETWEEN $lookback PRECEDING AND CURRENT ROW"
-    val windowed = aggs.foldLeft(orig.unionByName(ghosts)) {
+    val windowed = aggs.foldLeft(tagged) {
       case (d, (agg, name)) => d.withColumn(name, expr(s"$agg OVER ($frame)"))
     }
     windowed.filter(!col("__ghost")).drop("__b", "__ghost")
