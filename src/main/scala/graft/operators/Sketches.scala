@@ -63,6 +63,52 @@ object Sketches {
     when(kUsed < k, kUsed.cast("double"))
       .otherwise((kUsed - 1).cast("double") * lit(P.toDouble) / kthHash)
 
+  /** Count-min sketch row count and the affine per-row hash constants
+    * (same pairwise-independent family as [[MixA]]/[[MixB]]; `a·h <
+    * 2^63` for every `h < P`, so all intermediates stay in BIGINT range
+    * in both engines).
+    */
+  val CmsRows = 4
+  val CmsA: Seq[Long] = Seq(914334281L, 971215059L, 877905481L, 933199463L)
+  val CmsB: Seq[Long] = Seq(271828183L, 314159261L, 141421357L, 161803399L)
+
+  /** Row-`j` counter column of hash `h` in a width-`w` sketch. */
+  def cmsCol(h: Column, j: Int, w: Int): Column =
+    ((lit(CmsA(j)) * h + CmsB(j)) % P % w).cast("int")
+
+  def cmsColSql(e: String, j: Int, w: Int): String =
+    s"CAST(((${CmsA(j)} * ($e) + ${CmsB(j)}) % $P) % $w AS INT)"
+
+  /** Build a count-min sketch over a column of hashes: (j, c, cnt) —
+    * `CmsRows · w` counters, each a plain SUM, so the sketch is exactly
+    * order- and partition-invariant (unlike comparators like
+    * Misra–Gries), mergeable by adding counters, and replayable by any
+    * engine. One map-side-combinable aggregation; the result is
+    * constant-size regardless of input rows — the frequency-estimation
+    * lever when a full `groupBy token` is too big to materialize.
+    */
+  def cmsBuild(hashes: DataFrame, hashCol: String, w: Int): DataFrame =
+    hashes
+      .select(posexplode(array((0 until CmsRows).map(j =>
+        cmsCol(col(hashCol), j, w)): _*)).as(Seq("j", "c")))
+      .groupBy(col("j"), col("c"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point estimate for `hashCol`: `min_j counters[j][col_j(h)]` —
+    * never underestimates the true count. `counters` is tiny
+    * (`CmsRows · w` rows): always broadcast.
+    */
+  def cmsEstimate(df: DataFrame, hashCol: String, counters: DataFrame,
+      w: Int): DataFrame =
+    df
+      .select(df.columns.map(col) :+
+        posexplode(array((0 until CmsRows).map(j =>
+          cmsCol(col(hashCol), j, w)): _*)).as(Seq("__j", "__c")): _*)
+      .join(broadcast(counters),
+        col("__j") === col("j") && col("__c") === col("c"), "left")
+      .groupBy(df.columns.map(col): _*)
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+
   /** Build-side-derived filter sizing: `bitsPerKey · n` rounded up to
     * whole 32-bit words, floored at 64 bits (an empty build side still
     * yields a probeable filter) and capped at 2^30 (32 MB packed — the

@@ -160,5 +160,66 @@ object SketchQueries {
       .orderBy(col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon)
+  // CMS width: 4 rows × 1024 counters = constant 4 k cells however big
+  // the token stream gets; at ~50 k token occurrences the top terms'
+  // overcounts stay small while rare-term estimates show the classic
+  // CMS inflation the report surfaces.
+  private val CmsW = 1024
+
+  /** Count-min frequency sketch ([[Sketches.cmsBuild]]) — the third
+    * member of the portable-sketch family (KMV = distinct count, Bloom
+    * = membership, CMS = frequency): counter cells are plain SUMS, so
+    * unlike comparator-based heavy-hitter sketches the whole structure
+    * is order- and partition-invariant, mergeable by addition, and
+    * bit-replayable by the oracle. The query builds the sketch over the
+    * full token stream (one map-side-combinable aggregation to a
+    * CONSTANT 4×1024 cells), estimates the 20 most frequent tokens, and
+    * reports estimate vs exact — `cms_est ≥ exact_cnt` always; at scale
+    * the exact side is what you could NOT afford, which is the point.
+    */
+  val countMinTopK: QuerySpec = QuerySpec.sql(
+    "q86_countmin_topk",
+    s"""WITH t AS (
+      |  SELECT unnest($tokSql) AS tok FROM documents),
+      |h AS (SELECT tok, ${Sketches.uniformHashSql("tok")} AS h FROM t),
+      |consts(j, a, b) AS (VALUES
+      |  ${Sketches.CmsA.zip(Sketches.CmsB).zipWithIndex
+            .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      |counters AS (
+      |  SELECT k.j AS j, CAST(((k.a * h.h + k.b) % ${Sketches.P}) % $CmsW AS INT) AS c,
+      |         count(*) AS cnt
+      |  FROM h CROSS JOIN consts k
+      |  GROUP BY 1, 2),
+      |exact AS (SELECT tok, h, count(*) AS exact_cnt FROM h GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, h, exact_cnt FROM (
+      |    SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk
+      |    FROM exact) r WHERE rk <= 20),
+      |est AS (
+      |  SELECT t.tok, t.exact_cnt, min(c2.cnt) AS cms_est
+      |  FROM top t CROSS JOIN consts k
+      |  JOIN counters c2 ON c2.j = k.j
+      |    AND c2.c = CAST(((k.a * t.h + k.b) % ${Sketches.P}) % $CmsW AS INT)
+      |  GROUP BY 1, 2)
+      |SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  CAST(cms_est AS BIGINT) AS cms_est,
+      |  CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+      |FROM est
+      |ORDER BY exact_cnt DESC, tok""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.load(spark, dir, "documents")
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.uniformHash(col("tok")).as("h"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val counters = Sketches.cmsBuild(toks, "h", CmsW)
+    val top = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    Sketches.cmsEstimate(top, "h", counters, CmsW)
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK)
 }

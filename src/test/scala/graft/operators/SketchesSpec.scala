@@ -83,6 +83,34 @@ class SketchesSpec extends SparkTestBase {
     assert(fpRate(20000) <= 0.005, s"fp at n=20000: ${fpRate(20000)}")
   }
 
+  test("count-min never underestimates and is exact for isolated cells") {
+    val w = 512
+    // skewed stream: key_1 appears 1000x, key_2..key_50 10x, rest once
+    val data = Seq.fill(1000)("key_1") ++
+      (2 to 50).flatMap(i => Seq.fill(10)(s"key_$i")) ++
+      (51 to 500).map(i => s"key_$i")
+    val hashes = data.toDF("k")
+      .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
+    val counters = Sketches.cmsBuild(hashes, "h", w)
+    val exact = hashes.groupBy("k", "h").agg(count(lit(1)).as("exact"))
+    val est = Sketches.cmsEstimate(exact, "h", counters, w)
+      .select(col("k"), col("exact"), col("cms_est"))
+      .as[(String, Long, Long)].collect()
+    assert(est.forall { case (_, ex, e) => e >= ex },
+      "CMS underestimated a count")
+    // the heavy hitter dominates its cells: estimate must be exact
+    assert(est.find(_._1 == "key_1").exists { case (_, ex, e) => e == ex })
+  }
+
+  test("count-min counters are partition-invariant (mergeable sums)") {
+    val hashes = (1 to 3000).map(i => s"t${i % 97}").toDF("k")
+      .select(Sketches.uniformHash(col("k")).as("h"))
+    def run(parts: Int) =
+      Sketches.cmsBuild(hashes.repartition(parts), "h", 256)
+        .orderBy(col("j"), col("c")).as[(Int, Int, Long)].collect().toSeq
+    assert(run(1) == run(13))
+  }
+
   test("bloom bit words are identical regardless of input partitioning") {
     val hs = (1 to 2000).map(i => s"x$i").toDF("s")
       .select(graft.functions.Text.charHash(col("s")).as("h"))
