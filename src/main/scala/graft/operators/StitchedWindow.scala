@@ -23,17 +23,18 @@ import org.apache.spark.sql.functions._
   *
   * At 100 TB: work and memory are per-bucket (a month of a year-spanning
   * table), ghost duplication is `lookback / bucket` of the data (an hour
-  * copied per month ≈ 0.1%), and buckets scale out across executors.
-  * Requires `lookback` ≤ one bucket; a longer lookback just needs ghost
-  * copies from every bucket within reach (k-bucket generalization).
+  * copied per month ≈ 0.1%), and buckets scale out across executors. A
+  * lookback LONGER than one bucket works too: each row ghost-copies into
+  * every bucket its window reaches (duplication `≈ lookback / bucket`×,
+  * the inherent cost of that frame shape).
   */
 object StitchedWindow {
 
   /** Trailing-frame aggregates over the whole stream, stitched by
     * `bucket` (a `date_trunc` unit, e.g. "month").
     *
-    * @param lookback SQL interval literal, e.g. "INTERVAL 1 HOUR";
-    *                 must not exceed one bucket
+    * @param lookback SQL interval literal, e.g. "INTERVAL 1 HOUR" (may
+    *                 exceed one bucket — ghosts fan out accordingly)
     * @param aggs     (aggregate SQL, output column) pairs evaluated over
     *                 the trailing frame, e.g. `("count(*)", "n_1h")`
     */
@@ -41,16 +42,19 @@ object StitchedWindow {
       lookback: String, aggs: Seq[(String, String)]): DataFrame = {
     require(aggs.nonEmpty, "StitchedWindow.trailing needs at least one agg")
     val b = date_trunc(bucket, col(tsCol))
-    val bNext = date_trunc(bucket, col(tsCol) + expr(s"$lookback"))
-    // ONE scan: each row emits its own (bucket, ghost=false) tag, plus a
-    // forward (next-bucket, ghost=true) copy when ts + lookback crosses a
-    // bucket boundary — those rows can fall inside next-bucket frames. (A
-    // union of a filtered second branch would scan the input twice: the
-    // boundary predicate is an expression, nothing pushes to the source.)
-    val tags = when(bNext > b,
-      array(struct(b.as("b"), lit(false).as("g")),
-        struct(bNext.as("b"), lit(true).as("g"))))
-      .otherwise(array(struct(b.as("b"), lit(false).as("g"))))
+    val bLast = date_trunc(bucket, col(tsCol) + expr(s"$lookback"))
+    // ONE scan: each row emits its own (bucket, ghost=false) tag plus a
+    // (forward bucket, ghost=true) copy for EVERY bucket its lookback
+    // window reaches into — `sequence` enumerates the bucket starts from
+    // the row's own through b(ts + lookback), so a lookback longer than
+    // one bucket just fans out to more ghosts (k-bucket stitching falls
+    // out for free). For the common lookback ≤ bucket case this is the
+    // 1-or-2-element array. (A union of a filtered ghost branch would
+    // scan the input twice: the boundary predicate is an expression,
+    // nothing pushes to the source.)
+    val tags = transform(
+      sequence(b, bLast, expr(s"INTERVAL 1 $bucket")),
+      (bk, i) => struct(bk.as("b"), (i > 0).as("g")))
     val tagged = df
       .select(col("*"), explode(tags).as("__e"))
       .withColumn("__b", col("__e.b"))

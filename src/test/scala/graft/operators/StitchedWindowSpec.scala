@@ -42,6 +42,20 @@ class StitchedWindowSpec extends SparkTestBase {
     assert(stitched === global)
   }
 
+  test("a lookback longer than one bucket stitches across k buckets") {
+    val stitched = StitchedWindow
+      .trailing(fixture, "ts", "month", "INTERVAL 40 DAYS",
+        Seq("count(*)" -> "n"))
+      .select(col("event_id"), col("n").cast("long"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val global = fixture
+      .select(col("event_id"),
+        expr("count(*) OVER (ORDER BY ts RANGE BETWEEN INTERVAL 40 DAYS " +
+          "PRECEDING AND CURRENT ROW)").cast("long").as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(stitched === global)
+  }
+
   test("ghost rows contribute to frames but never to output") {
     val out = StitchedWindow
       .trailing(fixture, "ts", "month", "INTERVAL 1 HOUR",
