@@ -437,7 +437,57 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Sequence packing — the concat-then-chunk offset assignment GPT-style
+    * pretraining uses: documents are concatenated (in deterministic
+    * doc_id order within a portable-hash SHARD) and the stream is cut
+    * into fixed 256-token training sequences; each document reports its
+    * start offset and the first/last sequence it lands in (a document
+    * may straddle a boundary — that is the packing's defining property,
+    * zero padding waste).
+    *
+    * Scale shape: packing is embarrassingly parallel per shard — the
+    * cumulative sum is a window PARTITIONED by shard (at 100 TB, shards
+    * ≈ executors·k so each holds one task's worth), budget waste exists
+    * only at shard tails, and assignment is reproducible in any engine
+    * (portable hash + integer arithmetic — the q41/q66 contract).
+    */
+  val sequencePack: QuerySpec = QuerySpec.sql(
+    "q87_sequence_pack",
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
+      |    ((doc_id % 1000003) * 2654435761) % 8 AS shard
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      |      ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM t WHERE n_tokens > 0)
+      |SELECT doc_id, shard, n_tokens,
+      |  cum - n_tokens AS start_offset,
+      |  (cum - n_tokens) // 256 AS seq_first,
+      |  (cum - 1) // 256 AS seq_last
+      |FROM c
+      |ORDER BY shard, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 8).as("shard"))
+      .filter(col("n_tokens") > 0)
+    val cum = sum(col("n_tokens")).over(
+      Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    t.withColumn("cum", cum)
+      .select(col("doc_id"), col("shard"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("start_offset"),
+        expr("(cum - n_tokens) div 256").as("seq_first"),
+        expr("(cum - 1) div 256").as("seq_last"))
+      .orderBy(col("shard"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
-      docChunks, corpusMix, repetition)
+      docChunks, corpusMix, repetition, sequencePack)
 }
