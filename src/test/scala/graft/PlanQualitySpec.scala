@@ -124,6 +124,33 @@ class PlanQualitySpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q58 assigns cells through the NearestCell kernel, never a shuffle") {
+    val plan = planOf("q58_ivf_ann")
+    try {
+      assert(plan.contains("nearest_cell"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q81 probes the bloom filter as a scalar kernel (one join total)") {
+    val plan = planOf("q81_bloom_decon")
+    try {
+      assert(plan.contains("bloom_contains"), plan.take(2000))
+      // only the exact-verification join against eval hashes remains;
+      // the probe itself must add NO join operators
+      assert("Join".r.findAllIn(plan).size <= 2, plan.take(3000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q85's composed search never shuffles the corpus") {
+    val plan = planOf("q85_ivfpq_ann")
+    try {
+      assert(plan.contains("nearest_cell"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
