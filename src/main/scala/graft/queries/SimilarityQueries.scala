@@ -651,7 +651,67 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** The calibration loop q26 exists for, as a query: on the bounded
+    * sample, compute exact near-dup pairs (ground truth) and the
+    * sign-bucket LSH candidate pairs at the SAME threshold, and report
+    * the LSH path's recall — candidates are a subset of truth (both
+    * score exact cosine; LSH only prunes), so recall = |lsh| / |exact|.
+    * At 100 TB this one number is how you pick bucket bits before
+    * running q38 over the full corpus.
+    *
+    * On the NEAR-RANDOM fixture the instrument correctly reads low
+    * (~3%: random vectors have no locality, so axis-aligned sign buckets
+    * rarely co-locate near-dup pairs) — which is precisely the signal
+    * that would send a practitioner to fewer bits, multi-probe, or the
+    * MinHash path (q24's banding is calibrated the same way). On
+    * clustered corpora the same instrument reads high
+    * (`IvfAnnSpec`/`ProductQuantizerSpec`'s clustered fixtures).
+    */
+  val nearDupRecall: QuerySpec = QuerySpec.sql(
+    "q88_neardup_recall",
+    s"""WITH e AS (
+      |  SELECT vec_id, embedding, ${Vectors.normSql("embedding")} AS nrm,
+      |         ${Vectors.signBucketSql("embedding", 8)} AS bucket
+      |  FROM embeddings WHERE vec_id < 1024),
+      |exact_pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM e a JOIN e b ON a.vec_id < b.vec_id
+      |    AND a.nrm > 0 AND b.nrm > 0
+      |  WHERE ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35),
+      |lsh_pairs AS (
+      |  SELECT a.vec_id AS id1, b.vec_id AS id2
+      |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+      |    AND a.nrm > 0 AND b.nrm > 0
+      |  WHERE ${Vectors.dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= 0.35)
+      |SELECT
+      |  (SELECT count(*) FROM exact_pairs) AS n_exact,
+      |  (SELECT count(*) FROM lsh_pairs) AS n_lsh,
+      |  round(CAST((SELECT count(*) FROM lsh_pairs) AS DOUBLE)
+      |    / (SELECT count(*) FROM exact_pairs) + 1e-9, 4) AS recall""".stripMargin
+  ) { (spark, dir) =>
+    val e = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 1024)
+      .select(col("vec_id"), col("embedding"),
+        Vectors.norm(col("embedding")).as("nrm"),
+        Vectors.signBucket("embedding", 8).as("bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
+      (col("a.nrm") * col("b.nrm"))
+    def pairs(extraCond: org.apache.spark.sql.Column) = e.as("a")
+      .join(e.as("b"),
+        col("a.vec_id") < col("b.vec_id") &&
+          col("a.nrm") > 0 && col("b.nrm") > 0 && extraCond)
+      .filter(cos >= 0.35)
+      .agg(count(lit(1)).as("n"))
+    pairs(lit(true)).select(col("n").as("n_exact"))
+      .crossJoin(pairs(col("a.bucket") === col("b.bucket"))
+        .select(col("n").as("n_lsh")))
+      .select(col("n_exact"), col("n_lsh"),
+        round(col("n_lsh").cast("double") / col("n_exact") + lit(1e-9), 4)
+          .as("recall"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs)
+    quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall)
 }
