@@ -34,7 +34,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, FloatType, IntegerType}
   * `-0.0 < +0.0` divergence from SQL semantics cannot arise).
   * Centroid vectors must match the input's length — the training
   * contract ([[graft.operators.CentroidState]] derives both from the
-  * same corpus); extra input components are ignored like a zip would.
+  * same corpus); extra input components are ignored like a zip would,
+  * but a SHORT or null-holed input vector throws a descriptive error
+  * instead of reading out of bounds (parquet array columns are
+  * `containsNull=true` by default even when hole-free, so the check
+  * lives in the kernel, not in `checkInputDataTypes`).
   */
 case class NearestCell(child: Expression, cells: Array[Int],
     cvecs: Array[Array[Float]], cnorm2: Array[Double])
@@ -69,15 +73,20 @@ case class NearestCell(child: Expression, cells: Array[Int],
 object NearestCell {
   def compute(v: ArrayData, cells: Array[Int], cvecs: Array[Array[Float]],
       cnorm2: Array[Double]): Int = {
+    val n = v.numElements()
     var best = 0.0
     var bestCell = 0
     var first = true
     var i = 0
     while (i < cells.length) {
       val c = cvecs(i)
+      if (n < c.length) throw new IllegalArgumentException(
+        s"nearest_cell: input vector has $n components, centroid has ${c.length}")
       var dot = 0.0
       var j = 0
       while (j < c.length) {
+        if (v.isNullAt(j)) throw new IllegalArgumentException(
+          s"nearest_cell: null component at index $j")
         dot += v.getFloat(j).toDouble * c(j).toDouble
         j += 1
       }

@@ -14,9 +14,10 @@ import org.apache.spark.sql.types.{BooleanType, DataType, LongType}
   * broadcast hash join per hash function) pays `nHashes` join operators
   * and their column plumbing for what is a handful of shifts and loads.
   * The packed filter rides along as a JVM `long[]` reference object
-  * (one 32-bit word per slot, the [[graft.operators.Sketches]] layout),
-  * the same way [[NearestCell]] carries its centroid table: the filter
-  * is broadcast-sized BY DEFINITION (`mBits ≤ 2^30` — the
+  * (64 bits per slot — the [[graft.operators.Sketches.collectFilter]]
+  * dense packing of the oracle-portable 32-bit build words), the same
+  * way [[NearestCell]] carries its centroid table: the filter is
+  * broadcast-sized BY DEFINITION (`mBits ≤ 2^28` = 32 MB packed — the
   * `Sketches.bloomBits` cap), so shipping it inside the serialized
   * expression is exactly a broadcast, minus the join machinery.
   *
@@ -58,9 +59,9 @@ object BloomContains {
     var j = 0
     while (j < nHashes) {
       val pos = (base + j * step) % mBits
-      val w = (pos / 32).toInt
-      if (w >= words.length ||
-        ((words(w) >> (pos % 32).toInt) & 1L) == 0L) return false
+      val slot = (pos >> 6).toInt // 64 bits per long (collectFilter packing)
+      if (slot >= words.length ||
+        ((words(slot) >>> (pos & 63).toInt) & 1L) == 0L) return false
       j += 1
     }
     true

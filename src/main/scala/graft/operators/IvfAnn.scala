@@ -37,6 +37,20 @@ import graft.operators.CentroidState.Cent
   */
 object IvfAnn {
 
+  /** Probe sides are `queries · nProbe` rows — a bounded request batch
+    * by the search contract. This guard makes the contract EXPLICIT
+    * instead of a comment: at or below the bound the probe side
+    * broadcasts and the corpus never shuffles (the plan the gate pins);
+    * above it the search degrades to a plain shuffle join — slower, but
+    * it completes instead of OOMing the executors on a broadcast that
+    * was never going to fit. 2^20 probe rows × (vector + ADC table)
+    * payload is comfortably inside a default broadcast budget.
+    */
+  private[operators] val MaxBroadcastProbeRows: Long = 1L << 20
+
+  private[operators] def probeSide(probed: DataFrame, probeRows: Long): DataFrame =
+    if (probeRows <= MaxBroadcastProbeRows) broadcast(probed) else probed
+
   /** Train the coarse quantizer driver-side: deterministic lowest-id
     * seeds, then `iters` Lloyd passes of one corpus scan each.
     */
@@ -109,15 +123,17 @@ object IvfAnn {
     val corpusByCell = corpus
       .select(col(idCol), col(vecCol), Vectors.norm(col(vecCol)).as("__n"),
         CentroidState.nearestCell(col(vecCol), cents).as("cell"))
-    val probed = queries
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = qcached
       .select(col(qidCol), col(qvecCol),
         Vectors.norm(col(qvecCol)).as("__qn"),
         explode(CentroidState.nearestCells(col(qvecCol), cents, nProbe))
           .as("cell"))
-    // the probe side is (queries · nProbe) rows — a bounded request batch
-    // by the search contract — so broadcast it and the corpus never
-    // shuffles: candidate generation is a map-side hash join on cell
-    val scored = broadcast(probed).join(corpusByCell, "cell")
+    // within the probe-row bound the probe side broadcasts and the
+    // corpus never shuffles: candidate generation is a map-side hash
+    // join on cell; an oversized query batch degrades to a shuffle join
+    val scored = probeSide(probed, qcached.count() * nProbe)
+      .join(corpusByCell, "cell")
       .filter(col(qidCol) =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
       .select(col(qidCol), col(idCol).as("neighbor"),
         (Vectors.dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n")))

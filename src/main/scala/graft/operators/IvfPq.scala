@@ -48,11 +48,14 @@ object IvfPq {
       CentroidState.nearestCell(col(vecCol), coarse).as("cell"),
       ProductQuantizer.codesExpr(col(vecCol), cb, m, dim).as("codes"))
     // one projection per query row: probed cells + ADC distance tables
-    val probed = queries.select(col(qidCol),
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = qcached.select(col(qidCol),
       explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
         .as("cell"),
       ProductQuantizer.tablesExpr(col(qvecCol), cb, m, dim).as("tables"))
-    val scored = broadcast(probed).join(encoded, "cell")
+    // broadcast within the IvfAnn.probeSide bound; degrade above it
+    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe)
+      .join(encoded, "cell")
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),
         aggregate(

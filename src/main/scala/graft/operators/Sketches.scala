@@ -96,31 +96,37 @@ object Sketches {
 
   /** Point estimate for `hashCol`: `min_j counters[j][col_j(h)]` —
     * never underestimates the true count. `counters` is tiny
-    * (`CmsRows · w` rows): always broadcast.
+    * (`CmsRows · w` rows): always broadcast. The re-collapse after the
+    * posexplode groups on a per-row id (not `df`'s columns), so
+    * duplicate and all-NULL input rows each keep their own output row.
     */
   def cmsEstimate(df: DataFrame, hashCol: String, counters: DataFrame,
       w: Int): DataFrame =
     df
-      .select(df.columns.map(col) :+
+      .withColumn("__rid", monotonically_increasing_id())
+      .select(col("__rid") +: df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until CmsRows).map(j =>
           cmsCol(col(hashCol), j, w)): _*)).as(Seq("__j", "__c")): _*)
       .join(broadcast(counters),
         col("__j") === col("j") && col("__c") === col("c"), "left")
-      .groupBy(df.columns.map(col): _*)
+      .groupBy(col("__rid") +: df.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
+      .drop("__rid")
 
   /** Build-side-derived filter sizing: `bitsPerKey · n` rounded up to
     * whole 32-bit words, floored at 64 bits (an empty build side still
-    * yields a probeable filter) and capped at 2^30 (32 MB packed — the
-    * broadcast budget). Pure integer arithmetic so an external oracle
-    * replays the exact same size from the same count. Sizing from the
-    * OBSERVED count matters because a constant `mBits` silently
-    * saturates once the build side outgrows it: a 4096-bit first cut at
-    * sf0.1 set every bit and flagged every train document.
+    * yields a probeable filter) and capped at 2^28 — 32 MB in the
+    * [[collectFilter]] packing (mBits/8 bytes: two 32-bit build words
+    * per `long` slot), the broadcast budget. Pure integer arithmetic so
+    * an external oracle replays the exact same size from the same
+    * count. Sizing from the OBSERVED count matters because a constant
+    * `mBits` silently saturates once the build side outgrows it: a
+    * 4096-bit first cut at sf0.1 set every bit and flagged every train
+    * document.
     */
   def bloomBits(n: Long, bitsPerKey: Int): Int = {
     val m = ((n * bitsPerKey + 31) / 32) * 32
-    math.min(math.max(m, 64L), 1L << 30).toInt
+    math.min(math.max(m, 64L), 1L << 28).toInt
   }
 
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
@@ -144,14 +150,23 @@ object Sketches {
       .agg(bit_or(col("bit")).as("bits"))
 
   /** Collect a [[bloomBuild]] (w, bits) frame into the packed `long[]`
-    * word layout (missing words stay all-zero). The filter is
-    * broadcast-sized by the [[bloomBits]] cap, so this is the same data
-    * movement a broadcast join would do — minus the join.
+    * layout the [[graft.expressions.BloomContains]] kernel reads: two
+    * 32-bit build words per `long` slot (bit `pos` lives at long
+    * `pos/64`, bit `pos%64`), so the reference object is mBits/8 bytes
+    * — 32 MB at the [[bloomBits]] cap. The 32-bit granularity exists
+    * only in the PORTABLE build/oracle layout (DuckDB's signed BIGINT
+    * can't set bit 63); the JVM-side probe object packs densely.
+    * Missing words stay all-zero. The filter is broadcast-sized by the
+    * cap, so this is the same data movement a broadcast join would do —
+    * minus the join.
     */
   def collectFilter(filter: DataFrame, mBits: Int): Array[Long] = {
-    val arr = new Array[Long]((mBits + 31) / 32)
+    val arr = new Array[Long]((mBits + 63) / 64)
     filter.select(col("w").cast("int"), col("bits")).collect()
-      .foreach(r => arr(r.getInt(0)) = r.getLong(1))
+      .foreach { r =>
+        val w = r.getInt(0)
+        arr(w >> 1) |= r.getLong(1) << ((w & 1) << 5)
+      }
     arr
   }
 

@@ -96,7 +96,7 @@ object SketchQueries {
       |eval_h AS (SELECT DISTINCT unnest(sh) AS h FROM sh WHERE bucket >= 90),
       |mb AS (
       |  SELECT CAST(least(greatest(((count(*) * $BloomBitsPerKey + 31) // 32) * 32,
-      |                             64), 1073741824) AS BIGINT) AS m
+      |                             64), 268435456) AS BIGINT) AS m
       |  FROM eval_h),
       |pos AS (
       |  SELECT ((h % $mSql) + j.j * (1 + h % ($mSql - 1))) % $mSql AS pos

@@ -38,7 +38,7 @@ object TextQueries {
     Tables.load(spark, dir, "documents")
       .select(
         col("doc_id"),
-        length(col("text")).as("n_chars_calc"),
+        length(col("text")).cast("long").as("n_chars_calc"),
         size(toks).cast("long").as("n_tokens"),
         size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
         Text.bpeTokenCount(col("text")).as("n_bpe_tokens"),
@@ -464,9 +464,9 @@ object TextQueries {
       |      ROWS UNBOUNDED PRECEDING) AS cum
       |  FROM t WHERE n_tokens > 0)
       |SELECT doc_id, shard, n_tokens,
-      |  cum - n_tokens AS start_offset,
-      |  (cum - n_tokens) // 256 AS seq_first,
-      |  (cum - 1) // 256 AS seq_last
+      |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+      |  CAST((cum - 1) // 256 AS BIGINT) AS seq_last
       |FROM c
       |ORDER BY shard, doc_id""".stripMargin
   ) { (spark, dir) =>

@@ -56,7 +56,8 @@ class SketchesSpec extends SparkTestBase {
     assert(Sketches.bloomBits(1000, 32) === 32000)
     assert(Sketches.bloomBits(1000, 10) === 10016) // rounded up to words
     assert(Sketches.bloomBits(1000, 10) % 32 === 0)
-    assert(Sketches.bloomBits(Long.MaxValue / 64, 32) === (1 << 30)) // cap
+    // cap = 2^28 bits = 32 MB in the collectFilter 64-bit packing
+    assert(Sketches.bloomBits(Long.MaxValue / 64, 32) === (1 << 28))
   }
 
   test("derived sizing keeps the FP rate at its m/n-determined bound " +

@@ -47,15 +47,27 @@ def main():
     for name, sql in sorted(oracles.items()):
         try:
             oracle = con.sql(sql)
-            ocols, orows = [d[0] for d in oracle.description], oracle.fetchall()
+            ocols, orows = oracle.columns, oracle.fetchall()
+            otypes = [str(t) for t in oracle.types]
             spark = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            scols, srows = [d[0] for d in spark.description], spark.fetchall()
+            scols, srows = spark.columns, spark.fetchall()
+            stypes = [str(t) for t in spark.types]
         except Exception as e:
             print(f"FAIL {name}: error {e}")
             failed.append(name)
             continue
         if sorted(ocols) != sorted(scols):
             print(f"FAIL {name}: cols oracle={sorted(ocols)} spark={sorted(scols)}")
+            failed.append(name)
+            continue
+        # Type-strict: HUGEINT (uncast DuckDB window/list sums) vs Spark's
+        # BIGINT hashes differently at the driver even when every value is
+        # identical, so a type mismatch must fail LOCALLY too.
+        omap = dict(zip(ocols, otypes))
+        smap = dict(zip(scols, stypes))
+        tdiff = {c: (omap[c], smap[c]) for c in ocols if omap[c] != smap[c]}
+        if tdiff:
+            print(f"FAIL {name}: type mismatch {tdiff}")
             failed.append(name)
             continue
         oc, sc = canon(orows, ocols), canon(srows, scols)
