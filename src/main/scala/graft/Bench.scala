@@ -3,6 +3,15 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = Sessions.local("graft-bench")
+    // The harness keeps only a bounded tail of this process's output; the
+    // streaming queries emit known-benign WARNs (AQE disabled in stateful
+    // workloads, temp checkpoint location) on every micro-batch that would
+    // crowd real anomalies out of that tail. Silence exactly those two
+    // loggers — everything else still reports at WARN.
+    Seq("org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
+      .foreach(n => org.apache.logging.log4j.core.config.Configurator
+        .setLevel(n, org.apache.logging.log4j.Level.ERROR))
     // JIT/codegen warmup outside any measured window, then run queries in
     // name order so per-query numbers are attributable and stable.
     SparkEntry.entry(spark).count()

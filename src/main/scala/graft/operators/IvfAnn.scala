@@ -141,4 +141,64 @@ object IvfAnn {
     Dedup.topKPerKey(scored, Seq(qidCol),
       Seq(col("cosine").desc, col("neighbor").asc), k)
   }
+
+  /** nProbe-vs-recall calibration on a bounded query sample — the IVF
+    * family's analog of the LSH bucket-bits calibration: before a
+    * full-corpus run, this one report is how `nProbe` is picked. Trains
+    * ONCE, scores the candidate join ONCE at `max(nProbes)` cells with
+    * each candidate tagged by its cell's probe rank, then reads every
+    * sweep point off that cached frame — recall@k is measured against
+    * the brute-force top-k over the same sample (exact on the sample
+    * because the sample is bounded; `queries · corpus` pairs, the q27
+    * broadcast shape, NOT corpus²).
+    *
+    * @return one row per nProbe: (n_probe, n_truth, hits, recall)
+    */
+  def recallSweep(corpus0: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, clusters: Int, nProbes: Seq[Int],
+      iters: Int = 2): DataFrame = {
+    val corpus = CentroidState.ensureCached(corpus0)
+    val cents = lloyd(corpus, idCol, vecCol, clusters, iters)
+    val corpusByCell = corpus
+      .select(col(idCol), col(vecCol), Vectors.norm(col(vecCol)).as("__n"),
+        CentroidState.nearestCell(col(vecCol), cents).as("cell"))
+    val queries = corpus.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("__qid"), col(vecCol).as("__qv"),
+        Vectors.norm(col(vecCol)).as("__qn"))
+    val cos = Vectors.dot(col("__qv"), col(vecCol)) /
+      (col("__qn") * col("__n"))
+    // exact ground truth over the bounded sample (broadcast query side)
+    val bf = broadcast(queries).join(corpusByCell,
+        col("__qid") =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
+      .select(col("__qid").as("qid"), col(idCol).as("neighbor"),
+        cos.as("cos"))
+    val gt = Dedup.topKPerKey(bf, Seq("qid"),
+        Seq(col("cos").desc, col("neighbor").asc), k)
+      .select(col("qid"), col("neighbor"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // one candidate join at the WIDEST sweep point; probe_rank lets every
+    // narrower nProbe reuse it as a filter instead of a fresh search
+    val maxProbe = nProbes.max
+    val probed = queries.select(col("__qid"), col("__qv"), col("__qn"),
+      posexplode(CentroidState.nearestCells(col("__qv"), cents, maxProbe))
+        .as(Seq("__pos", "cell")))
+    val cand = probeSide(probed, queries.count() * maxProbe)
+      .join(corpusByCell, "cell")
+      .filter(col("__qid") =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
+      .select(col("__qid").as("qid"), (col("__pos") + 1).as("probe_rank"),
+        col(idCol).as("neighbor"), cos.as("cos"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val perProbe = nProbes.map { p =>
+      Dedup.topKPerKey(cand.filter(col("probe_rank") <= p), Seq("qid"),
+          Seq(col("cos").desc, col("neighbor").asc), k)
+        .join(gt, Seq("qid", "neighbor"))
+        .agg(count(lit(1)).as("hits"))
+        .select(lit(p).as("n_probe"), col("hits"))
+    }.reduce(_ unionByName _)
+    perProbe
+      .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_probe"), col("n_truth"), col("hits"),
+        round(col("hits") / col("n_truth") + lit(1e-9), 4).as("recall"))
+      .orderBy(col("n_probe"))
+  }
 }

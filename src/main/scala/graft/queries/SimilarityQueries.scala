@@ -264,7 +264,7 @@ object SimilarityQueries {
       |$lloyd,
       |${assign("af", s"c${iters}n")},
       |probes AS (
-      |  SELECT qid, cell FROM (
+      |  SELECT qid, cell, CAST(rk AS INT) AS probe_rank FROM (
       |    SELECT v.vec_id AS qid, c.cell,
       |      row_number() OVER (PARTITION BY v.vec_id
       |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
@@ -711,7 +711,74 @@ object SimilarityQueries {
           .as("recall"))
   }
 
+  /** The q88 calibration for the OTHER index family: IVF recall@k as a
+    * function of `nProbe` ([[graft.operators.IvfAnn.recallSweep]]) on
+    * the bounded query sample, against brute-force ground truth. At
+    * 100 TB this curve — trained once, one candidate join at the widest
+    * sweep point — is how `nProbe` is picked before a full-corpus run:
+    * the fraction of true neighbours a probe budget keeps, per budget.
+    * The oracle unrolls the same deterministic training
+    * ([[coarseCtes]]) and replays the sweep as a lateral rank filter.
+    */
+  val ivfRecall: QuerySpec = {
+    import Vectors.{dotSql, normSql}
+    val (clusters, iters, dim, nQueries, k) = (16, 2, 64, 10, 3)
+    val nProbes = Seq(1, 2, 4)
+    QuerySpec.sql(
+      "q89_ivf_recall",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |${coarseCtes(clusters, nProbes.max, iters, dim, nQueries)},
+        |gt AS (
+        |  SELECT qid, neighbor FROM (
+        |    SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${dotSql("q.embedding", "v.embedding")}
+        |          / (${normSql("q.embedding")} * ${normSql("v.embedding")}) DESC,
+        |          v.vec_id) AS rk
+        |    FROM corpus q JOIN corpus v
+        |      ON q.vec_id < $nQueries AND v.vec_id <> q.vec_id
+        |    WHERE ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0) t
+        |  WHERE rk <= $k),
+        |cand AS (
+        |  SELECT p.qid, p.probe_rank, v.vec_id AS neighbor,
+        |    ${dotSql("q.embedding", "v.embedding")}
+        |      / (${normSql("q.embedding")} * ${normSql("v.embedding")}) AS cos
+        |  FROM probes p
+        |  JOIN corpus q ON q.vec_id = p.qid
+        |  JOIN af f ON f.cell = p.cell
+        |  JOIN corpus v ON v.vec_id = f.vec_id
+        |  WHERE v.vec_id <> p.qid
+        |    AND ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0),
+        |sweep(n_probe) AS (VALUES ${nProbes.map(p => s"($p)").mkString(", ")}),
+        |ivf AS (
+        |  SELECT n_probe, qid, neighbor FROM (
+        |    SELECT s.n_probe, c.qid, c.neighbor,
+        |      row_number() OVER (PARTITION BY s.n_probe, c.qid
+        |        ORDER BY c.cos DESC, c.neighbor) AS rk
+        |    FROM sweep s JOIN cand c ON c.probe_rank <= s.n_probe) t
+        |  WHERE rk <= $k),
+        |hits AS (
+        |  SELECT i.n_probe, count(*) AS hits
+        |  FROM ivf i JOIN gt g ON g.qid = i.qid AND g.neighbor = i.neighbor
+        |  GROUP BY i.n_probe),
+        |tot AS (SELECT count(*) AS n_truth FROM gt)
+        |SELECT s.n_probe, CAST(n_truth AS BIGINT) AS n_truth,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / n_truth + 1e-9, 4)
+        |    AS recall
+        |FROM sweep s CROSS JOIN tot
+        |LEFT JOIN hits h ON h.n_probe = s.n_probe
+        |ORDER BY s.n_probe""".stripMargin
+    ) { (spark, dir) =>
+      graft.operators.IvfAnn.recallSweep(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = nQueries, k = k, clusters = clusters, nProbes = nProbes,
+        iters = iters)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
-    quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall)
+    quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
+    ivfRecall)
 }

@@ -451,9 +451,13 @@ object TextQueries {
     * only at shard tails, and assignment is reproducible in any engine
     * (portable hash + integer arithmetic — the q41/q66 contract).
     */
-  val sequencePack: QuerySpec = QuerySpec.sql(
-    "q87_sequence_pack",
-    """WITH t AS (
+  /** Shared CTE chain of q87/q90: tokenize → shard → shard-partitioned
+    * cumulative sum → per-doc offsets. Every cum-derived column is CAST
+    * to BIGINT (DuckDB's window sum returns HUGEINT, which the gate's
+    * type-strict hash rejects against Spark's LONG).
+    */
+  private val packCtes =
+    """t AS (
       |  SELECT doc_id,
       |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens,
       |    ((doc_id % 1000003) * 2654435761) % 8 AS shard
@@ -462,14 +466,19 @@ object TextQueries {
       |  SELECT doc_id, shard, n_tokens,
       |    sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
       |      ROWS UNBOUNDED PRECEDING) AS cum
-      |  FROM t WHERE n_tokens > 0)
-      |SELECT doc_id, shard, n_tokens,
-      |  CAST(cum - n_tokens AS BIGINT) AS start_offset,
-      |  CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
-      |  CAST((cum - 1) // 256 AS BIGINT) AS seq_last
-      |FROM c
-      |ORDER BY shard, doc_id""".stripMargin
-  ) { (spark, dir) =>
+      |  FROM t WHERE n_tokens > 0),
+      |p AS (
+      |  SELECT doc_id, shard, n_tokens,
+      |    CAST(cum - n_tokens AS BIGINT) AS start_offset,
+      |    CAST((cum - n_tokens) // 256 AS BIGINT) AS seq_first,
+      |    CAST((cum - 1) // 256 AS BIGINT) AS seq_last
+      |  FROM c)""".stripMargin
+
+  /** Spark twin of [[packCtes]]' `p`: the per-document packing frame
+    * (doc_id, shard, n_tokens, start_offset, seq_first, seq_last).
+    */
+  private def packOffsets(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val t = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -484,10 +493,60 @@ object TextQueries {
         (col("cum") - col("n_tokens")).as("start_offset"),
         expr("(cum - n_tokens) div 256").as("seq_first"),
         expr("(cum - 1) div 256").as("seq_last"))
-      .orderBy(col("shard"), col("doc_id"))
+  }
+
+  val sequencePack: QuerySpec = QuerySpec.sql(
+    "q87_sequence_pack",
+    s"""WITH $packCtes
+      |SELECT doc_id, shard, n_tokens, start_offset, seq_first, seq_last
+      |FROM p
+      |ORDER BY shard, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    packOffsets(spark, dir).orderBy(col("shard"), col("doc_id"))
+  }
+
+  /** The materialization step a trainer consumes, completing q87's
+    * packing story: one row per (training sequence, document span) —
+    * which slice of each 256-token sequence comes from which document.
+    * A document straddling a boundary contributes one span per sequence
+    * it touches; within a sequence, spans tile [0, 256) exactly (only
+    * the final sequence of a shard may end short).
+    *
+    * Scale shape: a single generator (`explode(sequence(...))`) over the
+    * q87 frame — rows out ≈ total_tokens/256 + n_docs, produced in the
+    * same stage as the window projection (no extra shuffle beyond q87's
+    * shard-partitioned window; the gather that follows in a trainer is
+    * then a sequential read of each shard's spans in order).
+    */
+  val sequenceSpans: QuerySpec = QuerySpec.sql(
+    "q90_sequence_spans",
+    s"""WITH $packCtes,
+      |x AS (
+      |  SELECT doc_id, shard, start_offset, n_tokens,
+      |    unnest(generate_series(seq_first, seq_last)) AS seq_id
+      |  FROM p)
+      |SELECT shard, seq_id, doc_id,
+      |  CAST(greatest(start_offset, seq_id * 256) - seq_id * 256 AS BIGINT)
+      |    AS span_start,
+      |  CAST(least(start_offset + n_tokens, seq_id * 256 + 256)
+      |    - greatest(start_offset, seq_id * 256) AS BIGINT) AS span_len
+      |FROM x
+      |ORDER BY shard, seq_id, span_start, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val seqStart = col("seq_id") * 256
+    packOffsets(spark, dir)
+      .select(col("doc_id"), col("shard"), col("start_offset"),
+        col("n_tokens"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_id"))
+      .select(col("shard"), col("seq_id"), col("doc_id"),
+        (greatest(col("start_offset"), seqStart) - seqStart)
+          .as("span_start"),
+        (least(col("start_offset") + col("n_tokens"), seqStart + 256)
+          - greatest(col("start_offset"), seqStart)).as("span_len"))
+      .orderBy(col("shard"), col("seq_id"), col("span_start"), col("doc_id"))
   }
 
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
-      docChunks, corpusMix, repetition, sequencePack)
+      docChunks, corpusMix, repetition, sequencePack, sequenceSpans)
 }

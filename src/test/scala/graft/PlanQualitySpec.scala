@@ -151,6 +151,32 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("q84's stitched rolling window never plans an unpartitioned WindowExec") {
+    val df = SparkEntry.queries("q84_stitched_rolling")(spark, sfDir)
+    df.count() // materialize so AQE fixes the final plan
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val windows = plan.collect {
+      case w: org.apache.spark.sql.execution.window.WindowExec => w
+    }
+    assert(windows.nonEmpty, "stitched plan lost its WindowExec entirely")
+    windows.foreach(w =>
+      assert(w.partitionSpec.nonEmpty,
+        s"unpartitioned WindowExec in the q84 gate plan:\n$w"))
+  }
+
+  test("q90's span fan-out generates in the window stage (one hash exchange)") {
+    val plan = planOf("q90_sequence_spans")
+    assert(plan.contains("Generate"), plan.take(2000))
+    // the shard-partitioned window's exchange is the only hash shuffle;
+    // the explode and span arithmetic ride the same stage
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size === 1,
+      plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
