@@ -546,7 +546,46 @@ object TextQueries {
       .orderBy(col("shard"), col("seq_id"), col("span_start"), col("doc_id"))
   }
 
+  /** Temperature-based source re-weighting
+    * ([[graft.operators.TemperatureMix]]) at α = 0.5 over the `source`
+    * column, re-allocating the corpus's own token budget: the
+    * per-source mixing plan (natural vs temperature share, target
+    * tokens, epochs) an LLM pretraining loader consumes. α = 0.5 is the
+    * hash-gateable temperature (sqrt is IEEE-correctly-rounded in both
+    * engines; general pow is not), and the weight denominator is an
+    * exact decimal sum, so the whole plan is bit-reproducible.
+    */
+  val temperatureMix: QuerySpec = QuerySpec.sql(
+    "q91_temperature_mix",
+    """WITH t AS (
+      |  SELECT source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, count(*) AS n_docs,
+      |    CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+      |  FROM t GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS z
+      |  FROM per)
+      |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, n_tokens,
+      |  round(CAST(n_tokens AS DOUBLE) / total_tokens + 1e-9, 4) AS natural_share,
+      |  round(sqrt(CAST(n_tokens AS DOUBLE)) / z + 1e-9, 4) AS temp_share,
+      |  CAST(round(CAST(total_tokens AS DOUBLE) * (sqrt(CAST(n_tokens AS DOUBLE)) / z) + 1e-9, 0) AS BIGINT) AS target_tokens,
+      |  round(CAST(round(CAST(total_tokens AS DOUBLE) * (sqrt(CAST(n_tokens AS DOUBLE)) / z) + 1e-9, 0) AS BIGINT) / n_tokens + 1e-9, 4) AS epochs
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    graft.operators.TemperatureMix.plan(docs, "source", "n_tokens",
+      alpha = 0.5, budget = col("total_tokens"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
-      docChunks, corpusMix, repetition, sequencePack, sequenceSpans)
+      docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
+      temperatureMix)
 }

@@ -81,4 +81,20 @@ class IvfAnnSpec extends SparkTestBase {
       .toSet
     assert(run() === run())
   }
+
+  test("recallSweep is monotone in nProbe and exact at full probe width") {
+    val clusters = 8
+    val sweep = IvfAnn.recallSweep(corpus, "vec_id", "embedding",
+        nQueries = 10, k = 3, clusters = clusters,
+        nProbes = Seq(1, 2, 4, clusters), iters = 2)
+      .orderBy(col("n_probe"))
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    assert(sweep.map(_._1).toSeq === Seq(1, 2, 4, clusters))
+    // a wider probe budget can only add candidates — recall is monotone
+    sweep.sliding(2).foreach { case Array((p1, r1), (p2, r2)) =>
+      assert(r2 >= r1, s"recall fell from $r1 (nProbe=$p1) to $r2 (nProbe=$p2)")
+    }
+    // probing every cell IS brute force: recall must be exactly 1
+    assert(sweep.last._2 === 1.0, s"full-width recall ${sweep.last._2}")
+  }
 }

@@ -44,4 +44,29 @@ class NearestCellSpec extends SparkTestBase {
       .filter(col("c") === 7).count()
     assert(picked === 0, "tie broke toward the higher cell id")
   }
+
+  test("malformed input fails loudly instead of reading out of bounds") {
+    import spark.implicits._
+    val cents = Seq(CentroidState.Cent(1, Array(1.0f, 2.0f, 3.0f)))
+    // shorter vector than the centroid dimension
+    val short = Seq(Seq(1.0f, 2.0f)).toDF("embedding")
+    val e1 = intercept[Exception] {
+      short.select(CentroidState.nearestCell(col("embedding"), cents))
+        .collect()
+    }
+    assert(exceptionChain(e1).exists(_.getMessage != null) &&
+      exceptionChain(e1).exists(m => Option(m.getMessage)
+        .exists(_.contains("nearest_cell"))), e1.toString)
+    // null component inside the vector
+    val holed = Seq(Seq[java.lang.Float](1.0f, null, 3.0f)).toDF("embedding")
+    val e2 = intercept[Exception] {
+      holed.select(CentroidState.nearestCell(col("embedding"), cents))
+        .collect()
+    }
+    assert(exceptionChain(e2).exists(m => Option(m.getMessage)
+      .exists(_.contains("null component"))), e2.toString)
+  }
+
+  private def exceptionChain(e: Throwable): Seq[Throwable] =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10).toSeq
 }

@@ -103,6 +103,19 @@ class SketchesSpec extends SparkTestBase {
     assert(est.find(_._1 == "key_1").exists { case (_, ex, e) => e == ex })
   }
 
+  test("count-min estimate keeps duplicate input rows separate") {
+    val w = 256
+    val stream = (1 to 500).map(i => s"k${i % 11}").toDF("k")
+      .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
+    val counters = Sketches.cmsBuild(stream, "h", w)
+    // probe frame with duplicate rows: each must keep its own output row
+    val probes = Seq("k1", "k1", "k2").toDF("k")
+      .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
+    val est = Sketches.cmsEstimate(probes, "h", counters, w)
+    assert(est.count() === 3, "duplicate probe rows were merged")
+    assert(est.filter(col("k") === "k1").count() === 2)
+  }
+
   test("count-min counters are partition-invariant (mergeable sums)") {
     val hashes = (1 to 3000).map(i => s"t${i % 97}").toDF("k")
       .select(Sketches.uniformHash(col("k")).as("h"))
