@@ -177,7 +177,10 @@ object IvfAnn {
       .select(col("qid"), col("neighbor"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // one candidate join at the WIDEST sweep point; probe_rank lets every
-    // narrower nProbe reuse it as a filter instead of a fresh search
+    // narrower nProbe reuse it as a filter instead of a fresh search, and
+    // fanning the candidates out over the (tiny) sweep frame reads every
+    // sweep point through ONE top-k + one aggregation instead of a job
+    // chain per point
     val maxProbe = nProbes.max
     val probed = queries.select(col("__qid"), col("__qv"), col("__qn"),
       posexplode(CentroidState.nearestCells(col("__qv"), cents, maxProbe))
@@ -187,18 +190,21 @@ object IvfAnn {
       .filter(col("__qid") =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
       .select(col("__qid").as("qid"), (col("__pos") + 1).as("probe_rank"),
         col(idCol).as("neighbor"), cos.as("cos"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val perProbe = nProbes.map { p =>
-      Dedup.topKPerKey(cand.filter(col("probe_rank") <= p), Seq("qid"),
-          Seq(col("cos").desc, col("neighbor").asc), k)
-        .join(gt, Seq("qid", "neighbor"))
-        .agg(count(lit(1)).as("hits"))
-        .select(lit(p).as("n_probe"), col("hits"))
-    }.reduce(_ unionByName _)
-    perProbe
+    val sweepDf = corpus.sparkSession
+      .createDataFrame(nProbes.map(Tuple1(_))).toDF("n_probe")
+    val hits = Dedup.topKPerKey(
+        cand.crossJoin(broadcast(sweepDf))
+          .filter(col("probe_rank") <= col("n_probe")),
+        Seq("n_probe", "qid"), Seq(col("cos").desc, col("neighbor").asc), k)
+      .join(gt, Seq("qid", "neighbor"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+    broadcast(sweepDf) // a sweep point with zero hits must still report
+      .join(hits, Seq("n_probe"), "left")
       .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
-      .select(col("n_probe"), col("n_truth"), col("hits"),
-        round(col("hits") / col("n_truth") + lit(1e-9), 4).as("recall"))
+      .select(col("n_probe"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth") + lit(1e-9), 4)
+          .as("recall"))
       .orderBy(col("n_probe"))
   }
 }
