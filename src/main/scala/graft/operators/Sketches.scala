@@ -129,6 +129,56 @@ object Sketches {
     math.min(math.max(m, 64L), 1L << 28).toInt
   }
 
+  /** Fixed-grid histogram sketch of `valueCol` — the QUANTILE member of
+    * the portable-sketch family (KMV = distinct count, Bloom =
+    * membership, CMS = frequency): `w` equal-width buckets spanning
+    * [min, max], built in two scans (a min/max/count aggregation, then
+    * one map-side-combinable bucket count). Counter cells are plain
+    * sums, so the sketch is order- and partition-invariant, mergeable
+    * by addition (same grid), and every bucket edge is IEEE double
+    * arithmetic both engines evaluate identically. Constant-size output
+    * (≤ `w` rows) however large the input — the quantile lever when a
+    * full sort is unaffordable.
+    *
+    * The 1-row stats side rides a broadcast cross join (no shuffle of
+    * the data side) and the constants travel as grouping keys so the
+    * estimator needs no second pass over the input.
+    */
+  def histBuild(df: DataFrame, valueCol: String, w: Int): DataFrame = {
+    val stats = df.agg(min(col(valueCol)).as("vmin"),
+      max(col(valueCol)).as("vmax"),
+      count(col(valueCol)).as("n"))
+    df.crossJoin(broadcast(stats))
+      .select(least(floor((col(valueCol) - col("vmin"))
+          / ((col("vmax") - col("vmin")) / w.toDouble)), lit(w - 1))
+        .cast("int").as("bucket"),
+        col("vmin"), col("vmax"), col("n"))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"), col("n"))
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Quantile estimates off a [[histBuild]] sketch: for each `q`, the
+    * UPPER edge of the first bucket whose cumulative count reaches
+    * `q·n` — within one grid width of the true quantile by
+    * construction. The cumulative window runs over the ≤ `w`-row sketch
+    * (post-aggregation scale, the documented single-partition-window
+    * exception), never the data.
+    */
+  def histQuantiles(hist: DataFrame, w: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.orderBy(col("bucket"))))
+    val qsDf = hist.sparkSession.createDataFrame(qs.map(Tuple1(_)))
+      .toDF("q")
+    cum.crossJoin(broadcast(qsDf))
+      .filter(col("c") >= col("q") * col("n"))
+      .groupBy(col("q"), col("vmin"), col("vmax"), col("n"))
+      .agg(min(col("bucket")).as("b"))
+      .select(col("q"), col("n"),
+        (col("vmin") + (col("b") + 1)
+          * ((col("vmax") - col("vmin")) / w.toDouble)).as("est"))
+  }
+
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
     * filter (double hashing; every op stays far from BIGINT overflow).
     */

@@ -221,5 +221,78 @@ object SketchQueries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
-  val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK)
+  private val HistW = 1024
+  private val HistQs = Seq(0.5, 0.9, 0.99)
+
+  /** Histogram quantile sketch ([[Sketches.histBuild]]) — the QUANTILE
+    * member completing the portable-sketch family: two scans build a
+    * constant ≤1024-cell grid over `l_extendedprice`, and each
+    * requested quantile reads off the grid's cumulative counts (error ≤
+    * one grid width, n-independent). The report carries the exact
+    * interpolated percentile computed alongside — at 100 TB the exact
+    * side's full sort is what you could NOT afford; the sketch is two
+    * map-side-combinable aggregations. `err` is signed (the estimate
+    * sits at its bucket's upper edge; the exact interpolation can land
+    * a hair past it when the interpolation straddles a grid line).
+    */
+  val histQuantile: QuerySpec = QuerySpec.sql(
+    "q92_hist_quantiles",
+    s"""WITH st AS (
+      |  SELECT min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax,
+      |         CAST(count(l_extendedprice) AS BIGINT) AS n
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT CAST(least(floor((l_extendedprice - vmin)
+      |           / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT) AS bucket,
+      |         vmin, vmax, n
+      |  FROM lineitem CROSS JOIN st),
+      |hist AS (
+      |  SELECT bucket, vmin, vmax, n, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3, 4),
+      |cum AS (
+      |  SELECT bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+      |  FROM hist),
+      |qs(q) AS (VALUES ${HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+      |sel AS (
+      |  SELECT q, vmin, vmax, n, min(bucket) AS b
+      |  FROM cum CROSS JOIN qs
+      |  WHERE c >= q * n
+      |  GROUP BY 1, 2, 3, 4),
+      |ex AS (
+      |  ${HistQs.map(q =>
+            s"SELECT CAST($q AS DOUBLE) AS q, " +
+            s"quantile_cont(l_extendedprice, $q) AS exact FROM lineitem")
+          .mkString("\n      |  UNION ALL ")})
+      |SELECT s.q, s.n AS n_rows,
+      |  round(s.vmin + (s.b + 1) * ((s.vmax - s.vmin) / $HistW.0) + 1e-9, 4)
+      |    AS est,
+      |  round(e.exact + 1e-9, 4) AS exact,
+      |  round(s.vmin + (s.b + 1) * ((s.vmax - s.vmin) / $HistW.0)
+      |    - e.exact + 1e-9, 4) AS err
+      |FROM sel s JOIN ex e USING (q)
+      |ORDER BY s.q""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    val hist = Sketches.histBuild(li, "l_extendedprice", HistW)
+    val est = Sketches.histQuantiles(hist, HistW, HistQs)
+    // exact interpolated percentiles in ONE aggregation (array form),
+    // re-keyed by q through the same literal list the sketch sweep uses
+    val qsIdx = spark.createDataFrame(
+      HistQs.zipWithIndex.map { case (q, i) => (i, q) }).toDF("__i", "q")
+    val exact = li
+      .agg(expr(s"percentile(l_extendedprice, array(${HistQs.mkString(", ")}))")
+        .as("ex"))
+      .select(posexplode(col("ex")).as(Seq("__i", "exact")))
+      .join(broadcast(qsIdx), "__i")
+    est.join(exact, "q")
+      .select(col("q"), col("n").as("n_rows"),
+        round(col("est") + lit(1e-9), 4).as("est"),
+        round(col("exact") + lit(1e-9), 4).as("exact"),
+        round(col("est") - col("exact") + lit(1e-9), 4).as("err"))
+      .orderBy(col("q"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
+    histQuantile)
 }

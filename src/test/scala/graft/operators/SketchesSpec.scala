@@ -125,6 +125,32 @@ class SketchesSpec extends SparkTestBase {
     assert(run(1) == run(13))
   }
 
+  test("histogram quantile estimate stays within one grid width of exact") {
+    val w = 256
+    // deterministic skewed values (quadratic spread, no rand())
+    val df = (1 to 20000).map(i => (i.toLong * i) / 1000.0).toDF("v")
+    val qs = Seq(0.5, 0.9, 0.99)
+    val est = Sketches.histQuantiles(Sketches.histBuild(df, "v", w), w, qs)
+      .select(col("q"), col("est")).as[(Double, Double)].collect().toMap
+    val gridWidth = (20000.0 * 20000 / 1000.0 - 1.0 / 1000.0) / w
+    val exact = df.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+      .as[Seq[Double]].head()
+    qs.zip(exact).foreach { case (q, ex) =>
+      val e = est(q)
+      assert(e >= ex - gridWidth && e <= ex + gridWidth,
+        s"q=$q est=$e exact=$ex width=$gridWidth")
+    }
+  }
+
+  test("histogram sketch is partition-invariant (mergeable bucket sums)") {
+    val data = (1 to 5000).map(i => math.sqrt(i.toDouble) * 3.7)
+    def run(parts: Int) =
+      Sketches.histBuild(data.toDF("v").repartition(parts), "v", 128)
+        .select(col("bucket"), col("cnt"))
+        .orderBy(col("bucket")).as[(Int, Long)].collect().toSeq
+    assert(run(1) == run(17))
+  }
+
   test("bloom bit words are identical regardless of input partitioning") {
     val hs = (1 to 2000).map(i => s"x$i").toDF("s")
       .select(graft.functions.Text.charHash(col("s")).as("h"))
