@@ -51,7 +51,13 @@ object Optimize {
     * grid (clamped), for [[zvalue]]. Domain bounds are caller-declared
     * (lat ∈ [-90, 90], lon ∈ [-180, 180], …) — no stats pass needed.
     */
-  private def quantize(c: org.apache.spark.sql.Column, lo: Double,
+  /** Clamped fixed-grid quantization of a bounded numeric column to
+    * `bits` bits — the per-dimension half of [[zvalue]], public so span
+    * reports (q93) can measure layouts on the same grid the z-value
+    * interleaves. Truncating long cast; inputs below `lo` / above `hi`
+    * clamp to the grid edges.
+    */
+  def quantize(c: org.apache.spark.sql.Column, lo: Double,
       hi: Double, bits: Int): org.apache.spark.sql.Column = {
     val max = (1L << bits) - 1
     org.apache.spark.sql.functions.least(

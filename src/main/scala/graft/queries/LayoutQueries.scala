@@ -1,0 +1,107 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.QuerySpec
+import graft.layout.Optimize
+import graft.sources.Tables
+
+/** Data-layout instrumentation for the clustering tier
+  * ([[graft.layout.Optimize]] — the reference's `OPTIMIZE … ZORDER BY`
+  * analog, `TABLE OPTIMIZATION.py:60-63`): the z-order effect measured
+  * as a number, oracle-checked. `ZOrderSpec` proves file-skipping on
+  * real written files; this query makes the same claim replayable by
+  * the gate without touching disk.
+  */
+object LayoutQueries {
+
+  private val Bits = 8          // 8-bit grid per dimension
+  private val Files = 64        // 2^6 files per layout
+  // fixed generous domain bounds — layout config, like clusterZ's args;
+  // quantize clamps anything outside
+  private val ALo = 0.0
+  private val AHi = 2048.0 // user_id
+  private val BLo = 0.0
+  private val BHi = 1024.0 // value
+
+  // the LSB-first interleave (out[2i]=a[i], out[2i+1]=b[i]) of
+  // expressions/ZOrder.scala, unrolled as oracle SQL — disjoint bits,
+  // so + is |
+  private val zSql: String = (0 until Bits)
+    .map(i => s"(((qa >> $i) & 1) << ${2 * i}) + (((qb >> $i) & 1) << ${2 * i + 1})")
+    .mkString("\n      |    + ")
+
+  private def quantSql(e: String, lo: Double, hi: Double): String =
+    s"CAST(floor(least(greatest(($e - $lo) / ${hi - lo} * ${(1 << Bits) - 1}, " +
+      s"0.0), ${((1 << Bits) - 1).toDouble})) AS BIGINT)"
+
+  /** Per-file dimension spans under z-order vs lexicographic layout:
+    * 64 z-range files bound BOTH quantized dimensions (each file covers
+    * a small rectangle), while the lexicographic layout bounds only its
+    * leading column and spans the full range of the other — so
+    * predicates on the second column prune nothing. File assignment is
+    * a pure projection (top bits of the key — no global sort, no
+    * window), so the measurement itself is 100 TB-shaped: two map-side
+    * aggregations over one scan each.
+    */
+  val zorderSpans: QuerySpec = QuerySpec.sql(
+    "q93_zorder_spans",
+    s"""WITH e AS (
+      |  SELECT ${quantSql("user_id", ALo, AHi)} AS qa,
+      |         ${quantSql("value", BLo, BHi)} AS qb
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |z AS (
+      |  SELECT qa, qb,
+      |    $zSql AS z
+      |  FROM e),
+      |zf AS (SELECT qa, qb, z >> ${2 * Bits - 6} AS file FROM z),
+      |lf AS (SELECT qa, qb, qa >> ${Bits - 6} AS file FROM e),
+      |za AS (
+      |  SELECT file, count(*) AS n,
+      |    max(qa) - min(qa) AS sa, max(qb) - min(qb) AS sb
+      |  FROM zf GROUP BY file),
+      |la AS (
+      |  SELECT file, count(*) AS n,
+      |    max(qa) - min(qa) AS sa, max(qb) - min(qb) AS sb
+      |  FROM lf GROUP BY file)
+      |SELECT 'lex_user' AS strategy, CAST(count(*) AS BIGINT) AS n_files,
+      |  round(avg(n) + 1e-9, 4) AS avg_rows,
+      |  round(avg(sa) + 1e-9, 4) AS avg_qa_span,
+      |  round(avg(sb) + 1e-9, 4) AS avg_qb_span
+      |FROM la
+      |UNION ALL
+      |SELECT 'zorder' AS strategy, CAST(count(*) AS BIGINT) AS n_files,
+      |  round(avg(n) + 1e-9, 4) AS avg_rows,
+      |  round(avg(sa) + 1e-9, 4) AS avg_qa_span,
+      |  round(avg(sb) + 1e-9, 4) AS avg_qb_span
+      |FROM za
+      |ORDER BY strategy""".stripMargin
+  ) { (spark, dir) =>
+    val base = Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("value").isNotNull)
+      .select(
+        Optimize.quantize(col("user_id"), ALo, AHi, Bits).as("qa"),
+        Optimize.quantize(col("value"), BLo, BHi, Bits).as("qb"),
+        Optimize.zvalue((col("user_id"), ALo, AHi),
+          (col("value"), BLo, BHi), Bits).as("z"))
+    def layout(name: String, fileCol: Column): DataFrame =
+      base.withColumn("file", fileCol)
+        .groupBy(col("file"))
+        .agg(count(lit(1)).as("n"),
+          (max(col("qa")) - min(col("qa"))).as("sa"),
+          (max(col("qb")) - min(col("qb"))).as("sb"))
+        .agg(count(lit(1)).as("n_files"),
+          round(avg(col("n")) + lit(1e-9), 4).as("avg_rows"),
+          round(avg(col("sa")) + lit(1e-9), 4).as("avg_qa_span"),
+          round(avg(col("sb")) + lit(1e-9), 4).as("avg_qb_span"))
+        .select(lit(name).as("strategy"), col("n_files"), col("avg_rows"),
+          col("avg_qa_span"), col("avg_qb_span"))
+    layout("lex_user", shiftright(col("qa"), Bits - 6))
+      .unionByName(layout("zorder", shiftright(col("z"), 2 * Bits - 6)))
+      .orderBy(col("strategy"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(zorderSpans)
+}
