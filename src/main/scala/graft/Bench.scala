@@ -5,11 +5,16 @@ object Bench {
     val spark = Sessions.local("graft-bench")
     // The harness keeps only a bounded tail of this process's output; the
     // streaming queries emit known-benign WARNs (AQE disabled in stateful
-    // workloads, temp checkpoint location) on every micro-batch that would
-    // crowd real anomalies out of that tail. Silence exactly those two
-    // loggers — everything else still reports at WARN.
+    // workloads, temp checkpoint location) on every micro-batch, and the
+    // documented post-aggregation tiny-frame windows (≤ ~1k rows: q44,
+    // q54, q92's ≤1024-cell sketch cumsum) each emit the unpartitioned-
+    // window warning — both classes would crowd real anomalies out of the
+    // tail. Silence exactly those loggers; `PlanQualitySpec`'s pins and
+    // `StitchedWindowSpec` guard against a REAL data-sized unpartitioned
+    // window appearing. Everything else still reports at WARN.
     Seq("org.apache.spark.sql.execution.streaming.runtime.MicroBatchExecution",
-        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream")
+        "org.apache.spark.sql.execution.streaming.runtime.ResolveWriteToStream",
+        "org.apache.spark.sql.execution.window.WindowExec")
       .foreach(n => org.apache.logging.log4j.core.config.Configurator
         .setLevel(n, org.apache.logging.log4j.Level.ERROR))
     // JIT/codegen warmup outside any measured window, then run queries in
