@@ -97,5 +97,86 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("session_start"))
   }
 
-  val all: Seq[QuerySpec] = Seq(streamWindowCounts, sessionWindow)
+  /** Custom streaming STATE surfaced into the oracle gate:
+    * [[graft.streaming.Sessionize]]'s `flatMapGroupsWithState`
+    * sessionization runs as a real stream (file source, AvailableNow,
+    * append memory sink) and hash-compares against a batch oracle.
+    * Streaming semantics are part of the contract the oracle encodes:
+    *
+    *  - each user's LAST session stays OPEN in state (nothing after it
+    *    can close it), so the oracle emits every session except the
+    *    per-user max island;
+    *  - the delay threshold is set far past the fixture horizon so no
+    *    event-time timeout fires — output is micro-batch-count
+    *    invariant (sessions close only when a later event proves the
+    *    gap elapsed);
+    *  - Sessionize merges INCLUSIVELY (`t ≤ last + gap`, vs the native
+    *    `session_window`'s strict `<`, pinned by q76) and computes in
+    *    epoch MILLIS (`Timestamp.getTime` floors away the micros), so
+    *    the oracle islands on `epoch_ms` diffs and rebuilds ms-precision
+    *    timestamps.
+    *
+    * Float-free output (ids, timestamps, counts): state-order effects
+    * cannot surface as last-ulp noise.
+    */
+  val streamSessions: QuerySpec = QuerySpec.sql(
+    "q94_stream_sessions",
+    """WITH e AS (
+      |  SELECT user_id, epoch_ms(ts) AS tms
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL),
+      |d AS (
+      |  SELECT user_id, tms,
+      |    CASE WHEN tms - lag(tms) OVER (PARTITION BY user_id ORDER BY tms)
+      |              <= 1800000
+      |         THEN 0 ELSE 1 END AS brk
+      |  FROM e),
+      |s AS (
+      |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY tms
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sid
+      |  FROM d),
+      |g AS (
+      |  SELECT user_id, sid,
+      |    make_timestamp(min(tms) * 1000) AS start_ts,
+      |    make_timestamp(max(tms) * 1000) AS end_ts,
+      |    CAST(count(*) AS BIGINT) AS n_events
+      |  FROM s GROUP BY user_id, sid)
+      |SELECT user_id, start_ts, end_ts, n_events
+      |FROM (SELECT *, max(sid) OVER (PARTITION BY user_id) AS last_sid
+      |      FROM g)
+      |WHERE sid < last_sid
+      |ORDER BY user_id, start_ts""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val sessions = graft.streaming.Sessionize.sessionize(
+      ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+        .select(col("user_id"), col("ts"),
+          coalesce(col("value"), lit(0.0)).as("value"))
+        .as[graft.streaming.Sessionize.SessionEvent],
+      gapSeconds = 1800,
+      // park the watermark far before the fixture: no timeout may fire,
+      // so emissions are exactly the later-event-closed sessions
+      delayThreshold = "3650 days")
+    val sink = "q94_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val query = sessions.toDF()
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    query.awaitTermination()
+    spark.table(sink)
+      .select(col("user_id"), col("start_ts"), col("end_ts"),
+        col("n_events"))
+      .orderBy(col("user_id"), col("start_ts"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(streamWindowCounts, sessionWindow,
+    streamSessions)
 }
