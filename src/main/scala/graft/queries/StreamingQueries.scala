@@ -177,6 +177,76 @@ object StreamingQueries {
       .orderBy(col("user_id"), col("start_ts"))
   }
 
+  /** `transformWithState` arbitrary state surfaced into the oracle gate:
+    * [[graft.streaming.ClickFunnel]]'s clicks-since-last-purchase
+    * measure (per-key `ValueState` in RocksDB, reset on EMISSION — no
+    * windowed aggregate expresses it) streamed over the events fixture
+    * and hash-compared against a batch rebuild. The oracle assigns each
+    * event to its funnel group (`#purchases strictly before it` per
+    * user, ordered by `(ts, event_id-as-string)` — exactly the
+    * processor's in-batch sort), counts the clicks per group, and
+    * emits the group's purchase; trailing clicks with no purchase stay
+    * in open state, so groups without one are dropped. Float-free
+    * output; the per-user last-open-state rule mirrors q94's.
+    */
+  val streamFunnel: QuerySpec = QuerySpec.sql(
+    "q95_stream_funnel",
+    """WITH e AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS uid,
+      |         CAST(event_id AS VARCHAR) AS eid, ts, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND ts IS NOT NULL
+      |    AND event_type IN ('click', 'purchase')),
+      |s AS (
+      |  SELECT *, CAST(coalesce(count(CASE WHEN event_type = 'purchase'
+      |        THEN 1 END) OVER (PARTITION BY uid ORDER BY ts, eid
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS grp
+      |  FROM e),
+      |g AS (
+      |  SELECT uid, grp,
+      |    max(CASE WHEN event_type = 'purchase' THEN eid END) AS purchase_id,
+      |    max(CASE WHEN event_type = 'purchase' THEN ts END) AS pts,
+      |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS clicks_before
+      |  FROM s GROUP BY uid, grp)
+      |SELECT uid AS user_id, purchase_id, pts AS ts, clicks_before
+      |FROM g WHERE purchase_id IS NOT NULL
+      |ORDER BY user_id, ts, purchase_id""".stripMargin
+  ) { (spark, dir) =>
+    val schema = spark.read.parquet(s"$dir/events.parquet").schema
+    val raw = spark.readStream.schema(schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+    val ev =
+      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
+        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      else raw
+    val ProviderKey = "spark.sql.streaming.stateStore.providerClass"
+    val saved = spark.conf.getOption(ProviderKey)
+    spark.conf.set(ProviderKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val sink = "q95_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
+      val query = graft.streaming.ClickFunnel(
+          ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+            .filter(col("event_type").isin("click", "purchase")))
+        .toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+      spark.table(sink)
+        .select(col("user_id"), col("purchase_id"), col("ts"),
+          col("clicks_before"))
+        .orderBy(col("user_id"), col("ts"), col("purchase_id"))
+    } finally saved match {
+      case Some(v) => spark.conf.set(ProviderKey, v)
+      case None => spark.conf.unset(ProviderKey)
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(streamWindowCounts, sessionWindow,
-    streamSessions)
+    streamSessions, streamFunnel)
 }
