@@ -103,5 +103,57 @@ object LayoutQueries {
       .orderBy(col("strategy"))
   }
 
-  val all: Seq[QuerySpec] = Seq(zorderSpans)
+  /** Time travel / change-data-feed through REAL versioned writes
+    * ([[graft.sources.Snapshots]] — the Delta `VERSION AS OF` /
+    * `table_changes` analog, previously spec-only): commit a
+    * deterministic orders subset as v0, commit the next batch (deletes
+    * + in-place price updates) as v1, and read `diff(v0, v1)` back off
+    * disk. The oracle never sees the snapshot directory — it recomputes
+    * both versions from `orders` and replays the diff as `EXCEPT ALL`
+    * both ways, so the gate proves write → pointer-swap → time-travel
+    * read → row-level diff end-to-end. An update surfaces as its
+    * delete+insert pair (the MERGE-over-snapshots semantics).
+    */
+  val timeTravelCdf: QuerySpec = QuerySpec.sql(
+    "q96_time_travel_cdf",
+    """WITH v0 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+      |  FROM orders WHERE o_orderkey % 7 = 0),
+      |v1 AS (
+      |  SELECT o_orderkey, o_custkey, o_orderstatus,
+      |    CASE WHEN o_orderkey % 14 = 0
+      |         THEN round(o_totalprice * 1.1 + 1e-9, 2)
+      |         ELSE o_totalprice END AS o_totalprice
+      |  FROM orders
+      |  WHERE o_orderkey % 7 = 0
+      |    AND NOT (o_orderstatus = 'F' AND o_orderkey % 21 = 0))
+      |SELECT *, 'insert' AS _change_type FROM (
+      |  SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+      |UNION ALL
+      |SELECT *, 'delete' AS _change_type FROM (
+      |  SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+      |ORDER BY _change_type, o_orderkey""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Snapshots
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+        col("o_totalprice"))
+    val v0df = orders.filter(col("o_orderkey") % 7 === 0)
+    val v1df = v0df
+      .filter(!(col("o_orderstatus") === "F" && col("o_orderkey") % 21 === 0))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 14 === 0,
+          round(col("o_totalprice") * 1.1 + lit(1e-9), 2))
+          .otherwise(col("o_totalprice")))
+    // a fresh single-writer table per run; snapshots are immutable, the
+    // sandbox's tmp dir is the lifetime owner
+    val table = java.nio.file.Files
+      .createTempDirectory("graft_q96_").toString
+    val v0 = Snapshots.write(v0df, table)
+    val v1 = Snapshots.write(v1df, table)
+    Snapshots.diff(spark, table, v0, v1)
+      .orderBy(col("_change_type"), col("o_orderkey"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(zorderSpans, timeTravelCdf)
 }
