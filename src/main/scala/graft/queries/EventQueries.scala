@@ -446,8 +446,68 @@ object EventQueries {
       .orderBy(col("user_id"))
   }
 
+  /** The watermark CDC LOOP itself, gate-checked through REAL state
+    * ([[graft.state.WatermarkStore]] — §2j init/read/advance, previously
+    * spec-only): three incremental pulls against a fresh store, each
+    * reading `ts > stored watermark` up to its cutoff, then advancing
+    * the persisted watermark and accumulating `records_processed`. The
+    * oracle recomputes every pull's watermark and counts directly from
+    * `events`, so the gate proves seed-default → incremental scan →
+    * advance → accumulate end-to-end: batches chain exactly-once (each
+    * row is processed by exactly one pull; totals telescope to the full
+    * table). Driver-side loop over a 3-element cutoff list — the state
+    * is one row, the scans are the distributed work, exactly the
+    * reference's control-table shape.
+    */
+  val watermarkCdc: QuerySpec = QuerySpec.sql(
+    "q97_watermark_cdc",
+    """WITH c(pull, cutoff) AS (VALUES
+      |  (1, TIMESTAMP '2024-01-11 00:00:00'),
+      |  (2, TIMESTAMP '2024-01-21 00:00:00'),
+      |  (3, TIMESTAMP '2024-02-01 00:00:00')),
+      |b AS (
+      |  SELECT c.pull, max(e.ts) AS watermark_ts, count(e.ts) AS cum
+      |  FROM c LEFT JOIN events e
+      |    ON e.ts <= c.cutoff AND e.ts > TIMESTAMP '2023-12-31 00:00:00'
+      |  GROUP BY c.pull)
+      |SELECT pull, watermark_ts,
+      |  CAST(cum - coalesce(lag(cum) OVER (ORDER BY pull), 0) AS BIGINT)
+      |    AS n_batch,
+      |  CAST(cum AS BIGINT) AS total_processed
+      |FROM b ORDER BY pull""".stripMargin
+  ) { (spark, dir) =>
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val store = new graft.state.WatermarkStore(spark,
+      java.nio.file.Files.createTempDirectory("graft_q97_").toString + "/wm")
+    def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
+    val default = ts("2023-12-31T00:00:00Z")
+    val events = Tables.load(spark, dir, "events")
+    val rows = Seq("2024-01-11T00:00:00Z", "2024-01-21T00:00:00Z",
+      "2024-02-01T00:00:00Z").map(ts).zipWithIndex.map { case (cut, i) =>
+      val wm = store.read("events", default)
+      val agg = events.filter(col("ts") > wm && col("ts") <= cut)
+        .agg(max(col("ts")).as("m"), count(col("ts")).as("n"))
+        .collect().head
+      val n = agg.getLong(1)
+      val newWm = if (agg.isNullAt(0)) wm else agg.getTimestamp(0)
+      store.advance("events", "ts", newWm, n)
+      val total = store.all().filter(col("table_name") === "events")
+        .select("records_processed").collect().head.getLong(0)
+      Row(i + 1, newWm, n, total)
+    }
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*),
+      StructType(Seq(
+        StructField("pull", IntegerType, nullable = false),
+        StructField("watermark_ts", TimestampType, nullable = false),
+        StructField("n_batch", LongType, nullable = false),
+        StructField("total_processed", LongType, nullable = false))))
+      .orderBy(col("pull"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
     typeDistribution, typePivot, splitAssign, dqUnpivot, mergeTombstones,
-    incrementalGold, typeSets)
+    incrementalGold, typeSets, watermarkCdc)
 }
