@@ -506,8 +506,83 @@ object EventQueries {
       .orderBy(col("pull"))
   }
 
+  /** GeoJSON FeatureCollection flattening gate (§2a S2, previously
+    * spec-only): deterministic FeatureCollection JSON documents are
+    * BUILT from events in-query (one per user bucket, features carrying
+    * id/time/mag/coordinates/... derived by exact integer arithmetic),
+    * round-tripped through `to_json` → `from_json(
+    * [[graft.sources.GeoJsonSource.featureCollectionSchema]])`, and
+    * flattened by [[graft.sources.GeoJsonSource.flatten]] — the same
+    * explode + nested projection + `timestamp_millis` + null-time drop
+    * the real feed takes. The oracle computes the flat rows directly
+    * from events: JSON round-trip of doubles is exact (shortest-repr
+    * serialization), nulls are omitted-then-reparsed, and the feature
+    * order inside a collection is irrelevant after the explode + total
+    * ORDER BY. Collection assembly is one groupBy; the parse/flatten is
+    * per-row executor work — the 100 TB shape of the ingestion path.
+    */
+  val geojsonRoundtrip: QuerySpec = QuerySpec.sql(
+    "q98_geojson_flatten",
+    """SELECT CAST(event_id AS VARCHAR) AS event_id,
+      |  make_timestamp(epoch_ms(ts) * 1000) AS time,
+      |  CAST(user_id % 180 - 90 AS DOUBLE) + 0.25 AS latitude,
+      |  CAST(user_id % 360 - 180 AS DOUBLE) + 0.5 AS longitude,
+      |  CAST(event_id % 700 AS DOUBLE) AS depth,
+      |  value AS mag,
+      |  event_type AS mag_type,
+      |  CAST(user_id AS INT) AS nst,
+      |  CAST(NULL AS DOUBLE) AS gap,
+      |  CAST(NULL AS DOUBLE) AS dmin,
+      |  CAST(NULL AS DOUBLE) AS rms,
+      |  'gr' AS net,
+      |  CAST(user_id % 10 AS VARCHAR) AS place,
+      |  'earthquake' AS type,
+      |  'automatic' AS status,
+      |  CAST(NULL AS DOUBLE) AS horizontal_error,
+      |  CAST(NULL AS DOUBLE) AS depth_error,
+      |  CAST(NULL AS DOUBLE) AS mag_error
+      |FROM events WHERE ts IS NOT NULL
+      |ORDER BY event_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.GeoJsonSource
+    val feature = struct(
+      col("event_id").cast("string").as("id"),
+      struct(
+        unix_millis(col("ts")).as("time"),
+        col("value").as("mag"),
+        col("event_type").as("magType"),
+        col("user_id").as("nst"),
+        lit(null).cast("double").as("gap"),
+        lit(null).cast("double").as("dmin"),
+        lit(null).cast("double").as("rms"),
+        lit("gr").as("net"),
+        (col("user_id") % 10).cast("string").as("place"),
+        lit("earthquake").as("type"),
+        lit("automatic").as("status"),
+        lit(null).cast("double").as("horizontalError"),
+        lit(null).cast("double").as("depthError"),
+        lit(null).cast("double").as("magError")).as("properties"),
+      struct(
+        lit("Point").as("type"),
+        array(
+          (col("user_id") % 360 - 180).cast("double") + lit(0.5),
+          (col("user_id") % 180 - 90).cast("double") + lit(0.25),
+          (col("event_id") % 700).cast("double")).as("coordinates"))
+        .as("geometry"))
+    val docs = Tables.load(spark, dir, "events")
+      .select((col("user_id") % 7).as("bucket"), feature.as("f"))
+      .groupBy(col("bucket"))
+      .agg(collect_list(col("f")).as("features"))
+      .select(to_json(struct(col("features"))).as("doc"))
+    val parsed = docs
+      .select(from_json(col("doc"),
+        GeoJsonSource.featureCollectionSchema).as("fc"))
+      .select(col("fc.features").as("features"))
+    GeoJsonSource.flatten(parsed).orderBy(col("event_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     dqReport, dedupLatest, watermarkScan, bandEnrich, mergeUpsert,
     typeDistribution, typePivot, splitAssign, dqUnpivot, mergeTombstones,
-    incrementalGold, typeSets, watermarkCdc)
+    incrementalGold, typeSets, watermarkCdc, geojsonRoundtrip)
 }
