@@ -155,5 +155,47 @@ object LayoutQueries {
       .orderBy(col("_change_type"), col("o_orderkey"))
   }
 
-  val all: Seq[QuerySpec] = Seq(zorderSpans, timeTravelCdf)
+  /** ORC source/sink gate (previously spec-only): a deterministic
+    * lineitem subset is written as REAL ORC files and read back, and
+    * the verification aggregate runs over the read-back frame — any
+    * roundtrip corruption across the exercised types (long, string,
+    * double, date) breaks the hash. The oracle computes the same
+    * aggregate straight from `lineitem`; at scale the interesting part
+    * is that the ORC scan takes the same pushdown/pruning path as
+    * parquet (`OrcRoundtripSpec` pins the PushedFilters), so a user can
+    * point the engine at either format.
+    */
+  val orcRoundtrip: QuerySpec = QuerySpec.sql(
+    "q99_orc_roundtrip",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(l_quantity AS DECIMAL(28,10))) AS DOUBLE)
+      |    + 1e-9, 2) AS sum_qty,
+      |  min(l_shipdate) AS first_ship,
+      |  max(l_shipdate) AS last_ship,
+      |  CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+      |FROM lineitem
+      |WHERE l_orderkey % 11 = 0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    val subset = Tables.load(spark, dir, "lineitem")
+      .filter(col("l_orderkey") % 11 === 0)
+      .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
+        col("l_shipdate"))
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q99_").toString + "/li_orc"
+    subset.write.mode("overwrite").orc(path)
+    spark.read.orc(path)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Stable.sumD(col("l_quantity")) + lit(1e-9), 2)
+          .as("sum_qty"),
+        min(col("l_shipdate")).as("first_ship"),
+        max(col("l_shipdate")).as("last_ship"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(zorderSpans, timeTravelCdf, orcRoundtrip)
 }
