@@ -196,10 +196,14 @@ object IvfAnn {
         cand.crossJoin(broadcast(sweepDf))
           .filter(col("probe_rank") <= col("n_probe")),
         Seq("n_probe", "qid"), Seq(col("cos").desc, col("neighbor").asc), k)
-      .join(gt, Seq("qid", "neighbor"))
+      .join(broadcast(gt), Seq("qid", "neighbor"))
       .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
-    broadcast(sweepDf) // a sweep point with zero hits must still report
-      .join(hits, Seq("n_probe"), "left")
+    // hits is ≤ |nProbes| rows — broadcast it as the BUILD side (a left
+    // outer join can only build right, so hinting the sweep side would
+    // silently fall back to a sort-merge join); a sweep point with zero
+    // hits must still report
+    sweepDf
+      .join(broadcast(hits), Seq("n_probe"), "left")
       .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
       .select(col("n_probe"), col("n_truth"),
         coalesce(col("hits"), lit(0L)).as("hits"),

@@ -46,9 +46,13 @@ object TemperatureMix {
     */
   def plan(docs: DataFrame, sourceCol: String, tokenCol: String,
       alpha: Double, budget: Column): DataFrame = {
+    // the per-source frame feeds both the output rows and the totals —
+    // persist it (tens of rows) so the corpus-sized input is scanned and
+    // aggregated ONCE, not once per consumer
     val per = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tot = per.agg(
       sum(col("n_tokens")).as("total_tokens"),
       Stable.sumD(weight(col("n_tokens"), alpha)).as("z"))

@@ -177,6 +177,30 @@ class PlanQualitySpec extends SparkTestBase {
       plan.take(2000))
   }
 
+  test("q89's sweep rides the NearestCell kernel and broadcasts, never sort-merges") {
+    val plan = planOf("q89_ivf_recall")
+    try {
+      assert(plan.contains("nearest_cell"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+      assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
+  test("q93's layout report is join-free (pure projections + aggregations)") {
+    val plan = planOf("q93_zorder_spans")
+    assert(!plan.contains("Join"), plan.take(2000))
+  }
+
+  test("q91's mixing plan scans/aggregates the corpus once (persist reuse)") {
+    val plan = planOf("q91_temperature_mix")
+    // the per-source frame is cached: output rows and the totals both
+    // read the cache instead of re-tokenizing the corpus
+    try {
+      assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+      assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    } finally spark.catalog.clearCache()
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
