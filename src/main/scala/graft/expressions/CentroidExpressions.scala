@@ -46,6 +46,10 @@ case class NearestCell(child: Expression, cells: Array[Int],
 
   require(cells.nonEmpty && cells.length == cvecs.length &&
     cells.length == cnorm2.length, "malformed centroid table")
+  // equal-length centroids let the kernel validate the input vector ONCE
+  // per row instead of once per (cell × component) in the scoring loop
+  require(cvecs.forall(_.length == cvecs(0).length),
+    "centroid vectors must share one dimensionality")
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
@@ -73,20 +77,27 @@ case class NearestCell(child: Expression, cells: Array[Int],
 object NearestCell {
   def compute(v: ArrayData, cells: Array[Int], cvecs: Array[Array[Float]],
       cnorm2: Array[Double]): Int = {
-    val n = v.numElements()
+    // validate ONCE per row (the constructor requires equal-length
+    // centroids), keeping the per-cell scoring loop to multiply-adds
+    val dim = cvecs(0).length
+    if (v.numElements() < dim) throw new IllegalArgumentException(
+      s"nearest_cell: input vector has ${v.numElements()} components, " +
+        s"centroid has $dim")
+    var j0 = 0
+    while (j0 < dim) {
+      if (v.isNullAt(j0)) throw new IllegalArgumentException(
+        s"nearest_cell: null component at index $j0")
+      j0 += 1
+    }
     var best = 0.0
     var bestCell = 0
     var first = true
     var i = 0
     while (i < cells.length) {
       val c = cvecs(i)
-      if (n < c.length) throw new IllegalArgumentException(
-        s"nearest_cell: input vector has $n components, centroid has ${c.length}")
       var dot = 0.0
       var j = 0
       while (j < c.length) {
-        if (v.isNullAt(j)) throw new IllegalArgumentException(
-          s"nearest_cell: null component at index $j")
         dot += v.getFloat(j).toDouble * c(j).toDouble
         j += 1
       }

@@ -43,13 +43,19 @@ object IvfAnn {
     * broadcasts and the corpus never shuffles (the plan the gate pins);
     * above it the search degrades to a plain shuffle join — slower, but
     * it completes instead of OOMing the executors on a broadcast that
-    * was never going to fit. 2^20 probe rows × (vector + ADC table)
-    * payload is comfortably inside a default broadcast budget.
+    * was never going to fit. The bound is in BYTES, not rows, because
+    * per-row payloads differ by orders of magnitude between callers
+    * (IvfAnn carries one `dim`-float vector per probe row; IvfPq
+    * carries a full `m × codes`-double ADC table) — callers pass their
+    * estimated row width and the guard compares against a conservative
+    * slice of the default broadcast budget.
     */
-  private[operators] val MaxBroadcastProbeRows: Long = 1L << 20
+  private[operators] val MaxBroadcastProbeBytes: Long = 256L << 20
 
-  private[operators] def probeSide(probed: DataFrame, probeRows: Long): DataFrame =
-    if (probeRows <= MaxBroadcastProbeRows) broadcast(probed) else probed
+  private[operators] def probeSide(probed: DataFrame, probeRows: Long,
+      bytesPerRow: Long): DataFrame =
+    if (probeRows * bytesPerRow <= MaxBroadcastProbeBytes) broadcast(probed)
+    else probed
 
   /** Train the coarse quantizer driver-side: deterministic lowest-id
     * seeds, then `iters` Lloyd passes of one corpus scan each.
@@ -132,7 +138,9 @@ object IvfAnn {
     // within the probe-row bound the probe side broadcasts and the
     // corpus never shuffles: candidate generation is a map-side hash
     // join on cell; an oversized query batch degrades to a shuffle join
-    val scored = probeSide(probed, qcached.count() * nProbe)
+    // per probe row: the query vector (dim floats) + norm + ids
+    val scored = probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = cents.head.cvec.length * 4L + 64L)
       .join(corpusByCell, "cell")
       .filter(col(qidCol) =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
       .select(col(qidCol), col(idCol).as("neighbor"),
@@ -185,7 +193,8 @@ object IvfAnn {
     val probed = queries.select(col("__qid"), col("__qv"), col("__qn"),
       posexplode(CentroidState.nearestCells(col("__qv"), cents, maxProbe))
         .as(Seq("__pos", "cell")))
-    val cand = probeSide(probed, queries.count() * maxProbe)
+    val cand = probeSide(probed, queries.count() * maxProbe,
+        bytesPerRow = cents.head.cvec.length * 4L + 64L)
       .join(corpusByCell, "cell")
       .filter(col("__qid") =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
       .select(col("__qid").as("qid"), (col("__pos") + 1).as("probe_rank"),

@@ -53,8 +53,11 @@ object IvfPq {
       explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
         .as("cell"),
       ProductQuantizer.tablesExpr(col(qvecCol), cb, m, dim).as("tables"))
-    // broadcast within the IvfAnn.probeSide bound; degrade above it
-    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe)
+    // broadcast within the IvfAnn.probeSide BYTE bound — each probe row
+    // here carries a full m x codes ADC table, orders of magnitude
+    // heavier than IvfAnn's per-row vector — degrade above it
+    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = m.toLong * codes * 8L + 64L)
       .join(encoded, "cell")
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),

@@ -148,7 +148,12 @@ object Sketches {
     val stats = df.agg(min(col(valueCol)).as("vmin"),
       max(col(valueCol)).as("vmax"),
       count(col(valueCol)).as("n"))
-    df.crossJoin(broadcast(stats))
+    // drop NULLs before bucketing: `least(null, w-1)` would otherwise
+    // evaluate to w-1 (Spark's least skips nulls) and silently count
+    // every null row into the TOP bucket while `n` (count of non-null)
+    // excludes them — corrupting cumulative counts in a merged sketch
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(stats))
       .select(least(floor((col(valueCol) - col("vmin"))
           / ((col("vmax") - col("vmin")) / w.toDouble)), lit(w - 1))
         .cast("int").as("bucket"),

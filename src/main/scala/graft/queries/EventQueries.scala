@@ -569,8 +569,12 @@ object EventQueries {
           (col("user_id") % 180 - 90).cast("double") + lit(0.25),
           (col("event_id") % 700).cast("double")).as("coordinates"))
         .as("geometry"))
+    // collection size is bounded by CONSTRUCTION (≤256 features per
+    // document via dense event_id ranges), not by a fixed bucket count —
+    // a fixed modulus would grow each collected JSON string linearly
+    // with the input until it hit the 2 GB string limit
     val docs = Tables.load(spark, dir, "events")
-      .select((col("user_id") % 7).as("bucket"), feature.as("f"))
+      .select(floor(col("event_id") / 256).as("bucket"), feature.as("f"))
       .groupBy(col("bucket"))
       .agg(collect_list(col("f")).as("features"))
       .select(to_json(struct(col("features"))).as("doc"))
