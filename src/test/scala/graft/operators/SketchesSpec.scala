@@ -142,6 +142,17 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("histogram sketch ignores NULL values (counters sum to n)") {
+    val df = ((1 to 100).map(i => Some(i.toDouble)) ++
+      Seq.fill(40)(Option.empty[Double])).toDF("v")
+    val hist = Sketches.histBuild(df, "v", 16)
+    val Seq((total, n)) = hist
+      .agg(sum(col("cnt")).as("t"), first(col("n")).as("n"))
+      .as[(Long, Long)].collect().toSeq
+    assert(n === 100L)
+    assert(total === n, s"bucket counts $total != non-null count $n")
+  }
+
   test("histogram sketch is partition-invariant (mergeable bucket sums)") {
     val data = (1 to 5000).map(i => math.sqrt(i.toDouble) * 3.7)
     def run(parts: Int) =
