@@ -116,6 +116,11 @@ private[operators] object CentroidState {
   /** Persist `df` unless a caller already did (e.g. [[ProductQuantizer
     * .searchRefined]] hands its cached corpus to `search`) — avoids the
     * double-cache warning and keeps one owner per cache entry.
+    * Cache ownership: the plans built on top reference this cache
+    * lazily, so operators cannot unpersist before the caller
+    * materializes — CALLERS own cleanup (`spark.catalog.clearCache()`
+    * after materializing, as the gate queries and specs do); long-lived
+    * sessions otherwise accumulate MEMORY_AND_DISK entries per search.
     */
   def ensureCached(df: DataFrame): DataFrame =
     if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)

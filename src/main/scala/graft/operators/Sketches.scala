@@ -99,6 +99,13 @@ object Sketches {
     * (`CmsRows · w` rows): always broadcast. The re-collapse after the
     * posexplode groups on a per-row id (not `df`'s columns), so
     * duplicate and all-NULL input rows each keep their own output row.
+    * Determinism precondition: the row id comes from
+    * `monotonically_increasing_id`, which is only stable while the
+    * input frame's partitioning/ordering is deterministic — the
+    * contract every source in this engine already guarantees (parquet
+    * scans, no `rand()`); a non-deterministic upstream recomputed on a
+    * stage retry could re-key rows between the explode and the
+    * re-collapse, so don't feed one here.
     */
   def cmsEstimate(df: DataFrame, hashCol: String, counters: DataFrame,
       w: Int): DataFrame =
@@ -182,6 +189,98 @@ object Sketches {
       .select(col("q"), col("n"),
         (col("vmin") + (col("b") + 1)
           * ((col("vmax") - col("vmin")) / w.toDouble)).as("est"))
+  }
+
+  /** EXACT interpolated quantiles (Spark `percentile` semantics:
+    * position `p = q·(n−1)` over the 0-indexed sorted multiset,
+    * `(⌈p⌉−p)·v⌊p⌋ + (p−⌊p⌋)·v⌈p⌉`) computed DISTRIBUTIVELY by
+    * sketch-guided pruning, instead of the built-in `percentile`
+    * aggregate whose ObjectHashAggregate ships every distinct value to
+    * one reducer — the single-node merge that makes exact quantiles
+    * unaffordable at scale (and 3× the cost of this query even at
+    * sf0.1).
+    *
+    * The [[histBuild]] sketch already knows how many values precede
+    * every bucket, so the value at any global sorted position can be
+    * found by sorting ONLY the bucket holding that position: global
+    * position = (cumulative count before bucket) + (rank within
+    * bucket), and the bucket expression is monotone in the value, so
+    * per-bucket rank order IS global order. One pruned scan (left-semi
+    * on the ≤2·|qs| buckets that hold target positions), one
+    * PARTITIONED window over ~n/w rows per wanted bucket, tiny
+    * broadcast joins for everything else. Exactness: ties can't split
+    * across buckets (equal values share a bucket), and within a bucket
+    * `row_number` over equal values picks an arbitrary but
+    * value-identical row.
+    */
+  def histExactQuantiles(df: DataFrame, valueCol: String, hist: DataFrame,
+      w: Int, qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    // The ≤w-cell sketch is bounded driver state (the CentroidState
+    // precedent: O(w) ≤ 1024 rows however large the data) — collect it
+    // ONCE and derive target positions/buckets locally, so the only
+    // cluster work is the pruned scan; everything else rides literal
+    // frames whose broadcasts need no extra Spark jobs.
+    val cells = hist.select(col("bucket"), col("vmin"), col("vmax"),
+      col("n"), col("cnt")).collect()
+    val outSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("q",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("exact",
+        org.apache.spark.sql.types.DoubleType)))
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], outSchema)
+    val vmin = cells(0).getDouble(1)
+    val vmax = cells(0).getDouble(2)
+    val n = cells(0).getLong(3)
+    // cumulative count BEFORE each bucket
+    var acc = 0L
+    val cum = cells.map(r => (r.getInt(0), r.getLong(4))).sortBy(_._1)
+      .map { case (b, c) => val out = (b, acc, c); acc += c; out }
+    // target sorted positions per q: p = q·(n−1), its floor and ceil —
+    // the `percentile` aggregate's indexing, replayed in IEEE double
+    val targets = qs.map { q =>
+      val p = q * (n - 1).toDouble
+      (q, p, math.floor(p).toLong, math.ceil(p).toLong)
+    }
+    val needed = targets.flatMap(t => Seq(t._3, t._4)).distinct
+    // the bucket holding each target position, with its offset
+    val wanted = needed.map { pos =>
+      cum.find { case (_, cb, c) => pos >= cb && pos < cb + c }
+        .map { case (b, cb, _) => (b, cb) }
+        .getOrElse(sys.error(s"position $pos outside sketch counts"))
+    }.distinct
+    // pruned scan: only rows in wanted buckets, ranked within bucket;
+    // same bucket arithmetic as histBuild (bit-identical assignment)
+    val wantedDf = spark.createDataFrame(wanted).toDF("bucket", "cbefore")
+    val posDf = spark.createDataFrame(needed.map(Tuple1(_))).toDF("pos")
+    val vals = df.filter(col(valueCol).isNotNull)
+      .select(least(floor((col(valueCol) - lit(vmin))
+          / lit((vmax - vmin) / w.toDouble)), lit(w - 1))
+        .cast("int").as("bucket"), col(valueCol).as("v"))
+      .join(broadcast(wantedDf), Seq("bucket"))
+      .withColumn("gpos", col("cbefore") +
+        row_number().over(Window.partitionBy(col("bucket"))
+          .orderBy(col("v"))) - 1)
+      .join(broadcast(posDf), col("gpos") === col("pos"))
+      .select(col("pos"), col("v"))
+    // one join against the pruned values, then the percentile formula:
+    // (⌈p⌉−p)·v⌊p⌋ + (p−⌊p⌋)·v⌈p⌉, integer positions special-cased
+    val targetsDf = spark.createDataFrame(targets)
+      .toDF("q", "p", "i0", "i1")
+    broadcast(targetsDf.select(col("q"), col("p"), col("i0"), col("i1"),
+        explode(array(col("i0"), col("i1"))).as("pos")))
+      .join(vals, "pos")
+      .groupBy(col("q"), col("p"), col("i0"), col("i1"))
+      .agg(min(when(col("pos") === col("i0"), col("v"))).as("v0"),
+           min(when(col("pos") === col("i1"), col("v"))).as("v1"))
+      .select(col("q"),
+        when(col("i0") === col("i1"), col("v0"))
+          .otherwise((col("i1").cast("double") - col("p")) * col("v0")
+            + (col("p") - col("i0").cast("double")) * col("v1"))
+          .as("exact"))
   }
 
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom

@@ -48,7 +48,12 @@ object TemperatureMix {
       alpha: Double, budget: Column): DataFrame = {
     // the per-source frame feeds both the output rows and the totals —
     // persist it (tens of rows) so the corpus-sized input is scanned and
-    // aggregated ONCE, not once per consumer
+    // aggregated ONCE, not once per consumer. Cache ownership: the
+    // returned plan references this cache lazily, so it cannot be
+    // unpersisted here — CALLERS own cleanup (unpersist via
+    // `spark.catalog.clearCache()` once the output is materialized, as
+    // the gate queries and specs do); in a long-lived session repeated
+    // plan() calls otherwise accumulate MEMORY_AND_DISK entries
     val per = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("n_tokens"))

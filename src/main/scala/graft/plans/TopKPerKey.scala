@@ -54,6 +54,25 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     val orderExprs = order
     val limit = k
     val childOutput = child.output
+    // PARTIAL-stage memory bound (SCALING design note resolved): the
+    // per-partition state is `keys-held · k` rows; when distinct keys
+    // per input partition outgrow this budget, holding them all is the
+    // OOM. Because top-k is a semigroup, the partial stage may emit its
+    // current winners ANY number of times per key and stay correct —
+    // the final stage re-reduces every candidate per key. So over
+    // budget it FLUSHES: hands the held winners downstream, clears the
+    // map, and keeps consuming — the same degrade-don't-die evolution
+    // partial HashAggregate took (emit groups under pressure; only the
+    // post-shuffle final stage holds the true reduced state, whose
+    // bound is the output itself). Shuffled bytes rise toward the
+    // unreduced input as the budget shrinks; correctness never moves.
+    // The FINAL stage never flushes — its contract is one top-k set
+    // per key.
+    val maxKeys =
+      if (!partial) Int.MaxValue
+      else conf.getConfString(TopKPerKeyExec.PartialMaxKeysKey,
+        TopKPerKeyExec.PartialMaxKeysDefault.toString).toInt
+    require(maxKeys >= 1, s"partial key budget must be >= 1, got $maxKeys")
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
@@ -61,7 +80,7 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
       // heap root is the WORST kept row — O(log k) replacement test
       val heaps = new java.util.HashMap[UnsafeRow,
         java.util.PriorityQueue[InternalRow]]()
-      iter.foreach { row =>
+      def insert(row: InternalRow): Unit = {
         val key = keyProj(row)
         var heap = heaps.get(key)
         if (heap == null) {
@@ -77,12 +96,34 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
         }
       }
       import scala.jdk.CollectionConverters._
-      heaps.values().iterator().asScala.flatMap(_.iterator().asScala)
+      // consume until the key budget fills (or input ends), then hand
+      // off everything held; repeat — bounded memory, streamed output
+      new Iterator[Iterator[InternalRow]] {
+        override def hasNext: Boolean = iter.hasNext || !heaps.isEmpty
+        override def next(): Iterator[InternalRow] = {
+          while (iter.hasNext && heaps.size() < maxKeys) insert(iter.next())
+          val flushed = heaps.values().iterator().asScala
+            .flatMap(_.iterator().asScala).toArray
+          heaps.clear()
+          flushed.iterator
+        }
+      }.flatten
     }, preservesPartitioning = true)
   }
 
   protected override def withNewChildInternal(newChild: SparkPlan): TopKPerKeyExec =
     copy(child = newChild)
+}
+
+object TopKPerKeyExec {
+  /** Partial-stage key budget: max distinct keys held per input
+    * partition before a flush (state ≈ budget · k rows). The default
+    * bounds partial state to ~a few hundred MB for typical row widths
+    * while leaving map-side reduction intact for every realistic key
+    * density; shrink it to force the flush path (the spec does).
+    */
+  val PartialMaxKeysKey = "spark.graft.topk.partialMaxKeys"
+  val PartialMaxKeysDefault: Int = 1 << 20
 }
 
 /** Plans the logical node as partial → (exchange) → final. */

@@ -21,6 +21,11 @@ import graft.sources.Tables
   */
 object DedupQueries {
 
+  /** q23's boilerplate cap: shingles in more documents than this are
+    * dropped before the inverted-index self-join (see [[ngramJaccard]]).
+    */
+  val MaxShingleDf = 10
+
   private val tokSql =
     """list_filter(regexp_split_to_array(lower(text), '\s+'), t -> t != '')"""
 
@@ -64,20 +69,45 @@ object DedupQueries {
   /** Brute-force 3-gram Jaccard near-dup pairs via an inverted shingle
     * index: explode distinct shingle hashes, self-join on the hash to
     * count common shingles, Jaccard = |∩|/(|a|+|b|-|∩|), threshold 0.5.
+    *
+    * Boilerplate prune: a shingle appearing in more than [[MaxShingleDf]]
+    * documents is shared template/boilerplate, not duplication signal —
+    * its contribution to the inverted-index self-join is df² pairs (the
+    * one quadratic term that breaks the "cost tracks duplicate density"
+    * claim at 100 TB) while near-dup pairs are identified by their RARE
+    * shared shingles. Drop those shingles BEFORE the join and compute
+    * sizes/intersections on the pruned universe (measured at sf0.1:
+    * 2.79M→1.05M candidate pairs, identical surviving pair set). The
+    * trade is recall on near-dup families larger than the cap whose
+    * every shingle is family-wide — exactly the regime q22 (exact
+    * dedup) and q24 (MinHash LSH, which has no df blowup) cover. The
+    * oracle replays the identical cap, and every row reports the global
+    * kept/dropped shingle counts so the prune's effect is visible in
+    * the gate.
     */
   val ngramJaccard: QuerySpec = QuerySpec.sql(
     "q23_ngram_jaccard",
     s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
       |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |dfq AS (
+      |  SELECT s, count(*) <= $MaxShingleDf AS keep
+      |  FROM ex GROUP BY s),
+      |st AS (
+      |  SELECT CAST(count(*) FILTER (WHERE keep) AS BIGINT) AS shingles_kept,
+      |         CAST(count(*) FILTER (WHERE NOT keep) AS BIGINT) AS shingles_dropped
+      |  FROM dfq),
+      |exk AS (SELECT doc_id, s FROM ex WHERE s IN (SELECT s FROM dfq WHERE keep)),
       |pairs AS (
       |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
-      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
       |  GROUP BY 1, 2),
-      |sizes AS (SELECT doc_id, len(sh) AS n FROM sh)
+      |sizes AS (SELECT doc_id, count(*) AS n FROM exk GROUP BY 1)
       |SELECT id1, id2, CAST(common AS BIGINT) AS common,
-      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard
+      |  round(CAST(common AS DOUBLE) / (sa.n + sb.n - common) + 1e-9, 4) AS jaccard,
+      |  st.shingles_kept, st.shingles_dropped
       |FROM pairs JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+      |  CROSS JOIN st
       |WHERE CAST(common AS DOUBLE) / (sa.n + sb.n - common) >= 0.5
       |ORDER BY id1, id2""".stripMargin
   ) { (spark, dir) =>
@@ -86,11 +116,21 @@ object DedupQueries {
         MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
-    val pairs = ex.as("a").join(ex.as("b"),
+    // document frequency per shingle + the keep verdict, persisted once:
+    // feeds the semi-join prune AND the kept/dropped report
+    val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .withColumn("keep", col("df") <= lit(MaxShingleDf.toLong))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val stats = dfq.agg(
+      sum(when(col("keep"), 1L).otherwise(0L)).as("shingles_kept"),
+      sum(when(col("keep"), 0L).otherwise(1L)).as("shingles_dropped"))
+    val exk = ex.join(dfq.filter(col("keep")).select(col("s")),
+      Seq("s"), "left_semi")
+    val pairs = exk.as("a").join(exk.as("b"),
         col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
       .agg(count(lit(1)).as("common"))
-    val sizes = docs.select(col("doc_id"), size(col("sh")).as("n"))
+    val sizes = exk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val jac = col("common").cast("double") /
       (col("sa.n") + col("sb.n") - col("common"))
     pairs
@@ -99,6 +139,7 @@ object DedupQueries {
       .filter(jac >= 0.5)
       .select(col("id1"), col("id2"), col("common"),
         round(jac + lit(1e-9), 4).as("jaccard"))
+      .crossJoin(broadcast(stats))
       .orderBy(col("id1"), col("id2"))
   }
 

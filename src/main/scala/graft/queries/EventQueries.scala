@@ -466,7 +466,10 @@ object EventQueries {
       |  (2, TIMESTAMP '2024-01-21 00:00:00'),
       |  (3, TIMESTAMP '2024-02-01 00:00:00')),
       |b AS (
-      |  SELECT c.pull, max(e.ts) AS watermark_ts, count(e.ts) AS cum
+      |  SELECT c.pull,
+      |    coalesce(max(e.ts), TIMESTAMP '2023-12-31 00:00:00')
+      |      AS watermark_ts,
+      |    count(e.ts) AS cum
       |  FROM c LEFT JOIN events e
       |    ON e.ts <= c.cutoff AND e.ts > TIMESTAMP '2023-12-31 00:00:00'
       |  GROUP BY c.pull)

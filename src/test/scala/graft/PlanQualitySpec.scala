@@ -209,4 +209,35 @@ class PlanQualitySpec extends SparkTestBase {
     }
     spark.catalog.clearCache()
   }
+
+  test("no query plans an unpartitioned window outside the documented tiny-frame set") {
+    // Bench silences WindowExec's single-partition warning process-wide,
+    // so this sweep is the backstop: a data-sized unpartitioned window
+    // slipping into ANY query must fail here, not vanish into a muted
+    // logger. The exceptions are the documented post-aggregation frames
+    // whose input is bounded (≤ ~1k rows) by construction:
+    //   q44 cumulative daily revenue (one row per day),
+    //   q54 running share over a grouped rollup (one row per group),
+    //   q86/q92 sketch cumulative counts (≤ CmsRows·w / ≤ w cells),
+    //   q89 the ≤|sweep|-row recall table,
+    //   q96 commit-chain ordering (one row per snapshot version).
+    val tinyFrameWindows = Set("q44_cumulative_daily", "q54_running_share",
+      "q86_countmin_topk", "q92_hist_quantiles", "q89_ivf_recall",
+      "q96_time_travel_cdf")
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(tinyFrameWindows).foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan
+      val unpartitioned = plan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec
+            if w.partitionSpec.isEmpty => w
+        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+            if w.partitionSpec.isEmpty => w
+      }
+      assert(unpartitioned.isEmpty,
+        s"$name plans an unpartitioned window:\n" +
+          unpartitioned.map(_.toString).mkString("\n"))
+    }
+    spark.catalog.clearCache()
+  }
 }

@@ -142,6 +142,26 @@ class SketchesSpec extends SparkTestBase {
     }
   }
 
+  test("sketch-guided exact quantiles equal the percentile aggregate bit-for-bit") {
+    val w = 64
+    val qs = Seq(0.0, 0.01, 0.25, 0.5, 0.75, 0.9, 1.0)
+    // ties, skew, nulls, and a size that puts q·(n−1) on integer AND
+    // fractional positions
+    val base = (1 to 4001).map(i => (i % 37).toDouble * ((i % 5) + 1))
+    val df = (base.map(Some(_)) ++ Seq.fill(50)(Option.empty[Double]))
+      .toDF("v").repartition(9)
+    val hist = Sketches.histBuild(df, "v", w)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val got = Sketches.histExactQuantiles(df, "v", hist, w, qs)
+      .select(col("q"), col("exact")).as[(Double, Double)].collect().toMap
+    val want = df.agg(expr(s"percentile(v, array(${qs.mkString(",")}))"))
+      .as[Seq[Double]].head()
+    qs.zip(want).foreach { case (q, ex) =>
+      assert(got(q) === ex, s"q=$q got=${got(q)} want=$ex")
+    }
+    spark.catalog.clearCache()
+  }
+
   test("histogram sketch ignores NULL values (counters sum to n)") {
     val df = ((1 to 100).map(i => Some(i.toDouble)) ++
       Seq.fill(40)(Option.empty[Double])).toDF("v")

@@ -50,6 +50,22 @@ class TopKPerKeySpec extends SparkTestBase {
       s"expected final -> exchange -> partial ordering:\n$plan")
   }
 
+  test("partial stage flushes under a tiny key budget without changing results") {
+    val ev = spark.read.parquet(s"$sfDir/events.parquet")
+    val order = Seq(col("ts").desc, col("event_id").desc)
+    def run() = Dedup.topKPerKey(ev, Seq("user_id", "event_type"), order, 3)
+      .collect().map(_.toString).sorted.toSeq
+    val unconstrained = run()
+    // a 2-key budget on a fixture with hundreds of (user, type) keys per
+    // partition forces many flush cycles in every partition — the spill
+    // path IS the executed path here, not a corner case
+    spark.conf.set(TopKPerKeyExec.PartialMaxKeysKey, "2")
+    val constrained =
+      try run()
+      finally spark.conf.unset(TopKPerKeyExec.PartialMaxKeysKey)
+    assert(constrained === unconstrained)
+  }
+
   test("null keys form their own group") {
     import spark.implicits._
     val df = Seq((Some(1), 10), (Some(1), 20), (None, 5), (None, 7))
