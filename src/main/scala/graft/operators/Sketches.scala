@@ -49,14 +49,33 @@ object Sketches {
   def uniformHashSql(e: String): String =
     s"(${Text.charHashSql(s"CAST(($e) AS VARCHAR)")} * $MixA + $MixB) % $P"
 
+  /** The k smallest distinct scrambled hashes — the KMV sketch's STATE
+    * (what [[kmvMerge]] unions); `TakeOrdered` keeps it a per-partition
+    * heap, never a full sort.
+    */
+  def kmvSet(df: DataFrame, keyCol: Column, k: Int): DataFrame =
+    df.select(uniformHash(keyCol).as("h"))
+      .distinct()
+      .orderBy(col("h")).limit(k) // TakeOrdered: per-partition heap, no sort
+
+  /** Merge KMV sketch states: union the k-min sets, re-take the k
+    * smallest — the union of shard sketches is the sketch of the union
+    * (distinct-ness and min-ness both commute with union).
+    */
+  def kmvMerge(sets: Seq[DataFrame], k: Int): DataFrame =
+    sets.reduce(_.unionByName(_))
+      .distinct()
+      .orderBy(col("h")).limit(k)
+
+  /** Collapse a k-min set to the (k_used, kth_hash) estimator inputs. */
+  def kmvFinalize(set: DataFrame): DataFrame =
+    set.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+
   /** `(k_used, kth_hash)` one-row frame: the KMV sketch of `keyCol`.
     * `k_used < k` means the distinct set fit entirely (sketch is exact).
     */
   def kmv(df: DataFrame, keyCol: Column, k: Int): DataFrame =
-    df.select(uniformHash(keyCol).as("h"))
-      .distinct()
-      .orderBy(col("h")).limit(k) // TakeOrdered: per-partition heap, no sort
-      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+    kmvFinalize(kmvSet(df, keyCol, k))
 
   /** KMV estimate column from [[kmv]]'s output columns. */
   def kmvEstimate(kUsed: Column, kthHash: Column, k: Int): Column =
@@ -282,6 +301,63 @@ object Sketches {
             + (col("p") - col("i0").cast("double")) * col("v1"))
           .as("exact"))
   }
+
+  /** Per-shard histogram CELLS on a SHARED grid — the build half of the
+    * merge contract ([[histMerge]]): mergeability-by-addition requires
+    * every input sketch to use the same (vmin, vmax, w) grid, so unlike
+    * [[histBuild]] the grid arrives as a 1-row frame instead of being
+    * derived from `df`. Returns (bucket, vmin, vmax, cnt) WITHOUT the
+    * `n` column [[histQuantiles]] wants — `n` is derivable from the
+    * cells, and attaching it here would cost one aggregation job per
+    * shard only for [[histMerge]] to discard it; run any cell frame
+    * (even a single one) through histMerge to finalize it.
+    */
+  def histBucketize(df: DataFrame, valueCol: String, w: Int,
+      grid: DataFrame): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .crossJoin(broadcast(grid.select(col("vmin"), col("vmax"))))
+      .select(least(floor((col(valueCol) - col("vmin"))
+          / ((col("vmax") - col("vmin")) / w.toDouble)), lit(w - 1))
+        .cast("int").as("bucket"),
+        col("vmin"), col("vmax"))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Merge same-grid histogram cell frames into a [[histQuantiles]]-ready
+    * sketch: CELL-WISE ADDITION — the whole point of sum-backed cells
+    * (per-day / per-shard sketches roll up without rescanning their
+    * data) — then one total pass attaches `n`. Accepts [[histBucketize]]
+    * cells and [[histBuild]] sketches alike (any extra columns are
+    * dropped; `n` is re-derived as the merged total).
+    */
+  def histMerge(hists: Seq[DataFrame]): DataFrame = {
+    val merged = hists
+      .map(_.select(col("bucket"), col("vmin"), col("vmax"), col("cnt")))
+      .reduce(_.unionByName(_))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"))
+      .agg(sum(col("cnt")).as("cnt"))
+    merged
+      .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("n"))))
+      .select(col("bucket"), col("vmin"), col("vmax"), col("n"), col("cnt"))
+  }
+
+  /** Merge count-min sketches: counter-wise addition over (j, c) — CMS
+    * cells are plain sums, so sharded builds merge exactly.
+    */
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+    sketches.reduce(_.unionByName(_))
+      .groupBy(col("j"), col("c"))
+      .agg(sum(col("cnt")).as("cnt"))
+
+  /** Merge Bloom filters built with the same (mBits, nHashes): word-wise
+    * OR — the filter of a union is the OR of the filters. With this,
+    * every member of the portable family (KMV, Bloom, CMS, histogram)
+    * has a spec- or gate-checked merge: union / OR / add / add.
+    */
+  def bloomMerge(filters: Seq[DataFrame]): DataFrame =
+    filters.reduce(_.unionByName(_))
+      .groupBy(col("w"))
+      .agg(bit_or(col("bits")).as("bits"))
 
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
     * filter (double hashing; every op stays far from BIGINT overflow).

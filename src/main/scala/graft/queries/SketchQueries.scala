@@ -222,6 +222,11 @@ object SketchQueries {
   }
 
   private val HistW = 1024
+
+  /** Shard count for the merge gates (q100/q101): disjoint portable-hash
+    * shards, each sketched independently, merged by addition.
+    */
+  private val MergeShards = 4
   private val HistQs = Seq(0.5, 0.9, 0.99)
 
   /** Histogram quantile sketch ([[Sketches.histBuild]]) — the QUANTILE
@@ -297,6 +302,178 @@ object SketchQueries {
       .orderBy(col("q"))
   }
 
+
+  /** MERGE-BY-ADDITION, gate-checked end-to-end for the histogram
+    * sketch (previously a prose+spec claim): the value stream is split
+    * into [[MergeShards]] disjoint shards by portable hash, a sketch is
+    * built INDEPENDENTLY per shard on a shared grid
+    * ([[Sketches.histBucketize]]), the shard sketches merge by summing
+    * cells ([[Sketches.histMerge]]), and the merged sketch's quantiles
+    * are reported beside the whole-data sketch's — `agree` must be true
+    * on every row, and the oracle replays the identical shard split.
+    * This is the property that lets per-day / per-partition sketches
+    * roll up without rescanning their data at 100 TB.
+    */
+  val histMergeQuantiles: QuerySpec = QuerySpec.sql(
+    "q100_hist_merge",
+    s"""WITH st AS (
+      |  SELECT min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
+      |  FROM lineitem),
+      |v AS (
+      |  SELECT l_extendedprice AS v,
+      |    ${Sketches.uniformHashSql("l_orderkey")} % $MergeShards AS shard
+      |  FROM lineitem WHERE l_extendedprice IS NOT NULL),
+      |cells AS (
+      |  SELECT shard, CAST(least(floor((v - vmin)
+      |      / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT) AS bucket,
+      |    vmin, vmax, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v CROSS JOIN st GROUP BY 1, 2, 3, 4),
+      |merged AS (
+      |  SELECT bucket, vmin, vmax, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM cells GROUP BY 1, 2, 3),
+      |mtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM merged),
+      |mcum AS (
+      |  SELECT bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+      |  FROM merged CROSS JOIN mtot),
+      |whole AS (
+      |  SELECT CAST(least(floor((v - vmin)
+      |      / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT) AS bucket,
+      |    vmin, vmax, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v CROSS JOIN st GROUP BY 1, 2, 3),
+      |wtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM whole),
+      |wcum AS (
+      |  SELECT bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+      |  FROM whole CROSS JOIN wtot),
+      |qs(q) AS (VALUES ${HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+      |msel AS (
+      |  SELECT q, vmin, vmax, n, min(bucket) AS b
+      |  FROM mcum CROSS JOIN qs WHERE c >= q * n GROUP BY 1, 2, 3, 4),
+      |wsel AS (
+      |  SELECT q, vmin, vmax, min(bucket) AS b
+      |  FROM wcum CROSS JOIN qs WHERE c >= q * n GROUP BY 1, 2, 3),
+      |o AS (
+      |  SELECT m.q AS q, m.n AS n_rows,
+      |    round(m.vmin + (m.b + 1) * ((m.vmax - m.vmin) / $HistW.0)
+      |      + 1e-9, 4) AS est_merged,
+      |    round(w.vmin + (w.b + 1) * ((w.vmax - w.vmin) / $HistW.0)
+      |      + 1e-9, 4) AS est_whole
+      |  FROM msel m JOIN wsel w ON m.q = w.q)
+      |SELECT q, n_rows, est_merged, est_whole,
+      |  est_merged = est_whole AS agree
+      |FROM o ORDER BY q""".stripMargin
+  ) { (spark, dir) =>
+    // ONE persisted scan carries the value and its shard (the portable
+    // hash is computed once, not once per shard build)
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_extendedprice"),
+        pmod(Sketches.uniformHash(col("l_orderkey")),
+          lit(MergeShards.toLong)).as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // shared grid, collected once (two doubles of driver state) so the
+    // four shard builds don't each re-broadcast a grid aggregation job
+    val g = li.agg(min(col("l_extendedprice")).as("vmin"),
+      max(col("l_extendedprice")).as("vmax")).head()
+    val grid = spark.createDataFrame(
+      Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
+    val shards = (0 until MergeShards).map { s =>
+      Sketches.histBucketize(li.filter(col("shard") === s),
+        "l_extendedprice", HistW, grid)
+    }
+    val est = Sketches.histQuantiles(Sketches.histMerge(shards),
+        HistW, HistQs)
+      .select(col("q"), col("n").as("n_rows"),
+        round(col("est") + lit(1e-9), 4).as("est_merged"))
+    val whole = Sketches.histQuantiles(
+        Sketches.histMerge(Seq(
+          Sketches.histBucketize(li, "l_extendedprice", HistW, grid))),
+        HistW, HistQs)
+      .select(col("q"), round(col("est") + lit(1e-9), 4).as("est_whole"))
+    est.join(whole, "q")
+      .select(col("q"), col("n_rows"), col("est_merged"), col("est_whole"),
+        (col("est_merged") === col("est_whole")).as("agree"))
+      .orderBy(col("q"))
+  }
+
+  /** MERGE-BY-ADDITION for the count-min sketch: the token stream is
+    * sharded by document portable-hash, counters build independently
+    * per shard ([[Sketches.cmsBuild]]) and merge by summing (j, c)
+    * cells ([[Sketches.cmsMerge]]); the 20 most frequent tokens are
+    * estimated through BOTH the merged and the whole-stream sketch —
+    * `agree` must be true on every row (counter sums commute), oracle
+    * replaying the identical split.
+    */
+  val cmsMergeTopK: QuerySpec = QuerySpec.sql(
+    "q101_cms_merge",
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+      |h AS (
+      |  SELECT tok, ${Sketches.uniformHashSql("tok")} AS h,
+      |    ${Sketches.uniformHashSql("doc_id")} % $MergeShards AS shard
+      |  FROM t),
+      |consts(j, a, b) AS (VALUES
+      |  ${Sketches.CmsA.zip(Sketches.CmsB).zipWithIndex
+            .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      |shardc AS (
+      |  SELECT shard, k.j AS j,
+      |    CAST(((k.a * h.h + k.b) % ${Sketches.P}) % $CmsW AS INT) AS c,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM h CROSS JOIN consts k GROUP BY 1, 2, 3),
+      |merged AS (
+      |  SELECT j, c, CAST(sum(cnt) AS BIGINT) AS cnt
+      |  FROM shardc GROUP BY 1, 2),
+      |whole AS (
+      |  SELECT k.j AS j,
+      |    CAST(((k.a * h.h + k.b) % ${Sketches.P}) % $CmsW AS INT) AS c,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM h CROSS JOIN consts k GROUP BY 1, 2),
+      |exact AS (SELECT tok, h, count(*) AS exact_cnt FROM h GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, h, exact_cnt FROM (
+      |    SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk
+      |    FROM exact) r WHERE rk <= 20),
+      |estm AS (
+      |  SELECT t.tok, t.exact_cnt, min(c2.cnt) AS est_merged
+      |  FROM top t CROSS JOIN consts k
+      |  JOIN merged c2 ON c2.j = k.j
+      |    AND c2.c = CAST(((k.a * t.h + k.b) % ${Sketches.P}) % $CmsW AS INT)
+      |  GROUP BY 1, 2),
+      |estw AS (
+      |  SELECT t.tok, min(c2.cnt) AS est_whole
+      |  FROM top t CROSS JOIN consts k
+      |  JOIN whole c2 ON c2.j = k.j
+      |    AND c2.c = CAST(((k.a * t.h + k.b) % ${Sketches.P}) % $CmsW AS INT)
+      |  GROUP BY 1)
+      |SELECT m.tok AS tok, CAST(m.exact_cnt AS BIGINT) AS exact_cnt,
+      |  m.est_merged, w.est_whole, m.est_merged = w.est_whole AS agree
+      |FROM estm m JOIN estw w ON m.tok = w.tok
+      |ORDER BY exact_cnt DESC, m.tok""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.uniformHash(col("tok")).as("h"),
+        pmod(Sketches.uniformHash(col("doc_id")), lit(MergeShards.toLong))
+          .as("shard"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shards = (0 until MergeShards).map { s =>
+      Sketches.cmsBuild(toks.filter(col("shard") === s), "h", CmsW)
+    }
+    val merged = Sketches.cmsMerge(shards)
+    val whole = Sketches.cmsBuild(toks, "h", CmsW)
+    val top = toks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val em = Sketches.cmsEstimate(top, "h", merged, CmsW)
+      .withColumnRenamed("cms_est", "est_merged")
+    Sketches.cmsEstimate(em, "h", whole, CmsW)
+      .withColumnRenamed("cms_est", "est_whole")
+      .select(col("tok"), col("exact_cnt"), col("est_merged"),
+        col("est_whole"), (col("est_merged") === col("est_whole"))
+          .as("agree"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
-    histQuantile)
+    histQuantile, histMergeQuantiles, cmsMergeTopK)
 }

@@ -201,6 +201,16 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("q100/q101 merge gates reuse one persisted scan per stream") {
+    // every shard sketch and the whole-data sketch read the SAME cached
+    // frame — the merge property must not cost one disk scan per shard
+    Seq("q100_hist_merge", "q101_cms_merge").foreach { name =>
+      val plan = planOf(name)
+      try assert(plan.contains("InMemoryTableScan"), s"$name: ${plan.take(2000)}")
+      finally spark.catalog.clearCache()
+    }
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
@@ -218,12 +228,12 @@ class PlanQualitySpec extends SparkTestBase {
     // whose input is bounded (≤ ~1k rows) by construction:
     //   q44 cumulative daily revenue (one row per day),
     //   q54 running share over a grouped rollup (one row per group),
-    //   q86/q92 sketch cumulative counts (≤ CmsRows·w / ≤ w cells),
+    //   q86/q92/q100 sketch cumulative counts (≤ CmsRows·w / ≤ w cells),
     //   q89 the ≤|sweep|-row recall table,
     //   q96 commit-chain ordering (one row per snapshot version).
     val tinyFrameWindows = Set("q44_cumulative_daily", "q54_running_share",
-      "q86_countmin_topk", "q92_hist_quantiles", "q89_ivf_recall",
-      "q96_time_travel_cdf")
+      "q86_countmin_topk", "q92_hist_quantiles", "q100_hist_merge",
+      "q89_ivf_recall", "q96_time_travel_cdf")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(tinyFrameWindows).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

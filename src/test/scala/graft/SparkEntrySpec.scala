@@ -15,7 +15,7 @@ class SparkEntrySpec extends AnyFunSuite {
     val names = SparkEntry.specs.map(_.name)
     assert(names.distinct.size === names.size,
       names.diff(names.distinct).mkString("duplicated: ", ", ", ""))
-    names.foreach(n => assert(n.matches("q\\d{2}_[a-z0-9_]+"), n))
+    names.foreach(n => assert(n.matches("q\\d{2,3}_[a-z0-9_]+"), n))
   }
 
   test("bench short ids (prefix before '_') stay unique") {

@@ -1,0 +1,53 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Closes the last prose-only ANN scale claim (IvfAnn Scaladoc: "the
+  * corpus is written bucketed by cell so a probe reads nProbe buckets"):
+  * the corpus is materialized hive-partitioned by cell and a probe's
+  * scan is asserted — on the FILE SET, not the plan string alone — to
+  * touch only the probed cells' files.
+  */
+class IvfCellLayoutSpec extends SparkTestBase {
+
+  test("a probe reads only its nProbe cells' files from the cell-partitioned corpus") {
+    val root = Files.createTempDirectory("graft_ivf_cells").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val clusters = 8
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters,
+      iters = 1)
+    IvfAnn.writePartitionedByCell(emb, "vec_id", "embedding", cents, root)
+    val cs = CentroidState.collect(cents)
+    // one query vector, its 2 nearest cells — the probe set
+    val probeCells = emb.orderBy(col("vec_id")).limit(1)
+      .select(explode(CentroidState.nearestCells(col("embedding"), cs, 2))
+        .as("cell"))
+      .collect().map(_.getInt(0)).toSeq
+    assert(probeCells.length === 2)
+    val pruned = IvfAnn.readCells(spark, root, probeCells)
+    // partition pruning is in the scan, not a post-filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+      plan.take(2000))
+    // the touched FILE SET is exactly the probed cells' directories,
+    // and strictly smaller than the corpus
+    val touched = pruned.select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(touched.nonEmpty)
+    touched.foreach(f => assert(
+      probeCells.exists(c => f.contains(s"cell=$c")), f))
+    val allFiles = spark.read.parquet(root).select(input_file_name())
+      .distinct().count()
+    assert(touched.length < allFiles,
+      s"probe touched ${touched.length} of $allFiles files — nothing pruned")
+    // the pruned scan holds exactly the probed cells' vectors
+    val expected = emb
+      .select(CentroidState.nearestCell(col("embedding"), cs).as("cell"))
+      .filter(col("cell").isin(probeCells: _*)).count()
+    assert(pruned.count() === expected)
+  }
+}

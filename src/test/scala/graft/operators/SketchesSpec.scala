@@ -182,6 +182,34 @@ class SketchesSpec extends SparkTestBase {
     assert(run(1) == run(17))
   }
 
+  test("KMV shard sketches merge to exactly the whole-data sketch") {
+    val df = (1 to 8000).map(i => s"u${i % 1700}").toDF("k")
+    val k = 128
+    val whole = Sketches.kmvSet(df, col("k"), k)
+      .orderBy(col("h")).as[Long].collect().toSeq
+    val shards = (0 until 3).map(s =>
+      Sketches.kmvSet(df.filter(pmod(Sketches.uniformHash(col("k")),
+        lit(3L)) === s), col("k"), k))
+    val merged = Sketches.kmvMerge(shards, k)
+      .orderBy(col("h")).as[Long].collect().toSeq
+    assert(merged === whole)
+  }
+
+  test("Bloom filters merged by word-OR equal the union-built filter") {
+    val a = (1 to 1500).map(i => s"a$i").toDF("s")
+      .select(graft.functions.Text.charHash(col("s")).as("h"))
+    val b = (1 to 1500).map(i => s"b$i").toDF("s")
+      .select(graft.functions.Text.charHash(col("s")).as("h"))
+    val m = 8192
+    def words(df: org.apache.spark.sql.DataFrame) =
+      Sketches.bloomBuild(df, "h", m, 3)
+    val union = words(a.unionByName(b)).orderBy(col("w"))
+      .as[(Int, Long)].collect().toSeq
+    val merged = Sketches.bloomMerge(Seq(words(a), words(b)))
+      .orderBy(col("w")).as[(Int, Long)].collect().toSeq
+    assert(merged === union)
+  }
+
   test("bloom bit words are identical regardless of input partitioning") {
     val hs = (1 to 2000).map(i => s"x$i").toDF("s")
       .select(graft.functions.Text.charHash(col("s")).as("h"))
