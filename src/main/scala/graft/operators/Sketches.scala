@@ -323,6 +323,60 @@ object Sketches {
       .groupBy(col("bucket"), col("vmin"), col("vmax"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** GROUPED histogram sketch: one ≤`w`-cell grid PER KEY GROUP (each
+    * group gets its own [min, max] span — a shared global grid would
+    * waste resolution on every group narrower than the widest). Two
+    * passes like [[histBuild]]: a per-group stats aggregation, then one
+    * bucket count; the stats side is groups-sized (broadcasts for any
+    * realistic group count) and the single-valued-group edge
+    * (vmax = vmin) pins every row to bucket 0 instead of dividing by
+    * zero. Output: (keys…, bucket, vmin, vmax, n, cnt) — the per-group
+    * quantile lever when `percentile(...) GROUP BY` can't hold its
+    * per-group value multisets.
+    */
+  def histBuildGrouped(df: DataFrame, keys: Seq[String], valueCol: String,
+      w: Int): DataFrame = {
+    val keyCols = keys.map(col)
+    val stats = df.groupBy(keyCols: _*)
+      .agg(min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"),
+        count(col(valueCol)).as("n"))
+    df.filter(col(valueCol).isNotNull)
+      .join(stats, keys)
+      .select(keyCols :+
+        when(col("vmax") === col("vmin"), lit(0))
+          .otherwise(least(floor((col(valueCol) - col("vmin"))
+              / ((col("vmax") - col("vmin")) / w.toDouble)), lit(w - 1))
+            .cast("int")).as("bucket") :+
+        col("vmin") :+ col("vmax") :+ col("n"): _*)
+      .groupBy(keyCols ++ Seq(col("bucket"), col("vmin"), col("vmax"),
+        col("n")): _*)
+      .agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Per-group quantile estimates off a [[histBuildGrouped]] sketch —
+    * same upper-edge estimator as [[histQuantiles]], with the
+    * cumulative window PARTITIONED by the group keys (post-aggregation
+    * input: ≤ `w` rows per group).
+    */
+  def histQuantilesGrouped(hist: DataFrame, keys: Seq[String], w: Int,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val keyCols = keys.map(col)
+    val cum = hist.withColumn("c",
+      sum(col("cnt")).over(Window.partitionBy(keyCols: _*)
+        .orderBy(col("bucket"))))
+    val qsDf = hist.sparkSession.createDataFrame(qs.map(Tuple1(_)))
+      .toDF("q")
+    cum.crossJoin(broadcast(qsDf))
+      .filter(col("c") >= col("q") * col("n"))
+      .groupBy(keyCols ++ Seq(col("q"), col("vmin"), col("vmax"),
+        col("n")): _*)
+      .agg(min(col("bucket")).as("b"))
+      .select(keyCols ++ Seq(col("q"), col("n"),
+        (col("vmin") + (col("b") + 1)
+          * ((col("vmax") - col("vmin")) / w.toDouble)).as("est")): _*)
+  }
+
   /** Merge same-grid histogram cell frames into a [[histQuantiles]]-ready
     * sketch: CELL-WISE ADDITION — the whole point of sum-backed cells
     * (per-day / per-shard sketches roll up without rescanning their

@@ -14,11 +14,25 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   * (partial pre-shuffle top-k per key, exchange, final merge). The
   * window formulation shuffles every input row and sorts every key
   * group; the rewrite shuffles at most k rows per (partition, key) and
-  * never sorts (SCALING.md measured the operator at 5-6× the window
-  * at sf0.1, with the gap widening in data size). Spark's own
-  * `InferWindowGroupLimit` (3.5+) prunes to rank ≤ k around the sort
-  * but keeps the WindowExec sort-and-rank machinery; this rule removes
-  * it entirely when the rank column itself is not needed.
+  * never sorts. Spark's own `InferWindowGroupLimit` (3.5+) prunes to
+  * rank ≤ k around the sort but keeps the WindowExec sort-and-rank
+  * machinery; this rule removes it entirely when the rank column
+  * itself is not needed.
+  *
+  * Measured regimes (graft.TopKBench, 10M rows, local[32], round 6 —
+  * honest numbers with this rule EXCLUDED from the window side): the
+  * heap operator wins when the per-key reduction is real — 7× at 100
+  * keys, 2× at 10k keys (the sort the native path still pays
+  * dominates) — and the native WindowGroupLimit path wins ~1.8× from
+  * ~100k keys up (k=5; n/keys small leaves little to reduce and
+  * Tungsten's radix sort beats per-row hash-map upkeep; the k=1 dedup
+  * staple is within ~1.5× either way). The rewrite therefore pays off
+  * when top-k is used as a REDUCTION over hot keys (per-user/
+  * per-station reporting — this engine's q46/q11 shapes) and trades a
+  * bounded constant at near-unique-key rank limiting, where it keeps
+  * the no-sort bounded-memory profile; to prefer the sort-based native
+  * path there, disable it per-query with
+  * `spark.sql.optimizer.excludedRules=graft.plans.RewriteWindowTopK`.
   *
   * Fires only when ALL of:
   *  - the Window computes exactly one expression: `row_number()` over

@@ -76,38 +76,59 @@ case class TopKPerKeyExec(keys: Seq[Expression], order: Seq[SortOrder],
     child.execute().mapPartitions({ iter =>
       val keyProj = UnsafeProjection.create(keyExprs, childOutput)
       val ordering = GenerateOrdering.generate(orderExprs, childOutput)
-      // per key: a max-heap of the kept rows under `ordering`, so the
-      // heap root is the WORST kept row — O(log k) replacement test
-      val heaps = new java.util.HashMap[UnsafeRow,
-        java.util.PriorityQueue[InternalRow]]()
-      def insert(row: InternalRow): Unit = {
-        val key = keyProj(row)
-        var heap = heaps.get(key)
-        if (heap == null) {
-          heap = new java.util.PriorityQueue[InternalRow](
-            limit, ordering.reversed())
-          heaps.put(key.copy(), heap)
-        }
-        if (heap.size < limit) {
-          heap.add(row.copy())
-        } else if (ordering.compare(row, heap.peek()) < 0) {
-          heap.poll()
-          heap.add(row.copy())
-        }
-      }
       import scala.jdk.CollectionConverters._
       // consume until the key budget fills (or input ends), then hand
       // off everything held; repeat — bounded memory, streamed output
-      new Iterator[Iterator[InternalRow]] {
-        override def hasNext: Boolean = iter.hasNext || !heaps.isEmpty
-        override def next(): Iterator[InternalRow] = {
-          while (iter.hasNext && heaps.size() < maxKeys) insert(iter.next())
+      def budgeted(held: () => Int, insert: InternalRow => Unit,
+          drain: () => Array[InternalRow]): Iterator[InternalRow] =
+        new Iterator[Iterator[InternalRow]] {
+          override def hasNext: Boolean = iter.hasNext || held() > 0
+          override def next(): Iterator[InternalRow] = {
+            while (iter.hasNext && held() < maxKeys) insert(iter.next())
+            drain().iterator
+          }
+        }.flatten
+      if (limit == 1) {
+        // the dedup-keep-first staple: one best row per key, no heap —
+        // a per-key PriorityQueue costs an object + array allocation
+        // per key, measurable at millions of keys
+        val best = new java.util.HashMap[UnsafeRow, InternalRow]()
+        budgeted(() => best.size(), { row =>
+          val key = keyProj(row)
+          val cur = best.get(key)
+          if (cur == null) best.put(key.copy(), row.copy())
+          else if (ordering.compare(row, cur) < 0) best.put(key, row.copy())
+        }, () => {
+          val out = best.values().iterator().asScala.toArray
+          best.clear()
+          out
+        })
+      } else {
+        // per key: a max-heap of the kept rows under `ordering`, so the
+        // heap root is the WORST kept row — O(log k) replacement test
+        val heaps = new java.util.HashMap[UnsafeRow,
+          java.util.PriorityQueue[InternalRow]]()
+        budgeted(() => heaps.size(), { row =>
+          val key = keyProj(row)
+          var heap = heaps.get(key)
+          if (heap == null) {
+            heap = new java.util.PriorityQueue[InternalRow](
+              limit, ordering.reversed())
+            heaps.put(key.copy(), heap)
+          }
+          if (heap.size < limit) {
+            heap.add(row.copy())
+          } else if (ordering.compare(row, heap.peek()) < 0) {
+            heap.poll()
+            heap.add(row.copy())
+          }
+        }, () => {
           val flushed = heaps.values().iterator().asScala
             .flatMap(_.iterator().asScala).toArray
           heaps.clear()
-          flushed.iterator
-        }
-      }.flatten
+          flushed
+        })
+      }
     }, preservesPartitioning = true)
   }
 

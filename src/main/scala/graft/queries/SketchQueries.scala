@@ -474,6 +474,58 @@ object SketchQueries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** GROUPED quantile sketch ([[Sketches.histBuildGrouped]]): one
+    * ≤1024-cell grid per `l_returnflag` group, each spanning its own
+    * [min, max], quantiles read per group off the PARTITIONED
+    * cumulative window — the per-group quantile lever when
+    * `percentile(...) GROUP BY` can't hold its per-group value
+    * multisets at 100 TB. The oracle replays the per-group grid
+    * arithmetic exactly (bucket choice is integer-determined, so the
+    * hash gate pins the whole construction).
+    */
+  val histGrouped: QuerySpec = QuerySpec.sql(
+    "q102_hist_grouped",
+    s"""WITH st AS (
+      |  SELECT l_returnflag, min(l_extendedprice) AS vmin,
+      |    max(l_extendedprice) AS vmax,
+      |    CAST(count(l_extendedprice) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT l.l_returnflag,
+      |    CASE WHEN vmax = vmin THEN 0
+      |         ELSE CAST(least(floor((l_extendedprice - vmin)
+      |           / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT)
+      |    END AS bucket, vmin, vmax, n
+      |  FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+      |  WHERE l_extendedprice IS NOT NULL),
+      |hist AS (
+      |  SELECT l_returnflag, bucket, vmin, vmax, n, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3, 4, 5),
+      |cum AS (
+      |  SELECT l_returnflag, bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+      |      AS BIGINT) AS c
+      |  FROM hist),
+      |qs(q) AS (VALUES ${HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+      |sel AS (
+      |  SELECT l_returnflag, q, vmin, vmax, n, min(bucket) AS b
+      |  FROM cum CROSS JOIN qs
+      |  WHERE c >= q * n
+      |  GROUP BY 1, 2, 3, 4, 5)
+      |SELECT l_returnflag, q, n AS n_rows,
+      |  round(vmin + (b + 1) * ((vmax - vmin) / $HistW.0) + 1e-9, 4) AS est
+      |FROM sel
+      |ORDER BY l_returnflag, q""".stripMargin
+  ) { (spark, dir) =>
+    val li = Tables.load(spark, dir, "lineitem")
+    val hist = Sketches.histBuildGrouped(li, Seq("l_returnflag"),
+      "l_extendedprice", HistW)
+    Sketches.histQuantilesGrouped(hist, Seq("l_returnflag"), HistW, HistQs)
+      .select(col("l_returnflag"), col("q"), col("n").as("n_rows"),
+        round(col("est") + lit(1e-9), 4).as("est"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
   val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
-    histQuantile, histMergeQuantiles, cmsMergeTopK)
+    histQuantile, histMergeQuantiles, cmsMergeTopK, histGrouped)
 }

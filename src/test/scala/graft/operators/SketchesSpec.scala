@@ -162,6 +162,34 @@ class SketchesSpec extends SparkTestBase {
     spark.catalog.clearCache()
   }
 
+  test("grouped histogram quantiles stay within each group's grid width of exact") {
+    val w = 128
+    val qs = Seq(0.5, 0.9)
+    // three groups with very different spans — a shared grid would blur
+    // the narrow ones; plus a single-valued group (vmax = vmin edge)
+    val df = ((1 to 4000).map(i => ("wide", i.toDouble * 50)) ++
+      (1 to 4000).map(i => ("narrow", 100.0 + (i % 97) * 0.01)) ++
+      (1 to 50).map(_ => ("flat", 42.0))).toDF("g", "v")
+      .repartition(7)
+    val est = Sketches.histQuantilesGrouped(
+        Sketches.histBuildGrouped(df, Seq("g"), "v", w), Seq("g"), w, qs)
+      .select(col("g"), col("q"), col("est"))
+      .as[(String, Double, Double)].collect()
+      .map { case (g, q, e) => (g, q) -> e }.toMap
+    val exact = df.groupBy(col("g"))
+      .agg(expr(s"percentile(v, array(${qs.mkString(",")}))").as("ex"),
+        ((max(col("v")) - min(col("v"))) / w).as("width"))
+      .select(col("g"), col("ex"), col("width"))
+      .as[(String, Seq[Double], Double)].collect()
+    exact.foreach { case (g, exs, width) =>
+      qs.zip(exs).foreach { case (q, ex) =>
+        val e = est((g, q))
+        assert(e >= ex - width && e <= ex + width,
+          s"g=$g q=$q est=$e exact=$ex width=$width")
+      }
+    }
+  }
+
   test("histogram sketch ignores NULL values (counters sum to n)") {
     val df = ((1 to 100).map(i => Some(i.toDouble)) ++
       Seq.fill(40)(Option.empty[Double])).toDF("v")
