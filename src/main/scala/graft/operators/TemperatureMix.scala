@@ -73,4 +73,38 @@ object TemperatureMix {
           .as("epochs"))
       .orderBy(col(sourceCol))
   }
+
+  /** MATERIALIZE the [[plan]]: per-document copy counts that realize
+    * each source's token target — `full = target div src_tokens`
+    * complete epochs for every document, plus one extra copy for the
+    * greedy prefix (documents in deterministic portable-hash priority
+    * order until the remainder budget is crossed). Everything is
+    * integer arithmetic and one PARTITIONED window over the corpus, so
+    * the materialization is bit-reproducible and shuffle-bounded by the
+    * source partitioning; a pretraining loader repeats each doc
+    * `n_copies` times and the realized token count lands within one
+    * document of `target_tokens` per source.
+    */
+  def materialize(docs: DataFrame, sourceCol: String, idCol: String,
+      tokenCol: String, alpha: Double, budget: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val p = plan(docs, sourceCol, tokenCol, alpha, budget)
+      .select(col(sourceCol), col("n_tokens").as("__src_tokens"),
+        col("target_tokens").as("__target"))
+    val pr = docs.join(broadcast(p), sourceCol)
+      .withColumn("__h", Sketches.uniformHash(col(idCol)))
+      .withColumn("__full", expr("__target div __src_tokens"))
+      .withColumn("__rem",
+        col("__target") - col("__full") * col("__src_tokens"))
+    val wnd = Window.partitionBy(col(sourceCol))
+      .orderBy(col("__h"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    pr.withColumn("__cum_before",
+        coalesce(sum(col(tokenCol)).over(wnd), lit(0L)))
+      .withColumn("n_copies", col("__full") +
+        when(col("__cum_before") < col("__rem"), 1L).otherwise(0L))
+      .filter(col("n_copies") > 0)
+      .select(col(sourceCol), col(idCol), col(tokenCol), col("n_copies"),
+        col("__cum_before").as("cum_before"))
+  }
 }

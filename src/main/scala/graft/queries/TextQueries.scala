@@ -584,8 +584,61 @@ object TextQueries {
       alpha = 0.5, budget = col("total_tokens"))
   }
 
+  /** The q91 mixing plan MATERIALIZED
+    * ([[graft.operators.TemperatureMix.materialize]]): per-document
+    * copy counts realizing each source's token target — full epochs by
+    * integer division plus a greedy portable-hash-priority prefix for
+    * the remainder. One partitioned window over the corpus;
+    * bit-reproducible, and the oracle replays plan + prefix identically.
+    */
+  val mixMaterialize: QuerySpec = QuerySpec.sql(
+    "q103_mix_materialize",
+    s"""WITH t AS (
+      |  SELECT doc_id, source,
+      |    CAST(len(list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |per AS (
+      |  SELECT source, CAST(sum(n_tokens) AS BIGINT) AS src_tokens
+      |  FROM t GROUP BY source),
+      |tot AS (
+      |  SELECT CAST(sum(src_tokens) AS BIGINT) AS total_tokens,
+      |    CAST(sum(CAST(sqrt(CAST(src_tokens AS DOUBLE)) AS DECIMAL(28,10))) AS DOUBLE) AS z
+      |  FROM per),
+      |pl AS (
+      |  SELECT source, src_tokens,
+      |    CAST(round(CAST(total_tokens AS DOUBLE) * (sqrt(CAST(src_tokens AS DOUBLE)) / z) + 1e-9, 0) AS BIGINT) AS target_tokens
+      |  FROM per CROSS JOIN tot),
+      |pr AS (
+      |  SELECT t.doc_id, t.source, t.n_tokens,
+      |    p.target_tokens // p.src_tokens AS full_epochs,
+      |    p.target_tokens - (p.target_tokens // p.src_tokens) * p.src_tokens AS rem,
+      |    ${graft.operators.Sketches.uniformHashSql("t.doc_id")} AS h
+      |  FROM t JOIN pl p ON t.source = p.source),
+      |w AS (
+      |  SELECT doc_id, source, n_tokens, full_epochs, rem,
+      |    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY h, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+      |      AS cum_before
+      |  FROM pr)
+      |SELECT source, doc_id, n_tokens,
+      |  CAST(full_epochs + CASE WHEN cum_before < rem THEN 1 ELSE 0 END AS BIGINT) AS n_copies,
+      |  cum_before
+      |FROM w
+      |WHERE full_epochs + CASE WHEN cum_before < rem THEN 1 ELSE 0 END > 0
+      |ORDER BY source, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    graft.operators.TemperatureMix.materialize(docs, "source", "doc_id",
+      "n_tokens", alpha = 0.5, budget = col("total_tokens"))
+      .orderBy(col("source"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
-      temperatureMix)
+      temperatureMix, mixMaterialize)
 }

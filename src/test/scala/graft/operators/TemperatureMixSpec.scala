@@ -43,4 +43,31 @@ class TemperatureMixSpec extends SparkTestBase {
     val sumTargets = run(0.5).values.map(_._4).sum
     assert(math.abs(sumTargets - total) <= 3, s"sum $sumTargets vs $total")
   }
+
+  test("materialize realizes each source's target within one document") {
+    // varying token counts so the greedy prefix boundary is non-trivial
+    val d = Seq.concat(
+      (1 to 100).map(i => ("big", i.toLong, 10L + (i % 7))),
+      (1 to 40).map(i => ("mid", 1000L + i, 8L + (i % 5))),
+      (1 to 10).map(i => ("small", 2000L + i, 12L)))
+      .toDF("source", "doc_id", "n_tokens")
+    val targets = TemperatureMix.plan(d, "source", "n_tokens", 0.5,
+        budget = col("total_tokens"))
+      .select(col("source"), col("target_tokens"))
+      .as[(String, Long)].collect().toMap
+    val realized = TemperatureMix.materialize(d, "source", "doc_id",
+        "n_tokens", 0.5, budget = col("total_tokens"))
+      .groupBy(col("source"))
+      .agg(sum(col("n_copies") * col("n_tokens")).as("r"))
+      .as[(String, Long)].collect().toMap
+    val maxDoc = 16L // largest per-doc token count in the fixture
+    targets.foreach { case (s, target) =>
+      val r = realized.getOrElse(s, 0L)
+      // full epochs hit the target floor exactly; the greedy prefix
+      // overshoots by strictly less than one document
+      assert(r >= target && r < target + maxDoc,
+        s"$s realized $r vs target $target")
+    }
+    spark.catalog.clearCache()
+  }
 }
