@@ -54,13 +54,18 @@ object Bench {
     // observation (min is monotone under extra samples, so a re-run that is
     // itself contended can only leave the number unchanged, never worsen it).
     val SpreadThreshold = 2.0
+    // a non-finite max means a run THREW — that's intermittent failure,
+    // not contention; report it in its own field instead of silently
+    // retrying it into the contended bucket
     val results = sweep.map { case (name, fn, mn, mx) =>
-      val contended = mn.isFinite && mx / mn > SpreadThreshold
+      val flaky = mn.isFinite && mx.isInfinity
+      val contended = mn.isFinite && mx.isFinite && mx / mn > SpreadThreshold
       val best = if (contended) math.min(mn, timedRun(name, fn)) else mn
-      (name, best, contended)
+      (name, best, contended, flaky)
     }
-    val contendedNames = results.collect { case (n, _, true) => n }
-    val failed = results.collect { case (n, t, _) if t.isInfinity => n }
+    val contendedNames = results.collect { case (n, _, true, _) => n }
+    val flakyNames = results.collect { case (n, _, _, true) => n }
+    val failed = results.collect { case (n, t, _, _) if t.isInfinity => n }
     // The harness capturing this output keeps only a bounded tail of stdout;
     // the JSON line must fit entirely inside it or it can't be parsed. Keys
     // are therefore the short query id (prefix before the first '_', unique
@@ -71,13 +76,13 @@ object Bench {
     }
     def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v, _) => "\"" + short(k) + "\":" + (if (v.isInfinity) -1 else ms3(v)) }
+      .map { case (k, v, _, _) => "\"" + short(k) + "\":" + (if (v.isInfinity) -1 else ms3(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isInfinity).sum
-    val failedJson = failed.map("\"" + short(_) + "\"").mkString("[", ",", "]")
-    val contendedJson = contendedNames.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    def names(ns: Seq[String]) =
+      ns.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     def line(queries: String, extra: String) =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size},"failed":$failedJson,"contended":$contendedJson,"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size},"failed":${names(failed)},"contended":${names(contendedNames)},"flaky":${names(flakyNames)},"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
     val full = line(qs, "")
     // never throw after the measurements exist: if the per-query map would
     // overflow the captured tail, drop it and say so in the JSON itself

@@ -17,6 +17,10 @@ object TopKBench {
   def main(args: Array[String]): Unit = {
     val spark = Sessions.local("topk-bench")
     val n = 10000000L
+    def timeMin(f: => Long): Double =
+      (1 to 3).map { _ =>
+        val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      }.min
 
     def bench(keys: Long, k: Int): Unit = {
       val df = spark.range(n)
@@ -25,10 +29,6 @@ object TopKBench {
         .persist()
       df.count() // materialize input outside timing
       val order = Seq(col("v").desc, col("id").asc)
-      def timeMin(f: => Long): Double =
-        (1 to 3).map { _ =>
-          val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-        }.min
       val tCustom = timeMin(
         operators.Dedup.topKPerKey(df, Seq("k"), order, k).count())
       spark.conf.set("spark.sql.optimizer.excludedRules",
@@ -57,12 +57,8 @@ object TopKBench {
     Seq(1 << 16, 1 << 12).foreach { budget =>
       spark.conf.set(graft.plans.TopKPerKeyExec.PartialMaxKeysKey,
         budget.toString)
-      val t = (1 to 3).map { _ =>
-        val t0 = System.nanoTime()
-        operators.Dedup.topKPerKey(df, Seq("k"),
-          Seq(col("v").desc, col("id").asc), 5).count()
-        (System.nanoTime() - t0) / 1e9
-      }.min
+      val t = timeMin(operators.Dedup.topKPerKey(df, Seq("k"),
+        Seq(col("v").desc, col("id").asc), 5).count())
       println(f"[topkbench] flush budget=$budget%-6d keys=100000 k=5: $t%.2f s")
     }
     spark.conf.unset(graft.plans.TopKPerKeyExec.PartialMaxKeysKey)

@@ -219,6 +219,14 @@ object Sketches {
     * unaffordable at scale (and 3× the cost of this query even at
     * sf0.1).
     *
+    * NOTE this operator is EAGER at construction: it collects `hist`
+    * (and so runs the sketch's jobs) while BUILDING the returned frame,
+    * a deliberate trade — deriving target positions declaratively costs
+    * a chain of ~6 broadcast-exchange jobs whose fixed overhead tripled
+    * the query at gate scale, while the collect is O(w) bounded driver
+    * state. Plan-only inspection of a query using it therefore runs the
+    * sketch jobs.
+    *
     * The [[histBuild]] sketch already knows how many values precede
     * every bucket, so the value at any global sorted position can be
     * found by sorting ONLY the bucket holding that position: global
@@ -337,11 +345,19 @@ object Sketches {
   def histBuildGrouped(df: DataFrame, keys: Seq[String], valueCol: String,
       w: Int): DataFrame = {
     val keyCols = keys.map(col)
-    val stats = df.groupBy(keyCols: _*)
-      .agg(min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"),
-        count(col(valueCol)).as("n"))
+    // null-SAFE join back to the stats side: a null key forms its own
+    // group under groupBy (matching `percentile(...) GROUP BY`, whose
+    // per-group lever this operator is), and a null-unsafe equi-join
+    // would silently drop that whole group's rows from the sketch
+    val stats = keys.foldLeft(
+      df.groupBy(keyCols: _*)
+        .agg(min(col(valueCol)).as("vmin"), max(col(valueCol)).as("vmax"),
+          count(col(valueCol)).as("n"))
+    )((s, k) => s.withColumnRenamed(k, s"__$k"))
+    val joinCond = keys.map(k => col(k) <=> col(s"__$k")).reduce(_ && _)
     df.filter(col(valueCol).isNotNull)
-      .join(stats, keys)
+      .join(stats, joinCond)
+      .drop(keys.map(k => s"__$k"): _*)
       .select(keyCols :+
         when(col("vmax") === col("vmin"), lit(0))
           .otherwise(least(floor((col(valueCol) - col("vmin"))

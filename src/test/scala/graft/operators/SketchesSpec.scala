@@ -167,9 +167,12 @@ class SketchesSpec extends SparkTestBase {
     val qs = Seq(0.5, 0.9)
     // three groups with very different spans — a shared grid would blur
     // the narrow ones; plus a single-valued group (vmax = vmin edge)
+    // and a NULL-key group (must survive the stats join, not vanish)
     val df = ((1 to 4000).map(i => ("wide", i.toDouble * 50)) ++
       (1 to 4000).map(i => ("narrow", 100.0 + (i % 97) * 0.01)) ++
-      (1 to 50).map(_ => ("flat", 42.0))).toDF("g", "v")
+      (1 to 50).map(_ => ("flat", 42.0)) ++
+      (1 to 300).map(i => (null.asInstanceOf[String], i.toDouble)))
+      .toDF("g", "v")
       .repartition(7)
     val est = Sketches.histQuantilesGrouped(
         Sketches.histBuildGrouped(df, Seq("g"), "v", w), Seq("g"), w, qs)
