@@ -7,7 +7,7 @@ object Bench {
     // streaming queries emit known-benign WARNs (AQE disabled in stateful
     // workloads, temp checkpoint location) on every micro-batch, and the
     // documented post-aggregation tiny-frame windows (≤ ~1k rows: q44,
-    // q54, q92's ≤1024-cell sketch cumsum) each emit the unpartitioned-
+    // q54, q92/q100's ≤1024-cell sketch cumsums) each emit the unpartitioned-
     // window warning — both classes would crowd real anomalies out of the
     // tail. Silence exactly those loggers; `PlanQualitySpec`'s pins and
     // `StitchedWindowSpec` guard against a REAL data-sized unpartitioned
