@@ -245,4 +245,40 @@ object IvfAnn {
   def readCells(spark: org.apache.spark.sql.SparkSession, path: String,
       cells: Seq[Int]): DataFrame =
     spark.read.parquet(path).filter(col("cell").isin(cells: _*))
+
+  /** End-to-end IVF search AGAINST the on-disk layout: the query
+    * batch's probed cells are computed from the trained centroids
+    * (pure projection), their union prunes the corpus READ to those
+    * cells' files (≤ `queries · nProbe` cells, bounded by `clusters`),
+    * and scoring proceeds exactly as [[search]] — same probe-side
+    * broadcast guard, same custom top-k. This is the shape a 10 B-
+    * vector deployment runs: I/O tracks the probe set, not the corpus;
+    * results are spec-asserted equal to the in-memory [[search]].
+    */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, cents: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val cs = CentroidState.collect(cents)
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = qcached
+      .select(col(qidCol), col(qvecCol),
+        Vectors.norm(col(qvecCol)).as("__qn"),
+        explode(CentroidState.nearestCells(col(qvecCol), cs, nProbe))
+          .as("cell"))
+    // the union of probed cells — ≤ clusters values of driver state
+    val wanted = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = readCells(spark, path, wanted)
+      .withColumn("__n", Vectors.norm(col(vecCol)))
+    val scored = probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = cs.head.cvec.length * 4L + 64L)
+      .join(corpus, "cell")
+      .filter(col(qidCol) =!= col(idCol) && col("__qn") > 0 && col("__n") > 0)
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        (Vectors.dot(col(qvecCol), col(vecCol)) / (col("__qn") * col("__n")))
+          .as("cosine"))
+    Dedup.topKPerKey(scored, Seq(qidCol),
+      Seq(col("cosine").desc, col("neighbor").asc), k)
+  }
 }

@@ -50,4 +50,25 @@ class IvfCellLayoutSpec extends SparkTestBase {
       .filter(col("cell").isin(probeCells: _*)).count()
     assert(pruned.count() === expected)
   }
+
+  test("searchPartitioned over the layout equals the in-memory search") {
+    val root = Files.createTempDirectory("graft_ivf_search").toString
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    IvfAnn.writePartitionedByCell(emb, "vec_id", "embedding", cents, root)
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("neighbor"), round(col("cosine"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    val viaLayout = canon(IvfAnn.searchPartitioned(spark, root, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2))
+    // in-memory search trains its own centroids from the same corpus
+    // with the same deterministic seeding/iters — identical quantizer
+    val viaMemory = canon(IvfAnn.search(emb, "vec_id", "embedding",
+      queries, "qid", "qv", k = 5, clusters = 8, nProbe = 2, iters = 1))
+    assert(viaLayout === viaMemory)
+    spark.catalog.clearCache()
+  }
 }
