@@ -241,6 +241,46 @@ class SketchesSpec extends SparkTestBase {
     assert(merged === union)
   }
 
+  test("per-micro-batch histogram cells merge to the batch-built sketch (streaming rollup)") {
+    // the merge property's real use case: an incremental stream builds
+    // cells per micro-batch; their sum must equal the one-shot sketch
+    val w = 64
+    val dir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
+      .toString + "/data"
+    val data = (1 to 9000).map(i => math.sqrt(i.toDouble) * 13.7).toDF("v")
+    data.repartition(4).write.parquet(dir) // 4 files → 4 micro-batches
+    val g = data.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
+      .head()
+    val grid = spark.createDataFrame(
+      Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
+    val acc = scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v",
+          org.apache.spark.sql.types.DoubleType))))
+      .option("maxFilesPerTrigger", 1).parquet(dir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        acc.synchronized {
+          acc ++= Sketches.histBucketize(batch, "v", w, grid)
+            .as[(Int, Double, Double, Long)].collect()
+        }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(acc.nonEmpty)
+    val merged = Sketches.histMerge(Seq(
+        spark.createDataFrame(acc.toSeq).toDF("bucket", "vmin", "vmax", "cnt")))
+      .orderBy(col("bucket")).as[(Int, Double, Double, Long, Long)]
+      .collect().toSeq
+    val whole = Sketches.histBuild(data, "v", w)
+      .orderBy(col("bucket")).as[(Int, Double, Double, Long, Long)]
+      .collect().toSeq
+    assert(merged === whole)
+  }
+
   test("bloom bit words are identical regardless of input partitioning") {
     val hs = (1 to 2000).map(i => s"x$i").toDF("s")
       .select(graft.functions.Text.charHash(col("s")).as("h"))
