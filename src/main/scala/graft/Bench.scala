@@ -34,11 +34,43 @@ object Bench {
           false
         }
       val elapsed = (System.nanoTime() - t0) / 1e9
-      spark.catalog.clearCache() // operators persist() internally; un-time it
+      // operators persist() internally via CacheScope; un-time the
+      // release (clearCache stays as belt-and-braces for anything cached
+      // outside the registry)
+      CacheScope.releaseAll()
+      spark.catalog.clearCache()
       // a failed run's time-to-exception is not a measurement — never let
       // it win the min and report a misleadingly fast number
       if (ok) elapsed else Double.PositiveInfinity
     }
+    // Cross-round truth for the UNIFORM-contention blind spot: a
+    // sustained load window can inflate all three runs of a query
+    // equally, so the spread detector below sees a clean 1.0-1.3x spread
+    // around a bad min (round 6 committed q58/q86/q87 at 1.5-3.5x their
+    // idle-box times exactly this way). The previous committed round's
+    // per-query numbers are an independent yardstick: a query whose best
+    // exceeds its prior record by >1.5x is re-measured once after the
+    // sweep, and if it STAYS above the threshold it is flagged in the
+    // JSON ("inflated") — either a real regression worth reading or a
+    // contention window the whole run sat inside; either way the flag
+    // says "do not trust this delta blindly". Parsing is a regex over
+    // the known one-line format (only the per-query map has q-prefixed
+    // keys), so no JSON library is needed.
+    val prior: Map[String, Double] = {
+      val dir = new java.io.File(".").listFiles()
+      val files = if (dir == null) Array.empty[java.io.File]
+        else dir.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+      files.sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
+        .map { f =>
+          val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
+          "\"(q\\d+)\":(-?[0-9.]+)".r.findAllMatchIn(s)
+            .map(m => m.group(1) -> m.group(2).toDouble)
+            .filter(_._2 > 0) // -1 marks a failed query, not a time
+            .toMap
+        }.getOrElse(Map.empty)
+    }
+    val InflationThreshold = 1.5
+    def short(name: String): String = name.takeWhile(_ != '_')
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
     val sweep = ordered.map { case (name, fn) =>
       val times = (0 to Runs).map(_ => timedRun(name, fn)).drop(1) // run 0 is the untimed warm-up
@@ -60,12 +92,22 @@ object Bench {
     val results = sweep.map { case (name, fn, mn, mx) =>
       val flaky = mn.isFinite && mx.isInfinity
       val contended = mn.isFinite && mx.isFinite && mx / mn > SpreadThreshold
-      val best = if (contended) math.min(mn, timedRun(name, fn)) else mn
-      (name, best, contended, flaky)
+      val spreadBest = if (contended) math.min(mn, timedRun(name, fn)) else mn
+      // cross-round check (uniform contention is spread-invisible):
+      // re-measure once if this round's best is >1.5x the prior
+      // committed record; keep the flag only if it STAYS above
+      val priorT = prior.get(short(name))
+      val overPrior = (t: Double) =>
+        priorT.exists(p => t.isFinite && t > p * InflationThreshold)
+      val best =
+        if (overPrior(spreadBest)) math.min(spreadBest, timedRun(name, fn))
+        else spreadBest
+      (name, best, contended, flaky, overPrior(best))
     }
-    val contendedNames = results.collect { case (n, _, true, _) => n }
-    val flakyNames = results.collect { case (n, _, _, true) => n }
-    val failed = results.collect { case (n, t, _, _) if t.isInfinity => n }
+    val contendedNames = results.collect { case (n, _, true, _, _) => n }
+    val flakyNames = results.collect { case (n, _, _, true, _) => n }
+    val inflatedNames = results.collect { case (n, _, _, _, true) => n }
+    val failed = results.collect { case (n, t, _, _, _) if t.isInfinity => n }
     // The harness capturing this output keeps only a bounded tail of stdout;
     // the JSON line must fit entirely inside it or it can't be parsed. Keys
     // are therefore the short query id (prefix before the first '_', unique
@@ -74,15 +116,19 @@ object Bench {
       val r = math.rint(v * 1000) / 1000
       if (r == r.toLong) r.toLong.toString else r.toString
     }
-    def short(name: String): String = name.takeWhile(_ != '_')
     val qs = results
-      .map { case (k, v, _, _) => "\"" + short(k) + "\":" + (if (v.isInfinity) -1 else ms3(v)) }
+      .map { case (k, v, _, _, _) => "\"" + short(k) + "\":" + (if (v.isInfinity) -1 else ms3(v)) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filterNot(_.isInfinity).sum
     def names(ns: Seq[String]) =
       ns.map("\"" + short(_) + "\"").mkString("[", ",", "]")
+    // `errors` counts every query with ANY failed run — all-runs-failed
+    // (also in `failed`, reported -1) AND intermittent ones (also in
+    // `flaky`, reporting their successful-run min) — so a consumer
+    // keying on `errors` alone cannot read an intermittently-failing
+    // suite as clean
     def line(queries: String, extra: String) =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size},"failed":${names(failed)},"contended":${names(contendedNames)},"flaky":${names(flakyNames)},"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${names(contendedNames)},"flaky":${names(flakyNames)},"inflated":${names(inflatedNames)},"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
     val full = line(qs, "")
     // never throw after the measurements exist: if the per-query map would
     // overflow the captured tail, drop it and say so in the JSON itself

@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.storage.StorageLevel
+
+/** Session-wide registry of operator- and query-internal caches.
+  *
+  * Operators persist intermediates whose lifetime the operator itself
+  * cannot end: the frames they return reference the cache LAZILY, so an
+  * `unpersist` before the caller materializes would silently recompute
+  * (or worse, re-scan a corpus mid-search). The previous contract —
+  * "callers own cleanup via `spark.catalog.clearCache()`" — worked for
+  * the gate but left long-lived sessions accumulating MEMORY_AND_DISK
+  * entries per call with no way to release *only* what the engine
+  * created.
+  *
+  * This registry makes cache scope explicit:
+  *  - every internal persist goes through [[cache]], which registers the
+  *    frame (idempotent — a frame the CALLER already persisted is left
+  *    alone and stays the caller's to release);
+  *  - [[releaseAll]] unpersists exactly the registered frames — call it
+  *    after materializing a query's output (the gate runners do; a
+  *    long-lived session calls it between queries without clobbering its
+  *    own caches the way `clearCache()` would);
+  *  - [[withCached]] scopes it: `withCached { q.write.parquet(...) }`
+  *    releases the engine's caches when the block's materialization
+  *    finishes.
+  *
+  * `CacheScopeSpec` pins the contract: after each cache-using gate query
+  * materializes and `releaseAll()` runs, the Spark cache is empty — an
+  * operator adding a raw `.persist` without registering it fails the
+  * spec.
+  */
+object CacheScope {
+
+  private val registry =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
+
+  /** Persist `df` (MEMORY_AND_DISK) and register it for [[releaseAll]],
+    * unless the caller already persisted it — then ownership stays with
+    * the caller and this is a no-op (avoids the double-cache warning and
+    * keeps one owner per cache entry).
+    */
+  def cache(df: DataFrame): DataFrame =
+    if (df.storageLevel == StorageLevel.NONE) {
+      df.persist(StorageLevel.MEMORY_AND_DISK)
+      registry.add(df)
+      df
+    } else df
+
+  /** Number of live registered caches (spec hook). */
+  def activeCount: Int = registry.size
+
+  /** Unpersist every registered frame (non-blocking) and clear the
+    * registry. Safe to call at any point AFTER the consuming query
+    * materialized; anything still needed later recomputes correctly.
+    */
+  def releaseAll(): Unit = {
+    val it = registry.iterator()
+    while (it.hasNext) {
+      it.next().unpersist(blocking = false)
+      it.remove()
+    }
+  }
+
+  /** Run `body` (which should MATERIALIZE whatever it builds), then
+    * release the engine caches registered during it.
+    */
+  def withCached[T](body: => T): T =
+    try body finally releaseAll()
+}

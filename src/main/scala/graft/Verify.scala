@@ -21,7 +21,13 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
-      finally spark.catalog.clearCache() // operators persist() internally
+      finally {
+        // operators persist() internally via CacheScope — release the
+        // registered entries, then clearCache as belt-and-braces for
+        // anything cached outside the registry
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -118,14 +118,13 @@ private[operators] object CentroidState {
     * double-cache warning and keeps one owner per cache entry.
     * Cache ownership: the plans built on top reference this cache
     * lazily, so operators cannot unpersist before the caller
-    * materializes — CALLERS own cleanup (`spark.catalog.clearCache()`
-    * after materializing, as the gate queries and specs do); long-lived
-    * sessions otherwise accumulate MEMORY_AND_DISK entries per search.
+    * materializes — the persist registers in [[graft.CacheScope]], and
+    * callers release it after materializing
+    * (`graft.CacheScope.releaseAll()`, as the gate runners do;
+    * `CacheScopeSpec` pins that nothing stays cached after release).
     */
   def ensureCached(df: DataFrame): DataFrame =
-    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
-      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    else df
+    graft.CacheScope.cache(df)
 
   /** Re-collect a centroid DataFrame (small by the O(k·dim) contract)
     * back into driver state; `cnorm2` is re-derived so any caller-built

@@ -183,7 +183,7 @@ object IvfAnn {
     val gt = Dedup.topKPerKey(bf, Seq("qid"),
         Seq(col("cos").desc, col("neighbor").asc), k)
       .select(col("qid"), col("neighbor"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // one candidate join at the WIDEST sweep point; probe_rank lets every
     // narrower nProbe reuse it as a filter instead of a fresh search, and
     // fanning the candidates out over the (tiny) sweep frame reads every
@@ -261,11 +261,17 @@ object IvfAnn {
       k: Int, nProbe: Int): DataFrame = {
     val cs = CentroidState.collect(cents)
     val qcached = CentroidState.ensureCached(queries)
-    val probed = qcached
+    // persist the probed frame: the wanted-cell collect below and the
+    // scored join both read it, and without the cache each would re-run
+    // the per-query centroid-scoring projection as its own job (the
+    // probe side is ≤ queries · nProbe rows — bounded by the search
+    // contract, so caching it is cheap); registered in CacheScope like
+    // every internal cache
+    val probed = CentroidState.ensureCached(qcached
       .select(col(qidCol), col(qvecCol),
         Vectors.norm(col(qvecCol)).as("__qn"),
         explode(CentroidState.nearestCells(col(qvecCol), cs, nProbe))
-          .as("cell"))
+          .as("cell")))
     // the union of probed cells — ≤ clusters values of driver state
     val wanted = probed.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toSeq

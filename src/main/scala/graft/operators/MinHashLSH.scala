@@ -90,7 +90,7 @@ object MinHashLSH {
     // sides of the verify join — without it Spark recomputes shingles +
     // signatures three times (Spark's own ML LSH models cache the same way)
     val withSig = docs.withColumn("__sig", signature(col(shCol)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // band buckets: (band index, joined signature slice)
     val buckets = withSig.select(col(idCol), explode(
       array((0 until Bands).map { bIdx =>

@@ -62,10 +62,12 @@ object Sketches {
     * smallest — the union of shard sketches is the sketch of the union
     * (distinct-ness and min-ness both commute with union).
     */
-  def kmvMerge(sets: Seq[DataFrame], k: Int): DataFrame =
+  def kmvMerge(sets: Seq[DataFrame], k: Int): DataFrame = {
+    require(sets.nonEmpty, "kmvMerge: no input sketches")
     sets.reduce(_.unionByName(_))
       .distinct()
       .orderBy(col("h")).limit(k)
+  }
 
   /** Collapse a k-min set to the (k_used, kth_hash) estimator inputs. */
   def kmvFinalize(set: DataFrame): DataFrame =
@@ -115,29 +117,28 @@ object Sketches {
 
   /** Point estimate for `hashCol`: `min_j counters[j][col_j(h)]` —
     * never underestimates the true count. `counters` is tiny
-    * (`CmsRows · w` rows): always broadcast. The re-collapse after the
-    * posexplode groups on a per-row id (not `df`'s columns), so
-    * duplicate and all-NULL input rows each keep their own output row.
-    * Determinism precondition: the row id comes from
-    * `monotonically_increasing_id`, which is only stable while the
-    * input frame's partitioning/ordering is deterministic — the
-    * contract every source in this engine already guarantees (parquet
-    * scans, no `rand()`); a non-deterministic upstream recomputed on a
-    * stage retry could re-key rows between the explode and the
-    * re-collapse, so don't feed one here.
+    * (`CmsRows · w` rows): always broadcast. `keyCol` must uniquely
+    * identify `df`'s rows (every caller has a natural one — a token, a
+    * doc id): the re-collapse after the posexplode groups on ALL of
+    * `df`'s columns, which under that contract is keyed by `keyCol`, so
+    * the estimate is deterministic under stage retries and upstream
+    * recomputation — no synthetic row ids involved (the previous
+    * `monotonically_increasing_id` formulation carried a
+    * determinism-precondition caveat this signature deletes).
     */
   def cmsEstimate(df: DataFrame, hashCol: String, counters: DataFrame,
-      w: Int): DataFrame =
+      w: Int, keyCol: String): DataFrame = {
+    require(df.columns.contains(keyCol),
+      s"cmsEstimate: unique key column '$keyCol' not in ${df.columns.toSeq}")
     df
-      .withColumn("__rid", monotonically_increasing_id())
-      .select(col("__rid") +: df.columns.toIndexedSeq.map(col) :+
+      .select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until CmsRows).map(j =>
           cmsCol(col(hashCol), j, w)): _*)).as(Seq("__j", "__c")): _*)
       .join(broadcast(counters),
         col("__j") === col("j") && col("__c") === col("c"), "left")
-      .groupBy(col("__rid") +: df.columns.toIndexedSeq.map(col): _*)
+      .groupBy(df.columns.toIndexedSeq.map(col): _*)
       .agg(min(coalesce(col("cnt"), lit(0L))).as("cms_est"))
-      .drop("__rid")
+  }
 
   /** Build-side-derived filter sizing: `bitsPerKey · n` rounded up to
     * whole 32-bit words, floored at 64 bits (an empty build side still
@@ -401,33 +402,50 @@ object Sketches {
     * dropped; `n` is re-derived as the merged total).
     */
   def histMerge(hists: Seq[DataFrame]): DataFrame = {
+    require(hists.nonEmpty, "histMerge: no input sketches")
     val merged = hists
       .map(_.select(col("bucket"), col("vmin"), col("vmax"), col("cnt")))
       .reduce(_.unionByName(_))
       .groupBy(col("bucket"), col("vmin"), col("vmax"))
       .agg(sum(col("cnt")).as("cnt"))
+    // fail FAST on mixed grids: cells built on different (vmin, vmax)
+    // grids would survive the union as parallel rows while `n` became
+    // their combined total — silently corrupted quantiles. The distinct-
+    // grid count rides the same tiny aggregation that derives `n`, and
+    // `raise_error` only evaluates on the mixed-grid branch.
+    val tot = merged.agg(sum(col("cnt")).as("n"),
+      countDistinct(struct(col("vmin"), col("vmax"))).as("__grids"))
     merged
-      .crossJoin(broadcast(merged.agg(sum(col("cnt")).as("n"))))
-      .select(col("bucket"), col("vmin"), col("vmax"), col("n"), col("cnt"))
+      .crossJoin(broadcast(tot))
+      .select(col("bucket"), col("vmin"), col("vmax"),
+        when(col("__grids") === 1, col("n"))
+          .otherwise(raise_error(lit(
+            "histMerge: input cells use different (vmin, vmax) grids")))
+          .as("n"),
+        col("cnt"))
   }
 
   /** Merge count-min sketches: counter-wise addition over (j, c) — CMS
     * cells are plain sums, so sharded builds merge exactly.
     */
-  def cmsMerge(sketches: Seq[DataFrame]): DataFrame =
+  def cmsMerge(sketches: Seq[DataFrame]): DataFrame = {
+    require(sketches.nonEmpty, "cmsMerge: no input sketches")
     sketches.reduce(_.unionByName(_))
       .groupBy(col("j"), col("c"))
       .agg(sum(col("cnt")).as("cnt"))
+  }
 
   /** Merge Bloom filters built with the same (mBits, nHashes): word-wise
     * OR — the filter of a union is the OR of the filters. With this,
     * every member of the portable family (KMV, Bloom, CMS, histogram)
     * has a spec- or gate-checked merge: union / OR / add / add.
     */
-  def bloomMerge(filters: Seq[DataFrame]): DataFrame =
+  def bloomMerge(filters: Seq[DataFrame]): DataFrame = {
+    require(filters.nonEmpty, "bloomMerge: no input filters")
     filters.reduce(_.unionByName(_))
       .groupBy(col("w"))
       .agg(bit_or(col("bits")).as("bits"))
+  }
 
   /** The `nHashes` probe positions of hash `h` in an `mBits`-bit Bloom
     * filter (double hashing; every op stays far from BIGINT overflow).

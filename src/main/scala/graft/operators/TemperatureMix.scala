@@ -50,14 +50,14 @@ object TemperatureMix {
     // persist it (tens of rows) so the corpus-sized input is scanned and
     // aggregated ONCE, not once per consumer. Cache ownership: the
     // returned plan references this cache lazily, so it cannot be
-    // unpersisted here — CALLERS own cleanup (unpersist via
-    // `spark.catalog.clearCache()` once the output is materialized, as
-    // the gate queries and specs do); in a long-lived session repeated
-    // plan() calls otherwise accumulate MEMORY_AND_DISK entries
+    // unpersisted here — it registers in graft.CacheScope, and callers
+    // release it after materializing (CacheScope.releaseAll(), as the
+    // gate runners do), so long-lived sessions no longer accumulate
+    // MEMORY_AND_DISK entries across plan() calls
     val per = docs.groupBy(col(sourceCol))
       .agg(count(lit(1)).as("n_docs"),
         sum(col(tokenCol)).as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val tot = per.agg(
       sum(col("n_tokens")).as("total_tokens"),
       Stable.sumD(weight(col("n_tokens"), alpha)).as("z"))

@@ -114,13 +114,13 @@ object DedupQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val ex = docs.select(col("doc_id"), explode(col("sh")).as("s"))
     // document frequency per shingle + the keep verdict, persisted once:
     // feeds the semi-join prune AND the kept/dropped report
     val dfq = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
       .withColumn("keep", col("df") <= lit(MaxShingleDf.toLong))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val stats = dfq.agg(
       sum(when(col("keep"), 1L).otherwise(0L)).as("shingles_kept"),
       sum(when(col("keep"), 0L).otherwise(1L)).as("shingles_dropped"))
@@ -320,7 +320,7 @@ object DedupQueries {
       .select(col("doc_id"),
         MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
         ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val trainSh = base.filter(col("bucket") < 80)
       .select(explode(col("sh")).as("s")).distinct()
       .withColumn("hit", lit(1L))

@@ -694,7 +694,7 @@ object SimilarityQueries {
       .select(col("vec_id"), col("embedding"),
         Vectors.norm(col("embedding")).as("nrm"),
         Vectors.signBucket("embedding", 8).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val cos = Vectors.dot(col("a.embedding"), col("b.embedding")) /
       (col("a.nrm") * col("b.nrm"))
     def pairs(extraCond: org.apache.spark.sql.Column) = e.as("a")

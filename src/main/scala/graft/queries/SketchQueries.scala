@@ -136,10 +136,10 @@ object SketchQueries {
         graft.operators.MinHashLSH.shingleHashes(Text.tokens(col("text")), 3)
           .as("sh"),
         ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val evalH = base.filter(col("bucket") >= 90)
       .select(explode(col("sh")).as("h")).distinct()
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // size from the observed build side (one count over the SMALL side —
     // the same number the oracle's mb CTE derives its m from)
     val mBits = Sketches.bloomBits(evalH.count(), BloomBitsPerKey)
@@ -210,12 +210,12 @@ object SketchQueries {
     val toks = Tables.load(spark, dir, "documents")
       .select(explode(Text.tokens(col("text"))).as("tok"))
       .select(col("tok"), Sketches.uniformHash(col("tok")).as("h"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val counters = Sketches.cmsBuild(toks, "h", CmsW)
     val top = toks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    Sketches.cmsEstimate(top, "h", counters, CmsW)
+    Sketches.cmsEstimate(top, "h", counters, CmsW, keyCol = "tok")
       .select(col("tok"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("tok"))
@@ -282,11 +282,11 @@ object SketchQueries {
     // sketch's two passes and the exact foil's pruned pass — lineitem is
     // read off disk once, not three times
     val li = Tables.load(spark, dir, "lineitem").select("l_extendedprice")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // the ≤1024-row sketch feeds the estimator AND guides the exact
     // side's bucket pruning — persist so its two input scans run once
     val hist = Sketches.histBuild(li, "l_extendedprice", HistW)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val est = Sketches.histQuantiles(hist, HistW, HistQs)
     // exact interpolated percentiles via the sketch-guided DISTRIBUTED
     // path (sort only the buckets holding target positions) — the
@@ -370,30 +370,44 @@ object SketchQueries {
       .select(col("l_extendedprice"),
         pmod(Sketches.uniformHash(col("l_orderkey")),
           lit(MergeShards.toLong)).as("shard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // shared grid, collected once (two doubles of driver state) so the
     // four shard builds don't each re-broadcast a grid aggregation job
     val g = li.agg(min(col("l_extendedprice")).as("vmin"),
       max(col("l_extendedprice")).as("vmax")).head()
-    val grid = spark.createDataFrame(
-      Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
-    val shards = (0 until MergeShards).map { s =>
-      Sketches.histBucketize(li.filter(col("shard") === s),
-        "l_extendedprice", HistW, grid)
+    // empty/all-null input → no grid to build on; degrade to an empty
+    // result (mirroring histExactQuantiles' cells.isEmpty early-return)
+    // instead of NPEing on the null aggregate row
+    if (g.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q", DoubleType),
+          StructField("n_rows", LongType),
+          StructField("est_merged", DoubleType),
+          StructField("est_whole", DoubleType),
+          StructField("agree", BooleanType))))
+    } else {
+      val grid = spark.createDataFrame(
+        Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
+      val shards = (0 until MergeShards).map { s =>
+        Sketches.histBucketize(li.filter(col("shard") === s),
+          "l_extendedprice", HistW, grid)
+      }
+      val est = Sketches.histQuantiles(Sketches.histMerge(shards),
+          HistW, HistQs)
+        .select(col("q"), col("n").as("n_rows"),
+          round(col("est") + lit(1e-9), 4).as("est_merged"))
+      val whole = Sketches.histQuantiles(
+          Sketches.histMerge(Seq(
+            Sketches.histBucketize(li, "l_extendedprice", HistW, grid))),
+          HistW, HistQs)
+        .select(col("q"), round(col("est") + lit(1e-9), 4).as("est_whole"))
+      est.join(whole, "q")
+        .select(col("q"), col("n_rows"), col("est_merged"), col("est_whole"),
+          (col("est_merged") === col("est_whole")).as("agree"))
+        .orderBy(col("q"))
     }
-    val est = Sketches.histQuantiles(Sketches.histMerge(shards),
-        HistW, HistQs)
-      .select(col("q"), col("n").as("n_rows"),
-        round(col("est") + lit(1e-9), 4).as("est_merged"))
-    val whole = Sketches.histQuantiles(
-        Sketches.histMerge(Seq(
-          Sketches.histBucketize(li, "l_extendedprice", HistW, grid))),
-        HistW, HistQs)
-      .select(col("q"), round(col("est") + lit(1e-9), 4).as("est_whole"))
-    est.join(whole, "q")
-      .select(col("q"), col("n_rows"), col("est_merged"), col("est_whole"),
-        (col("est_merged") === col("est_whole")).as("agree"))
-      .orderBy(col("q"))
   }
 
   /** MERGE-BY-ADDITION for the count-min sketch: the token stream is
@@ -455,7 +469,7 @@ object SketchQueries {
       .select(col("tok"), Sketches.uniformHash(col("tok")).as("h"),
         pmod(Sketches.uniformHash(col("doc_id")), lit(MergeShards.toLong))
           .as("shard"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     val shards = (0 until MergeShards).map { s =>
       Sketches.cmsBuild(toks.filter(col("shard") === s), "h", CmsW)
     }
@@ -464,9 +478,9 @@ object SketchQueries {
     val top = toks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    val em = Sketches.cmsEstimate(top, "h", merged, CmsW)
+    val em = Sketches.cmsEstimate(top, "h", merged, CmsW, keyCol = "tok")
       .withColumnRenamed("cms_est", "est_merged")
-    Sketches.cmsEstimate(em, "h", whole, CmsW)
+    Sketches.cmsEstimate(em, "h", whole, CmsW, keyCol = "tok")
       .withColumnRenamed("cms_est", "est_whole")
       .select(col("tok"), col("exact_cnt"), col("est_merged"),
         col("est_whole"), (col("est_merged") === col("est_whole"))

@@ -243,7 +243,7 @@ object TextQueries {
       // two subtrees differ, so ReuseExchange cannot dedup them — persist
       // the (bounded: distinct (doc, tok) pairs) frame instead of
       // re-running the tokenization scan
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     // (doc, tok) is unique in tf, so document frequency is a plain count
     // over tf — df aggregates the distinct-pair frame, not the raw token
     // stream, and the two-phase distinct aggregation disappears
@@ -631,7 +631,7 @@ object TextQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("source"), col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(graft.CacheScope.cache)
     graft.operators.TemperatureMix.materialize(docs, "source", "doc_id",
       "n_tokens", alpha = 0.5, budget = col("total_tokens"))
       .orderBy(col("source"), col("doc_id"))

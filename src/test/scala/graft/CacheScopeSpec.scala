@@ -1,0 +1,56 @@
+package graft
+
+/** Pins the cache-scope contract (round-7): every cache an operator or
+  * query creates internally registers in [[CacheScope]], so after a
+  * query's output materializes and `releaseAll()` runs, NOTHING is left
+  * in the Spark cache — a long-lived session running gate queries
+  * back-to-back cannot accumulate MEMORY_AND_DISK entries. An operator
+  * that adds a raw `.persist` without routing it through
+  * `CacheScope.cache` (or `CentroidState.ensureCached`) fails this spec.
+  *
+  * The query list is every gate query whose implementation caches
+  * internally (grep: `CacheScope.cache` / `ensureCached` reachable from
+  * its operators); sf0.001 keeps the sweep cheap.
+  */
+class CacheScopeSpec extends SparkTestBase {
+
+  private val cacheUsers = Seq(
+    "q23_ngram_jaccard",   // DedupQueries: shingle + pair frames
+    "q24_minhash_lsh",     // MinHashLSH.groups signature cache
+    "q58_ivf_ann",         // IvfAnn.search: corpus + query caches
+    "q63_tfidf_top_terms", // TextQueries: token frame
+    "q67_pq_ann",          // ProductQuantizer: corpus cache
+    "q69_decontamination", // DedupQueries: shingle cache
+    "q81_bloom_decon",     // SketchQueries: base + eval caches
+    "q83_pq_refined",      // PQ shortlist + exact re-rank
+    "q85_ivfpq_ann",       // IvfPq: corpus + query caches
+    "q86_countmin_topk",   // token cache
+    "q88_neardup_recall",  // SimilarityQueries sample cache
+    "q89_ivf_recall",      // recallSweep: corpus + ground-truth caches
+    "q92_hist_quantiles",  // lineitem + sketch caches
+    "q100_hist_merge",     // sharded scan cache
+    "q101_cms_merge",      // token cache
+    "q103_mix_materialize" // TemperatureMix.plan per-source cache
+  )
+
+  test("no engine cache survives releaseAll after a gate query materializes") {
+    // start from a clean slate: an earlier suite's leftovers are not
+    // this contract's concern
+    CacheScope.releaseAll()
+    spark.catalog.clearCache()
+    val byName = SparkEntry.queries
+    cacheUsers.foreach { name =>
+      val fn = byName.getOrElse(name, fail(s"unknown gate query $name"))
+      fn(spark, sfDir).count() // materialize like the gate does
+      assert(CacheScope.activeCount > 0,
+        s"$name registered no caches — drop it from this list " +
+          "or its operators stopped caching")
+      CacheScope.releaseAll()
+      assert(CacheScope.activeCount === 0, name)
+      val live = spark.sparkContext.getPersistentRDDs
+      assert(live.isEmpty,
+        s"$name leaked ${live.size} cache entr(ies) past releaseAll: " +
+          live.values.map(_.name).mkString("; "))
+    }
+  }
+}

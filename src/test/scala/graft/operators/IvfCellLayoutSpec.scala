@@ -1,7 +1,5 @@
 package graft.operators
 
-import java.nio.file.Files
-
 import org.apache.spark.sql.functions._
 
 import graft.SparkTestBase
@@ -15,7 +13,7 @@ import graft.SparkTestBase
 class IvfCellLayoutSpec extends SparkTestBase {
 
   test("a probe reads only its nProbe cells' files from the cell-partitioned corpus") {
-    val root = Files.createTempDirectory("graft_ivf_cells").toString
+   withTempDir("graft_ivf_cells") { root =>
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val clusters = 8
     val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters,
@@ -49,10 +47,11 @@ class IvfCellLayoutSpec extends SparkTestBase {
       .select(CentroidState.nearestCell(col("embedding"), cs).as("cell"))
       .filter(col("cell").isin(probeCells: _*)).count()
     assert(pruned.count() === expected)
+   }
   }
 
   test("searchPartitioned over the layout equals the in-memory search") {
-    val root = Files.createTempDirectory("graft_ivf_search").toString
+   withTempDir("graft_ivf_search") { root =>
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters = 8,
       iters = 1)
@@ -69,6 +68,7 @@ class IvfCellLayoutSpec extends SparkTestBase {
     val viaMemory = canon(IvfAnn.search(emb, "vec_id", "embedding",
       queries, "qid", "qv", k = 5, clusters = 8, nProbe = 2, iters = 1))
     assert(viaLayout === viaMemory)
-    spark.catalog.clearCache()
+    graft.CacheScope.releaseAll()
+   }
   }
 }

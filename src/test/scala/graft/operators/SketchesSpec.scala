@@ -94,7 +94,7 @@ class SketchesSpec extends SparkTestBase {
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
     val counters = Sketches.cmsBuild(hashes, "h", w)
     val exact = hashes.groupBy("k", "h").agg(count(lit(1)).as("exact"))
-    val est = Sketches.cmsEstimate(exact, "h", counters, w)
+    val est = Sketches.cmsEstimate(exact, "h", counters, w, keyCol = "k")
       .select(col("k"), col("exact"), col("cms_est"))
       .as[(String, Long, Long)].collect()
     assert(est.forall { case (_, ex, e) => e >= ex },
@@ -103,17 +103,30 @@ class SketchesSpec extends SparkTestBase {
     assert(est.find(_._1 == "key_1").exists { case (_, ex, e) => e == ex })
   }
 
-  test("count-min estimate keeps duplicate input rows separate") {
+  test("count-min estimate is keyed by the caller-supplied unique key") {
     val w = 256
     val stream = (1 to 500).map(i => s"k${i % 11}").toDF("k")
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
     val counters = Sketches.cmsBuild(stream, "h", w)
-    // probe frame with duplicate rows: each must keep its own output row
-    val probes = Seq("k1", "k1", "k2").toDF("k")
+    // the contract: `keyCol` uniquely identifies probe rows, so every
+    // probe keeps its own output row with all carried columns intact —
+    // and with no synthetic row ids involved, the output is identical
+    // however the probe frame is partitioned (the stage-retry-safety
+    // the old monotonically_increasing_id formulation could not promise)
+    val probes = Seq("k1", "k2", "k3").toDF("k")
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
-    val est = Sketches.cmsEstimate(probes, "h", counters, w)
-    assert(est.count() === 3, "duplicate probe rows were merged")
-    assert(est.filter(col("k") === "k1").count() === 2)
+    def run(parts: Int) =
+      Sketches.cmsEstimate(probes.repartition(parts), "h", counters, w,
+          keyCol = "k")
+        .orderBy(col("k")).select(col("k"), col("cms_est"))
+        .as[(String, Long)].collect().toSeq
+    assert(run(1).size === 3)
+    assert(run(1) == run(7))
+    // a key column that is not in the frame is a caller bug, not a
+    // silent re-keying
+    assertThrows[IllegalArgumentException] {
+      Sketches.cmsEstimate(probes, "h", counters, w, keyCol = "nope")
+    }
   }
 
   test("count-min counters are partition-invariant (mergeable sums)") {
@@ -242,11 +255,11 @@ class SketchesSpec extends SparkTestBase {
   }
 
   test("per-micro-batch histogram cells merge to the batch-built sketch (streaming rollup)") {
+   withTempDir("graft_hist_stream") { root =>
     // the merge property's real use case: an incremental stream builds
     // cells per micro-batch; their sum must equal the one-shot sketch
     val w = 64
-    val dir = java.nio.file.Files.createTempDirectory("graft_hist_stream")
-      .toString + "/data"
+    val dir = root + "/data"
     val data = (1 to 9000).map(i => math.sqrt(i.toDouble) * 13.7).toDF("v")
     data.repartition(4).write.parquet(dir) // 4 files → 4 micro-batches
     val g = data.agg(min(col("v")).as("vmin"), max(col("v")).as("vmax"))
@@ -279,6 +292,35 @@ class SketchesSpec extends SparkTestBase {
       .orderBy(col("bucket")).as[(Int, Double, Double, Long, Long)]
       .collect().toSeq
     assert(merged === whole)
+   }
+  }
+
+  test("merge helpers reject empty input and histMerge fails fast on mixed grids") {
+    // an empty Seq is a caller bug: every merge helper says so instead
+    // of throwing reduce's opaque UnsupportedOperationException
+    assertThrows[IllegalArgumentException] { Sketches.histMerge(Seq.empty) }
+    assertThrows[IllegalArgumentException] { Sketches.cmsMerge(Seq.empty) }
+    assertThrows[IllegalArgumentException] { Sketches.bloomMerge(Seq.empty) }
+    assertThrows[IllegalArgumentException] {
+      Sketches.kmvMerge(Seq.empty, 16)
+    }
+    // cells built on DIFFERENT grids must not silently co-mingle: the
+    // grouped union would keep both grids' rows while `n` became their
+    // combined total — corrupted quantiles. histMerge raises instead.
+    val w = 32
+    val a = (1 to 500).map(_.toDouble).toDF("v")
+    val gridA = spark.createDataFrame(Seq((1.0, 500.0))).toDF("vmin", "vmax")
+    val gridB = spark.createDataFrame(Seq((0.0, 999.0))).toDF("vmin", "vmax")
+    val cellsA = Sketches.histBucketize(a, "v", w, gridA)
+    val cellsB = Sketches.histBucketize(a, "v", w, gridB)
+    val e = intercept[Exception] {
+      Sketches.histMerge(Seq(cellsA, cellsB)).collect()
+    }
+    assert(e.getMessage != null && e.getMessage.contains("grids"),
+      s"unexpected error: ${e.getMessage}")
+    // same grid still merges cleanly (the guard is free on the good path)
+    val ok = Sketches.histMerge(Seq(cellsA, cellsA))
+    assert(ok.agg(max(col("n"))).head().getLong(0) === 1000L)
   }
 
   test("bloom bit words are identical regardless of input partitioning") {
