@@ -394,6 +394,131 @@ object Sketches {
           * ((col("vmax") - col("vmin")) / w.toDouble)).as("est")): _*)
   }
 
+  /** Per-GROUP exact interpolated quantiles — [[histExactQuantiles]]'s
+    * sketch-guided pruning applied independently to every key group of a
+    * [[histBuildGrouped]] sketch, giving the grouped tier the same exact
+    * foil the global tier has without a `percentile(...) GROUP BY`
+    * shipping each group's value multiset to a single reducer.
+    *
+    * Driver state is the collected sketch: O(groups · w) cells — within
+    * the "stats side is groups-sized" contract [[histBuildGrouped]]
+    * already carries (a group count too large to collect would already
+    * have broken the sketch's broadcast join). Targets, their buckets
+    * and cumulative offsets derive locally per group; the cluster work
+    * is ONE pruned scan (broadcast-semi on the wanted (group, bucket)
+    * pairs), one window PARTITIONED by (group, bucket), and tiny
+    * broadcast joins. Exactness per group is [[histExactQuantiles]]'s
+    * argument verbatim: equal values share a bucket, and within a group
+    * the bucket expression is monotone in the value, so per-bucket rank
+    * order IS the group's global sorted order.
+    *
+    * EAGER at construction like [[histExactQuantiles]] (collects
+    * `hist`, running the sketch's jobs while building the frame).
+    */
+  def histExactQuantilesGrouped(df: DataFrame, keys: Seq[String],
+      valueCol: String, hist: DataFrame, w: Int,
+      qs: Seq[Double]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
+    val nk = keys.length
+    val keyFields = keys.map(k => hist.schema(k))
+    val outSchema = StructType(keyFields ++ Seq(
+      StructField("q", DoubleType), StructField("exact", DoubleType)))
+    val cells = hist.select(keys.map(col) ++ Seq(col("bucket"),
+      col("vmin"), col("vmax"), col("n"), col("cnt")): _*).collect()
+    if (cells.isEmpty)
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[Row], outSchema)
+    // derive per-group targets/buckets/offsets locally (a group whose
+    // values are all NULL has no cells and correctly yields no rows)
+    val gridRows = Seq.newBuilder[Row]   // keys…, vmin, vmax
+    val wantedRows = Seq.newBuilder[Row] // keys…, bucket, cbefore
+    val posRows = Seq.newBuilder[Row]    // keys…, pos
+    val targetRows = Seq.newBuilder[Row] // keys…, q, p, i0, i1
+    cells.groupBy(r => (0 until nk).map(i => r.get(i))).foreach {
+      case (key, rs) =>
+        val vmin = rs.head.getDouble(nk + 1)
+        val vmax = rs.head.getDouble(nk + 2)
+        val n = rs.head.getLong(nk + 3)
+        gridRows += Row.fromSeq(key ++ Seq(vmin, vmax))
+        var acc = 0L
+        val cum = rs.map(r => (r.getInt(nk), r.getLong(nk + 4)))
+          .sortBy(_._1)
+          .map { case (b, c) => val out = (b, acc, c); acc += c; out }
+        val targets = qs.map { q =>
+          val p = q * (n - 1).toDouble
+          (q, p, math.floor(p).toLong, math.ceil(p).toLong)
+        }
+        val needed = targets.flatMap(t => Seq(t._3, t._4)).distinct
+        needed.foreach(p => posRows += Row.fromSeq(key :+ p))
+        needed.map { pos =>
+          cum.find { case (_, cb, c) => pos >= cb && pos < cb + c }
+            .map { case (b, cb, _) => (b, cb) }
+            .getOrElse(sys.error(
+              s"position $pos outside sketch counts for group $key"))
+        }.distinct.foreach { case (b, cb) =>
+          wantedRows += Row.fromSeq(key ++ Seq[Any](b, cb))
+        }
+        targets.foreach { case (q, p, i0, i1) =>
+          targetRows += Row.fromSeq(key ++ Seq[Any](q, p, i0, i1))
+        }
+    }
+    // literal frames carry keys under __-prefixed names so every join
+    // below is unambiguous; key equality is null-SAFE like
+    // histBuildGrouped's stats join (null keys form real groups)
+    def litDf(rows: Seq[Row], extra: (String, DataType)*): DataFrame =
+      spark.createDataFrame(
+        java.util.Arrays.asList(rows: _*),
+        StructType(keyFields.map(f => f.copy(name = s"__${f.name}")) ++
+          extra.map { case (nm, dt) => StructField(nm, dt) }))
+    val keyJoin = keys.map(k => col(k) <=> col(s"__$k")).reduce(_ && _)
+    val litKeys = keys.map(k => s"__$k")
+    val gridDf = litDf(gridRows.result(),
+      "__vmin" -> DoubleType, "__vmax" -> DoubleType)
+    val wantedDf = litDf(wantedRows.result(),
+      "__bucket" -> IntegerType, "__cbefore" -> LongType)
+    val posDf = litDf(posRows.result(), "__pos" -> LongType)
+    val targetsDf = litDf(targetRows.result(), "q" -> DoubleType,
+      "p" -> DoubleType, "i0" -> LongType, "i1" -> LongType)
+    // pruned scan: per-group grid arithmetic exactly as histBuildGrouped
+    // (vmax = vmin pins bucket 0), restricted to wanted buckets, ranked
+    // within (group, bucket)
+    val bucketed = df.filter(col(valueCol).isNotNull)
+      .join(broadcast(gridDf), keyJoin)
+      .select(keys.map(col) ++ Seq(
+        when(col("__vmax") === col("__vmin"), lit(0))
+          .otherwise(least(floor((col(valueCol) - col("__vmin"))
+              / ((col("__vmax") - col("__vmin")) / w.toDouble)),
+            lit(w - 1)).cast("int")).as("bucket"),
+        col(valueCol).as("v")): _*)
+    val pruned = bucketed
+      .join(broadcast(wantedDf),
+        keyJoin && col("bucket") === col("__bucket"))
+      .withColumn("gpos", col("__cbefore") +
+        row_number().over(Window
+          .partitionBy(keys.map(col) :+ col("bucket"): _*)
+          .orderBy(col("v"))) - 1)
+      .drop(litKeys :+ "__bucket" :+ "__cbefore": _*)
+      .join(broadcast(posDf), keyJoin && col("gpos") === col("__pos"))
+      .select(keys.map(col) :+ col("gpos").as("pos") :+ col("v"): _*)
+    // per-group percentile formula over the pruned values:
+    // (⌈p⌉−p)·v⌊p⌋ + (p−⌊p⌋)·v⌈p⌉, integer positions special-cased
+    broadcast(targetsDf.select(targetsDf.columns.toIndexedSeq.map(col) :+
+        explode(array(col("i0"), col("i1"))).as("__tpos"): _*))
+      .join(pruned, keyJoin && col("__tpos") === col("pos"))
+      .groupBy(keys.map(col) ++
+        Seq(col("q"), col("p"), col("i0"), col("i1")): _*)
+      .agg(min(when(col("__tpos") === col("i0"), col("v"))).as("v0"),
+           min(when(col("__tpos") === col("i1"), col("v"))).as("v1"))
+      .select(keys.map(col) :+ col("q") :+
+        when(col("i0") === col("i1"), col("v0"))
+          .otherwise((col("i1").cast("double") - col("p")) * col("v0")
+            + (col("p") - col("i0").cast("double")) * col("v1"))
+          .as("exact"): _*)
+  }
+
   /** Merge same-grid histogram cell frames into a [[histQuantiles]]-ready
     * sketch: CELL-WISE ADDITION — the whole point of sum-backed cells
     * (per-day / per-shard sketches roll up without rescanning their

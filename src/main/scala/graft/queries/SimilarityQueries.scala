@@ -317,6 +317,43 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
   }
 
+  /** IVF ANN against the ON-DISK cell-partitioned layout — q58's search
+    * re-run through [[graft.operators.IvfAnn.writePartitionedByCell]] +
+    * [[graft.operators.IvfAnn.searchPartitioned]]: the assigned corpus
+    * is materialized hive-partitioned by cell, and the search's corpus
+    * READ prunes to the probed cells' files (partition pruning,
+    * file-set-asserted by `IvfCellLayoutSpec`), so I/O tracks
+    * `nProbe / clusters` — the 10 B-vector deployment shape, where the
+    * index layout (not compute) is what makes the probe affordable.
+    * Training is deterministic (q58's contract), so the SAME
+    * unrolled-Lloyd oracle gates the whole write → prune → scan → score
+    * chain end-to-end: a hash-equal result proves the on-disk path
+    * reproduces the in-memory search bit-for-bit.
+    */
+  val ivfAnnPartitioned: QuerySpec = QuerySpec.sql(
+    "q104_ivf_partitioned",
+    ivfOracleSql(clusters = 16, nProbe = 4, iters = 2, k = 3, dim = 64,
+      nQueries = 10)
+  ) { (spark, dir) =>
+    // the corpus feeds seeding, two Lloyd scans, the layout write and
+    // nothing else (the search reads the LAYOUT) — cache it across those
+    val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+    val cents = graft.operators.IvfAnn
+      .centroids(corpus, "vec_id", "embedding", clusters = 16, iters = 2)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_q104_").toString + "/ivf_cells"
+    graft.operators.IvfAnn
+      .writePartitionedByCell(corpus, "vec_id", "embedding", cents, path)
+    val queries = corpus.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    graft.operators.IvfAnn
+      .searchPartitioned(spark, path, cents, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3, nProbe = 4)
+      .select(col("qid"), col("neighbor"),
+        round(col("cosine") + lit(1e-9), 4).as("cosine"))
+      .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+  }
+
   /** Int8-style embedding quantization + KNN over the quantized vectors —
     * the memory-side scale lever (4× smaller vectors, integer dot
     * products). Per-vector symmetric scale = max |component|; quantized
@@ -780,5 +817,5 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
-    ivfRecall)
+    ivfRecall, ivfAnnPartitioned)
 }

@@ -540,6 +540,184 @@ object SketchQueries {
       .orderBy(col("l_returnflag"), col("q"))
   }
 
+  /** STREAMING sketch maintenance, oracle-gated — the streaming half of
+    * q100's merge-by-addition claim (previously spec-only): the price
+    * column is re-materialized as a 4-file directory and streamed back
+    * one file per micro-batch (`Trigger.AvailableNow`, the q94/q95
+    * pattern); each micro-batch builds histogram CELLS on the shared
+    * grid ([[Sketches.histBucketize]] inside `foreachBatch`), the
+    * per-batch cells accumulate and merge by addition
+    * ([[Sketches.histMerge]]), and the maintained sketch's quantiles
+    * hash-compare against the batch-built sketch's. Cells are plain
+    * sums, so micro-batch boundaries only reorder the addition —
+    * `agree` must be true on every row, which is exactly what lets a
+    * 100 TB deployment keep per-day sketches current from a stream
+    * without ever rescanning history.
+    */
+  val histStreamMaintain: QuerySpec = QuerySpec.sql(
+    "q105_hist_stream",
+    s"""WITH st AS (
+      |  SELECT min(l_extendedprice) AS vmin, max(l_extendedprice) AS vmax
+      |  FROM lineitem),
+      |v AS (
+      |  SELECT l_extendedprice AS v FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL),
+      |whole AS (
+      |  SELECT CAST(least(floor((v - vmin)
+      |      / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT) AS bucket,
+      |    vmin, vmax, CAST(count(*) AS BIGINT) AS cnt
+      |  FROM v CROSS JOIN st GROUP BY 1, 2, 3),
+      |wtot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM whole),
+      |wcum AS (
+      |  SELECT bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (ORDER BY bucket) AS BIGINT) AS c
+      |  FROM whole CROSS JOIN wtot),
+      |qs(q) AS (VALUES ${HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+      |sel AS (
+      |  SELECT q, vmin, vmax, n, min(bucket) AS b
+      |  FROM wcum CROSS JOIN qs WHERE c >= q * n GROUP BY 1, 2, 3, 4)
+      |SELECT q, n AS n_rows,
+      |  round(vmin + (b + 1) * ((vmax - vmin) / $HistW.0) + 1e-9, 4)
+      |    AS est_stream,
+      |  round(vmin + (b + 1) * ((vmax - vmin) / $HistW.0) + 1e-9, 4)
+      |    AS est_batch,
+      |  round(vmin + (b + 1) * ((vmax - vmin) / $HistW.0) + 1e-9, 4)
+      |    = round(vmin + (b + 1) * ((vmax - vmin) / $HistW.0) + 1e-9, 4)
+      |    AS agree
+      |FROM sel ORDER BY q""".stripMargin
+  ) { (spark, dir) =>
+    val li = graft.CacheScope.cache(
+      Tables.load(spark, dir, "lineitem").select("l_extendedprice"))
+    val g = li.agg(min(col("l_extendedprice")).as("vmin"),
+      max(col("l_extendedprice")).as("vmax")).head()
+    if (g.isNullAt(0)) {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField("q", DoubleType),
+          StructField("n_rows", LongType),
+          StructField("est_stream", DoubleType),
+          StructField("est_batch", DoubleType),
+          StructField("agree", BooleanType))))
+    } else {
+      val grid = spark.createDataFrame(
+        Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
+      // re-materialize as 4 files so AvailableNow + maxFilesPerTrigger=1
+      // yields four REAL micro-batches (the fixture table is one file)
+      val streamDir = java.nio.file.Files
+        .createTempDirectory("graft_q105_").toString + "/prices"
+      li.repartition(4).write.mode("overwrite").parquet(streamDir)
+      val acc =
+        scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()
+      val q = spark.readStream
+        .schema(spark.read.parquet(streamDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(streamDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          val rows = Sketches
+            .histBucketize(batch, "l_extendedprice", HistW, grid)
+            .collect()
+            .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
+              r.getLong(3)))
+          acc.synchronized { acc ++= rows }
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val maintained = spark.createDataFrame(acc.toSeq)
+        .toDF("bucket", "vmin", "vmax", "cnt")
+      val est = Sketches
+        .histQuantiles(Sketches.histMerge(Seq(maintained)), HistW, HistQs)
+        .select(col("q"), col("n").as("n_rows"),
+          round(col("est") + lit(1e-9), 4).as("est_stream"))
+      val batchEst = Sketches
+        .histQuantiles(Sketches.histBuild(li, "l_extendedprice", HistW),
+          HistW, HistQs)
+        .select(col("q"), round(col("est") + lit(1e-9), 4).as("est_batch"))
+      est.join(batchEst, "q")
+        .select(col("q"), col("n_rows"), col("est_stream"),
+          col("est_batch"),
+          (col("est_stream") === col("est_batch")).as("agree"))
+        .orderBy(col("q"))
+    }
+  }
+
+  /** GROUPED EXACT quantiles — q102's estimator beside the exact
+    * interpolated per-group percentiles, computed distributively by
+    * [[Sketches.histExactQuantilesGrouped]] (the grouped analog of
+    * q92's sketch-guided pruning): per group, only the buckets holding
+    * target positions are sorted, under a window PARTITIONED by
+    * (group, bucket) — no `percentile(...) GROUP BY` single-reducer
+    * value multisets anywhere. The oracle replays the estimator's grid
+    * arithmetic and checks the exact side against DuckDB's
+    * `quantile_cont` per group (same `p = q·(n−1)` interpolation as
+    * Spark's `percentile`, the parity q92 already pins globally).
+    */
+  val histGroupedExact: QuerySpec = QuerySpec.sql(
+    "q106_hist_grouped_exact",
+    s"""WITH st AS (
+      |  SELECT l_returnflag, min(l_extendedprice) AS vmin,
+      |    max(l_extendedprice) AS vmax,
+      |    CAST(count(l_extendedprice) AS BIGINT) AS n
+      |  FROM lineitem GROUP BY 1),
+      |b AS (
+      |  SELECT l.l_returnflag,
+      |    CASE WHEN vmax = vmin THEN 0
+      |         ELSE CAST(least(floor((l_extendedprice - vmin)
+      |           / ((vmax - vmin) / $HistW.0)), ${HistW - 1}) AS INT)
+      |    END AS bucket, vmin, vmax, n
+      |  FROM lineitem l JOIN st ON l.l_returnflag = st.l_returnflag
+      |  WHERE l_extendedprice IS NOT NULL),
+      |hist AS (
+      |  SELECT l_returnflag, bucket, vmin, vmax, n, count(*) AS cnt
+      |  FROM b GROUP BY 1, 2, 3, 4, 5),
+      |cum AS (
+      |  SELECT l_returnflag, bucket, vmin, vmax, n,
+      |    CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket)
+      |      AS BIGINT) AS c
+      |  FROM hist),
+      |qs(q) AS (VALUES ${HistQs.map(q => s"(CAST($q AS DOUBLE))").mkString(", ")}),
+      |sel AS (
+      |  SELECT l_returnflag, q, vmin, vmax, n, min(bucket) AS b
+      |  FROM cum CROSS JOIN qs
+      |  WHERE c >= q * n
+      |  GROUP BY 1, 2, 3, 4, 5),
+      |ex AS (
+      |  ${HistQs.map(q =>
+            s"SELECT l_returnflag, CAST($q AS DOUBLE) AS q, " +
+            s"quantile_cont(l_extendedprice, $q) AS exact " +
+            "FROM lineitem GROUP BY 1")
+          .mkString("\n      |  UNION ALL ")})
+      |SELECT s.l_returnflag, s.q, s.n AS n_rows,
+      |  round(s.vmin + (s.b + 1) * ((s.vmax - s.vmin) / $HistW.0) + 1e-9, 4)
+      |    AS est,
+      |  round(e.exact + 1e-9, 4) AS exact,
+      |  round(s.vmin + (s.b + 1) * ((s.vmax - s.vmin) / $HistW.0)
+      |    - e.exact + 1e-9, 4) AS err
+      |FROM sel s JOIN ex e
+      |  ON s.l_returnflag = e.l_returnflag AND s.q = e.q
+      |ORDER BY s.l_returnflag, s.q""".stripMargin
+  ) { (spark, dir) =>
+    // one pruned persisted scan feeds the grouped sketch's two passes
+    // and the exact side's pruned pass
+    val li = graft.CacheScope.cache(Tables.load(spark, dir, "lineitem")
+      .select("l_returnflag", "l_extendedprice"))
+    val hist = graft.CacheScope.cache(Sketches.histBuildGrouped(
+      li, Seq("l_returnflag"), "l_extendedprice", HistW))
+    val est = Sketches.histQuantilesGrouped(hist, Seq("l_returnflag"),
+      HistW, HistQs)
+    val exact = Sketches.histExactQuantilesGrouped(li, Seq("l_returnflag"),
+      "l_extendedprice", hist, HistW, HistQs)
+    est.join(exact, Seq("l_returnflag", "q"))
+      .select(col("l_returnflag"), col("q"), col("n").as("n_rows"),
+        round(col("est") + lit(1e-9), 4).as("est"),
+        round(col("exact") + lit(1e-9), 4).as("exact"),
+        round(col("est") - col("exact") + lit(1e-9), 4).as("err"))
+      .orderBy(col("l_returnflag"), col("q"))
+  }
+
   val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
-    histQuantile, histMergeQuantiles, cmsMergeTopK, histGrouped)
+    histQuantile, histMergeQuantiles, cmsMergeTopK, histGrouped,
+    histStreamMaintain, histGroupedExact)
 }

@@ -30,7 +30,10 @@ class CacheScopeSpec extends SparkTestBase {
     "q92_hist_quantiles",  // lineitem + sketch caches
     "q100_hist_merge",     // sharded scan cache
     "q101_cms_merge",      // token cache
-    "q103_mix_materialize" // TemperatureMix.plan per-source cache
+    "q103_mix_materialize", // TemperatureMix.plan per-source cache
+    "q104_ivf_partitioned", // corpus + query/probe caches
+    "q105_hist_stream",    // price-column cache
+    "q106_hist_grouped_exact" // lineitem + grouped-sketch caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

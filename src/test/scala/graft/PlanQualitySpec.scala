@@ -228,12 +228,13 @@ class PlanQualitySpec extends SparkTestBase {
     // whose input is bounded (≤ ~1k rows) by construction:
     //   q44 cumulative daily revenue (one row per day),
     //   q54 running share over a grouped rollup (one row per group),
-    //   q86/q92/q100 sketch cumulative counts (≤ CmsRows·w / ≤ w cells),
+    //   q86/q92/q100/q105 sketch cumulative counts (≤ CmsRows·w / ≤ w
+    //     cells — q105 reads the same ≤w-cell maintained sketch),
     //   q89 the ≤|sweep|-row recall table,
     //   q96 commit-chain ordering (one row per snapshot version).
     val tinyFrameWindows = Set("q44_cumulative_daily", "q54_running_share",
       "q86_countmin_topk", "q92_hist_quantiles", "q100_hist_merge",
-      "q89_ivf_recall", "q96_time_travel_cdf")
+      "q89_ivf_recall", "q96_time_travel_cdf", "q105_hist_stream")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(tinyFrameWindows).foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)

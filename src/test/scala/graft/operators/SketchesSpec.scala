@@ -295,6 +295,51 @@ class SketchesSpec extends SparkTestBase {
    }
   }
 
+  test("grouped exact quantiles equal percentile() per group on the fixture") {
+    val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val w = 64
+    val qs = Seq(0.25, 0.5, 0.9)
+    val hist = Sketches.histBuildGrouped(li, Seq("l_returnflag"),
+      "l_extendedprice", w)
+    val got = Sketches.histExactQuantilesGrouped(li, Seq("l_returnflag"),
+        "l_extendedprice", hist, w, qs)
+      .orderBy(col("l_returnflag"), col("q"))
+      .as[(String, Double, Double)].collect().toSeq
+    // foil: the built-in percentile aggregate (single-reducer per group)
+    val want = li.groupBy(col("l_returnflag"))
+      .agg(expr(s"percentile(l_extendedprice, array(${qs.mkString(",")}))")
+        .as("ps"))
+      .select(col("l_returnflag"), posexplode(col("ps")).as(Seq("i", "v")))
+      .select(col("l_returnflag"), col("i"), col("v"))
+      .collect()
+      .map(r => (r.getString(0), qs(r.getInt(1)), r.getDouble(2)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(got.size === want.size)
+    got.zip(want).foreach { case ((gk, gq, gv), (wk, wq, wv)) =>
+      assert(gk === wk && gq === wq)
+      assert(gv === wv, s"group $gk q=$gq: got $gv want $wv")
+    }
+  }
+
+  test("grouped exact quantiles handle a single-valued group and a null-key group") {
+    val df = Seq(
+      ("a", 5.0), ("a", 5.0), ("a", 5.0),          // vmax = vmin group
+      ("b", 1.0), ("b", 2.0), ("b", 3.0), ("b", 4.0)
+    ).toDF("k", "v")
+      .unionByName(Seq((Option.empty[String], 10.0),
+        (Option.empty[String], 20.0)).toDF("k", "v"))
+    val w = 8
+    val qs = Seq(0.5)
+    val hist = Sketches.histBuildGrouped(df, Seq("k"), "v", w)
+    val got = Sketches.histExactQuantilesGrouped(df, Seq("k"), "v",
+        hist, w, qs)
+      .collect().map(r => (Option(r.getString(0)), r.getDouble(2))).toMap
+    assert(got(Some("a")) === 5.0)
+    assert(got(Some("b")) === 2.5)
+    assert(got(None) === 15.0)
+  }
+
   test("merge helpers reject empty input and histMerge fails fast on mixed grids") {
     // an empty Seq is a caller bug: every merge helper says so instead
     // of throwing reduce's opaque UnsupportedOperationException
