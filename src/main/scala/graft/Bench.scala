@@ -63,7 +63,11 @@ object Bench {
       files.sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
         .map { f =>
           val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
-          "\"(q\\d+)\":(-?[0-9.]+)".r.findAllMatchIn(s)
+          // the driver re-serializes this file pretty-printed (": " with
+          // a space), while Bench's own stdout line is compact — accept
+          // both, or the prior map silently parses empty and the
+          // inflation check no-ops (caught in round 7)
+          "\"(q\\d+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(s)
             .map(m => m.group(1) -> m.group(2).toDouble)
             .filter(_._2 > 0) // -1 marks a failed query, not a time
             .toMap

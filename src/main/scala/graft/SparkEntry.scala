@@ -15,7 +15,7 @@ object SparkEntry {
       TextQueries.all ++ DedupQueries.all ++ SimilarityQueries.all ++
       MultimodalQueries.all ++ ReportQueries.all ++ TemporalQueries.all ++
       AnalyticsQueries.all ++ RelationalQueries.all ++ StreamingQueries.all ++
-      SketchQueries.all ++ LayoutQueries.all
+      SketchQueries.all ++ LayoutQueries.all ++ SamplingQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -238,6 +238,27 @@ object IvfAnn {
       .write.mode("overwrite").partitionBy("cell").parquet(path)
   }
 
+  /** Incrementally append a delta batch to an existing
+    * [[writePartitionedByCell]] layout WITHOUT retraining: each new
+    * vector is assigned to its nearest EXISTING centroid (the same pure
+    * projection as [[assign]]) and its rows land as new files under the
+    * matching `cell=` directories. This is how a production index
+    * absorbs a day's new embeddings at 10 B-vector scale — an
+    * O(|delta|) append, zero corpus rewrite, zero quantizer retrain —
+    * and searches over the layout see old and new vectors uniformly
+    * because partition pruning is directory-based, not file-based.
+    * Centroid drift is bounded by retraining cadence, the classical
+    * IVF maintenance trade (re-run [[centroids]] +
+    * [[writePartitionedByCell]] when recall decays).
+    */
+  def appendPartitionedByCell(delta: DataFrame, idCol: String,
+      vecCol: String, cents: DataFrame, path: String): Unit = {
+    val cs = CentroidState.collect(cents)
+    delta.select(col(idCol), col(vecCol),
+        CentroidState.nearestCell(col(vecCol), cs).as("cell"))
+      .write.mode("append").partitionBy("cell").parquet(path)
+  }
+
   /** Scan ONLY the given cells' partitions of a
     * [[writePartitionedByCell]] layout (partition pruning does the
     * file-set restriction; nothing else is read).

@@ -73,6 +73,28 @@ object Sketches {
   def kmvFinalize(set: DataFrame): DataFrame =
     set.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
 
+  /** Per-group KMV sketch states — one k-min set per value of `grpCol`,
+    * as `(grp, h)` rows. The per-group k-min reduction runs through the
+    * custom [[graft.plans.TopKPerKeyPlan]] operator, so each partition
+    * holds one bounded heap per group it sees and the single shuffle
+    * moves ≤ groups · k rows — the per-key cardinality shape (distinct
+    * users per source, distinct tokens per language) that
+    * `count(DISTINCT x) GROUP BY g` answers with a full distinct
+    * shuffle at 100 TB. Merge property is inherited row-wise from
+    * [[kmvMerge]]: union per-shard `(grp, h)` sets, distinct, re-take
+    * k per group.
+    */
+  def kmvGrouped(df: DataFrame, grpCol: Column, keyCol: Column,
+      k: Int): DataFrame =
+    Dedup.topKPerKey(
+      df.select(grpCol.as("grp"), uniformHash(keyCol).as("h")).distinct(),
+      Seq("grp"), Seq(col("h").asc), k)
+
+  /** Collapse per-group k-min sets to per-group estimator inputs. */
+  def kmvFinalizeGrouped(sets: DataFrame): DataFrame =
+    sets.groupBy(col("grp"))
+      .agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
+
   /** `(k_used, kth_hash)` one-row frame: the KMV sketch of `keyCol`.
     * `k_used < k` means the distinct set fit entirely (sketch is exact).
     */

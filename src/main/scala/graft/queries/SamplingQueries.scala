@@ -1,0 +1,115 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.QuerySpec
+import graft.functions.Text
+import graft.operators.{Dedup, Sketches}
+import graft.sources.Tables
+
+/** Training-data SELECTION tier over the `documents` fixture: the two
+  * curation shapes every corpus build runs after filtering/dedup —
+  * stratified subsampling (hold composition fixed while shrinking) and
+  * budgeted greedy selection (maximize a quality signal under a token
+  * budget). Both are deterministic (portable-hash order / exact integer
+  * cumsums), so the full selection — not just its size — hash-matches
+  * the DuckDB oracle, which is what makes a curation run reproducible
+  * across engines and re-runs. North-star extension tier — no reference
+  * counterpart (the reference pipeline ends at aggregation/reporting).
+  */
+object SamplingQueries {
+
+  /** Documents per (lang, source) stratum the sample keeps. */
+  private val SamplePerStratum = 3
+
+  /** Per-source token budget for the greedy selection. */
+  private val TokenBudget = 800L
+
+  /** Stratified fixed-size sampling: the `SamplePerStratum` smallest
+    * portable-hash documents per (lang, source) stratum — a
+    * deterministic reservoir that preserves corpus COMPOSITION exactly
+    * (every stratum capped at the same size) while the hash order makes
+    * the within-stratum pick uniform and seed-stable. Runs through the
+    * custom [[graft.plans.TopKPerKeyPlan]] operator, so at 100 TB the
+    * per-stratum winners reduce map-side in bounded heaps and the only
+    * shuffle moves ≤ strata · k rows — no per-stratum sort, no global
+    * sort, no `rand()` (re-runs and engine ports pick the SAME sample).
+    */
+  val stratifiedSample: QuerySpec = QuerySpec.sql(
+    "q108_stratified_sample",
+    s"""WITH h AS (
+      |  SELECT lang, source, doc_id,
+      |    ${Sketches.uniformHashSql("doc_id")} AS sample_hash
+      |  FROM documents)
+      |SELECT lang, source, doc_id, sample_hash
+      |FROM (SELECT *, row_number() OVER (PARTITION BY lang, source
+      |        ORDER BY sample_hash, doc_id) AS rk FROM h) t
+      |WHERE rk <= $SamplePerStratum
+      |ORDER BY lang, source, sample_hash, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("lang"), col("source"), col("doc_id"),
+        Sketches.uniformHash(col("doc_id")).as("sample_hash"))
+    Dedup.topKPerKey(docs, Seq("lang", "source"),
+        Seq(col("sample_hash").asc, col("doc_id").asc), SamplePerStratum)
+      .orderBy(col("lang"), col("source"), col("sample_hash"), col("doc_id"))
+  }
+
+  /** Token-budget greedy selection: per source, walk documents in
+    * quality order (lexical diversity desc — q19's signal) and keep
+    * them while the running token total stays inside the budget — the
+    * "best data under N tokens" selection a fixed training budget
+    * forces. One keyed window (partition by source) computes the
+    * inclusive running total; the budget predicate is a post-window
+    * filter, so the whole selection is a single shuffle at any scale
+    * and the cumsum is exact integer arithmetic — the selected SET is
+    * engine-reproducible, not just its size. A fixed budget over a
+    * growing corpus selects a shrinking fraction — the realistic
+    * regime (budgets are set by the training run, not the corpus).
+    */
+  val tokenBudgetSelect: QuerySpec = QuerySpec.sql(
+    "q109_token_budget",
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      x -> x != '') AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS diversity
+      |  FROM t),
+      |r AS (
+      |  SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+      |      ORDER BY diversity DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS run_tokens
+      |  FROM b)
+      |SELECT source, doc_id, n_tokens, run_tokens,
+      |  round(diversity + 1e-9, 4) AS diversity
+      |FROM r WHERE run_tokens <= $TokenBudget
+      |ORDER BY source, run_tokens, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        // greatest(.,1): 0-division guard, same rationale as q19
+        (size(array_distinct(toks)).cast("double")
+          / greatest(size(toks), lit(1))).as("diversity"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    base
+      .withColumn("run_tokens", sum(col("n_tokens")).over(w))
+      .filter(col("run_tokens") <= TokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("run_tokens"), round(col("diversity") + lit(1e-9), 4)
+          .as("diversity"))
+      .orderBy(col("source"), col("run_tokens"), col("doc_id"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(stratifiedSample, tokenBudgetSelect)
+}

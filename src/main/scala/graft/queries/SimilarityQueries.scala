@@ -354,6 +354,80 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
   }
 
+  /** Incremental IVF index maintenance — the day-2 story of the q104
+    * layout: the quantizer is trained on the BASE corpus only (vectors
+    * with `vec_id % 5 <> 0`), the base is written cell-partitioned, and
+    * the remaining 20% arrive later as a DELTA batch absorbed by
+    * [[graft.operators.IvfAnn.appendPartitionedByCell]] — assigned to
+    * their nearest EXISTING centroids and appended as new files under
+    * the matching cell directories, O(|delta|) with zero corpus rewrite
+    * and zero retraining. The search then runs over the combined layout
+    * with queries drawn from BOTH generations (qids 0 and 5 are delta
+    * vectors), proving appended vectors are immediately searchable and
+    * indistinguishable from base ones. The oracle re-derives training
+    * from the base slice and assignment/probing over the FULL set, so a
+    * hash-equal result gates the append path end-to-end.
+    */
+  val ivfAppend: QuerySpec = {
+    import Vectors.{dotSql, normSql}
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    QuerySpec.sql(
+      "q107_ivf_append",
+      s"""WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+        |allv AS (SELECT vec_id, embedding FROM embeddings),
+        |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
+        |af_all AS (
+        |  SELECT vec_id, cell FROM (
+        |    SELECT v.vec_id, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+        |    FROM allv v CROSS JOIN c${iters}n c) t WHERE rk = 1),
+        |probes_all AS (
+        |  SELECT qid, cell FROM (
+        |    SELECT v.vec_id AS qid, c.cell,
+        |      row_number() OVER (PARTITION BY v.vec_id
+        |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+        |    FROM allv v CROSS JOIN c${iters}n c
+        |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe),
+        |scored AS (
+        |  SELECT p.qid, v.vec_id AS neighbor,
+        |    ${dotSql("q.embedding", "v.embedding")}
+        |      / (${normSql("q.embedding")} * ${normSql("v.embedding")}) AS cos
+        |  FROM probes_all p
+        |  JOIN allv q ON q.vec_id = p.qid
+        |  JOIN af_all f ON f.cell = p.cell
+        |  JOIN allv v ON v.vec_id = f.vec_id
+        |  WHERE v.vec_id <> p.qid
+        |    AND ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0)
+        |SELECT qid, neighbor, round(cos + 1e-9, 4) AS cosine
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY cos DESC, neighbor) AS rk FROM scored) r
+        |WHERE rk <= $k
+        |ORDER BY qid, cosine DESC, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+      val cents = graft.operators.IvfAnn
+        .centroids(base, "vec_id", "embedding", clusters, iters)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_q107_").toString + "/ivf_cells"
+      graft.operators.IvfAnn
+        .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
+      graft.operators.IvfAnn
+        .appendPartitionedByCell(delta, "vec_id", "embedding", cents, path)
+      val queries = all0.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfAnn
+        .searchPartitioned(spark, path, cents, "vec_id", "embedding",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+    }
+  }
+
   /** Int8-style embedding quantization + KNN over the quantized vectors —
     * the memory-side scale lever (4× smaller vectors, integer dot
     * products). Per-vector symmetric scale = max |component|; quantized
@@ -817,5 +891,5 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
-    ivfRecall, ivfAnnPartitioned)
+    ivfRecall, ivfAnnPartitioned, ivfAppend)
 }

@@ -56,6 +56,66 @@ object SketchQueries {
           + lit(1e-9), 4).as("rel_error"))
   }
 
+  private val KmvGroupK = 64
+
+  /** GROUPED KMV distinct-count — one k-min sketch per `o_orderpriority`
+    * ([[Sketches.kmvGrouped]]), the per-key cardinality lever: at 100 TB
+    * `count(DISTINCT user) GROUP BY source` is a full distinct shuffle,
+    * while the grouped sketch reduces map-side through the custom
+    * top-k-per-key operator (bounded heap per group per partition) and
+    * shuffles ≤ groups · k rows. The exact per-group distinct is
+    * computed alongside so every group reports the relative error its
+    * sketch actually achieves; estimator and hash are bit-reproduced by
+    * the oracle, so the gate checks the sketch STATE per group, not
+    * just the estimate.
+    */
+  val kmvGroupedDistinct: QuerySpec = QuerySpec.sql(
+    "q110_kmv_grouped",
+    s"""WITH h AS (
+      |  SELECT DISTINCT o_orderpriority AS grp,
+      |    ${Sketches.uniformHashSql("o_custkey")} AS h
+      |  FROM orders),
+      |km AS (
+      |  SELECT grp, h FROM (
+      |    SELECT grp, h,
+      |      row_number() OVER (PARTITION BY grp ORDER BY h) AS rk
+      |    FROM h) t WHERE rk <= $KmvGroupK),
+      |sk AS (
+      |  SELECT grp, count(*) AS k_used, max(h) AS kth_hash
+      |  FROM km GROUP BY grp),
+      |ex AS (
+      |  SELECT o_orderpriority AS grp,
+      |    count(DISTINCT o_custkey) AS exact_distinct
+      |  FROM orders GROUP BY 1),
+      |est AS (
+      |  SELECT s.grp, k_used, kth_hash, exact_distinct,
+      |    CASE WHEN k_used < $KmvGroupK THEN CAST(k_used AS DOUBLE)
+      |         ELSE CAST(k_used - 1 AS DOUBLE) * ${Sketches.P}.0 / kth_hash
+      |    END AS e
+      |  FROM sk s JOIN ex USING (grp))
+      |SELECT grp, CAST(k_used AS BIGINT) AS k_used, kth_hash,
+      |  round(e + 1e-9, 2) AS estimate,
+      |  CAST(exact_distinct AS BIGINT) AS exact_distinct,
+      |  round(abs(e - exact_distinct) / exact_distinct + 1e-9, 4)
+      |    AS rel_error
+      |FROM est ORDER BY grp""".stripMargin
+  ) { (spark, dir) =>
+    val orders = Tables.load(spark, dir, "orders")
+    val sk = Sketches.kmvFinalizeGrouped(
+      Sketches.kmvGrouped(orders, col("o_orderpriority"), col("o_custkey"),
+        KmvGroupK))
+    val ex = orders.groupBy(col("o_orderpriority").as("grp"))
+      .agg(countDistinct(col("o_custkey")).as("exact_distinct"))
+    val e = Sketches.kmvEstimate(col("k_used"), col("kth_hash"), KmvGroupK)
+    sk.join(ex, "grp")
+      .select(col("grp"), col("k_used"), col("kth_hash"),
+        round(e + lit(1e-9), 2).as("estimate"),
+        col("exact_distinct"),
+        round(abs(e - col("exact_distinct")) / col("exact_distinct")
+          + lit(1e-9), 4).as("rel_error"))
+      .orderBy(col("grp"))
+  }
+
   // Filter size derives from the OBSERVED eval-shingle count
   // ([[Sketches.bloomBits]]): 32 bits/key at 4 hashes gives per-probe
   // FP ≈ 0.02 % at EVERY scale factor — a constant saturates once the
@@ -719,5 +779,5 @@ object SketchQueries {
 
   val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
     histQuantile, histMergeQuantiles, cmsMergeTopK, histGrouped,
-    histStreamMaintain, histGroupedExact)
+    histStreamMaintain, histGroupedExact, kmvGroupedDistinct)
 }

@@ -33,7 +33,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q103_mix_materialize", // TemperatureMix.plan per-source cache
     "q104_ivf_partitioned", // corpus + query/probe caches
     "q105_hist_stream",    // price-column cache
-    "q106_hist_grouped_exact" // lineitem + grouped-sketch caches
+    "q106_hist_grouped_exact", // lineitem + grouped-sketch caches
+    "q107_ivf_append"      // corpus cache + searchPartitioned probe cache
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

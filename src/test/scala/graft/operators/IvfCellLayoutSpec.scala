@@ -71,4 +71,47 @@ class IvfCellLayoutSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
    }
   }
+
+  test("appendPartitionedByCell absorbs a delta batch equal to a one-shot write") {
+   withTempDir("graft_ivf_append") { root =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+    // quantizer trained on the BASE only — the append assigns against it
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    val incremental = s"$root/incremental"
+    val oneShot = s"$root/oneshot"
+    IvfAnn.writePartitionedByCell(base, "vec_id", "embedding", cents,
+      incremental)
+    IvfAnn.appendPartitionedByCell(delta, "vec_id", "embedding", cents,
+      incremental)
+    IvfAnn.writePartitionedByCell(emb, "vec_id", "embedding", cents, oneShot)
+    // every vector lands exactly once, in the same cell as the one-shot
+    // write (same centroids => same assignment)
+    val inc = spark.read.parquet(incremental)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    val one = spark.read.parquet(oneShot)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    assert(inc === one)
+    assert(inc.map(_._1).distinct.length === emb.count())
+    // a search over the appended layout equals one over the one-shot
+    // layout, and delta vectors (vec_id % 5 == 0) are reachable
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("neighbor"), round(col("cosine"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    val viaInc = IvfAnn.searchPartitioned(spark, incremental, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2)
+    val incRows = canon(viaInc)
+    assert(incRows === canon(IvfAnn.searchPartitioned(spark, oneShot, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2)))
+    assert(viaInc.filter(col("neighbor") % 5 === 0).count() > 0,
+      "no appended (delta) vector ever surfaced as a neighbor")
+    graft.CacheScope.releaseAll()
+   }
+  }
 }
