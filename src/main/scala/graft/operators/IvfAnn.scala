@@ -259,6 +259,28 @@ object IvfAnn {
       .write.mode("append").partitionBy("cell").parquet(path)
   }
 
+  /** Compact a cell layout in place: every cell's rows are rewritten
+    * as ONE file (a `repartition` on `cell` puts each cell wholly in
+    * one task, so `partitionBy` emits one file per cell directory),
+    * then swapped in via [[graft.sources.Tables.publish]]'s crash-safe
+    * rename chain — the layout stays addressable (old or new, never
+    * neither) throughout. This is the third leg of index maintenance:
+    * [[appendPartitionedByCell]] absorbs deltas as small files, probe
+    * I/O degrades with file COUNT (per-file open/footer cost), and
+    * periodic compaction restores one-file-per-cell without touching
+    * centroids or assignments. Content is untouched by construction —
+    * the spec asserts file counts drop and search results are
+    * identical.
+    */
+  def compactCells(spark: org.apache.spark.sql.SparkSession,
+      path: String): Unit = {
+    val staged = path + ".__compact__"
+    spark.read.parquet(path)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    graft.sources.Tables.publish(spark, staged, path)
+  }
+
   /** Scan ONLY the given cells' partitions of a
     * [[writePartitionedByCell]] layout (partition pruning does the
     * file-set restriction; nothing else is read).

@@ -548,6 +548,95 @@ object SketchQueries {
       .orderBy(col("exact_cnt").desc, col("tok"))
   }
 
+  /** STREAMING count-min maintenance — the CMS analog of q105, closing
+    * the streaming-maintenance story for the frequency member of the
+    * sketch family: token counters are built PER MICRO-BATCH inside
+    * `foreachBatch` over a real AvailableNow stream (one file per
+    * batch), merged by [[Sketches.cmsMerge]] counter addition, and the
+    * maintained sketch's top-token estimates are compared against the
+    * sketch built in one batch pass — counters are plain sums, so
+    * maintained ≡ batch-built exactly, which is the property that lets
+    * a 100 TB deployment keep per-day/per-stream counters and roll
+    * them up without rescanning. The oracle replays the whole-stream
+    * counters (batch boundaries are invisible to an additive merge)
+    * and pins both estimate columns to them.
+    */
+  val cmsStreamMaintain: QuerySpec = QuerySpec.sql(
+    "q111_cms_stream",
+    s"""WITH t AS (
+      |  SELECT doc_id, unnest($tokSql) AS tok FROM documents),
+      |h AS (
+      |  SELECT tok, ${Sketches.uniformHashSql("tok")} AS h FROM t),
+      |consts(j, a, b) AS (VALUES
+      |  ${Sketches.CmsA.zip(Sketches.CmsB).zipWithIndex
+            .map { case ((a, b), j) => s"($j, $a, $b)" }.mkString(", ")}),
+      |whole AS (
+      |  SELECT k.j AS j,
+      |    CAST(((k.a * h.h + k.b) % ${Sketches.P}) % $CmsW AS INT) AS c,
+      |    CAST(count(*) AS BIGINT) AS cnt
+      |  FROM h CROSS JOIN consts k GROUP BY 1, 2),
+      |exact AS (SELECT tok, h, count(*) AS exact_cnt FROM h GROUP BY 1, 2),
+      |top AS (
+      |  SELECT tok, h, exact_cnt FROM (
+      |    SELECT *, row_number() OVER (ORDER BY exact_cnt DESC, tok) AS rk
+      |    FROM exact) r WHERE rk <= 20),
+      |estw AS (
+      |  SELECT t.tok, t.exact_cnt, min(c2.cnt) AS est
+      |  FROM top t CROSS JOIN consts k
+      |  JOIN whole c2 ON c2.j = k.j
+      |    AND c2.c = CAST(((k.a * t.h + k.b) % ${Sketches.P}) % $CmsW AS INT)
+      |  GROUP BY 1, 2)
+      |SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+      |  est AS est_stream, est AS est_batch, est = est AS agree
+      |FROM estw
+      |ORDER BY exact_cnt DESC, tok""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .transform(graft.CacheScope.cache)
+    // re-materialize as 4 files so AvailableNow + maxFilesPerTrigger=1
+    // yields four REAL micro-batches (the fixture table is one file)
+    val streamDir = java.nio.file.Files
+      .createTempDirectory("graft_q111_").toString + "/docs"
+    toks.repartition(4).write.mode("overwrite").parquet(streamDir)
+    val acc = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
+    val q = spark.readStream
+      .schema(spark.read.parquet(streamDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(streamDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        val cells = Sketches.cmsBuild(
+            batch.select(explode(Text.tokens(col("text"))).as("tok"))
+              .select(Sketches.uniformHash(col("tok")).as("h")),
+            "h", CmsW)
+          .collect()
+          .map(r => (r.getInt(0), r.getInt(1), r.getLong(2)))
+        acc.synchronized { acc ++= cells }
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val maintained = Sketches.cmsMerge(Seq(
+      spark.createDataFrame(acc.toSeq).toDF("j", "c", "cnt")))
+    val allToks = toks
+      .select(explode(Text.tokens(col("text"))).as("tok"))
+      .select(col("tok"), Sketches.uniformHash(col("tok")).as("h"))
+      .transform(graft.CacheScope.cache)
+    val whole = Sketches.cmsBuild(allToks, "h", CmsW)
+    val top = allToks.groupBy(col("tok"), col("h"))
+      .agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    val es = Sketches.cmsEstimate(top, "h", maintained, CmsW, keyCol = "tok")
+      .withColumnRenamed("cms_est", "est_stream")
+    Sketches.cmsEstimate(es, "h", whole, CmsW, keyCol = "tok")
+      .withColumnRenamed("cms_est", "est_batch")
+      .select(col("tok"), col("exact_cnt"), col("est_stream"),
+        col("est_batch"), (col("est_stream") === col("est_batch"))
+          .as("agree"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
   /** GROUPED quantile sketch ([[Sketches.histBuildGrouped]]): one
     * ≤1024-cell grid per `l_returnflag` group, each spanning its own
     * [min, max], quantiles read per group off the PARTITIONED
@@ -779,5 +868,6 @@ object SketchQueries {
 
   val all: Seq[QuerySpec] = Seq(kmvDistinct, bloomDecon, countMinTopK,
     histQuantile, histMergeQuantiles, cmsMergeTopK, histGrouped,
-    histStreamMaintain, histGroupedExact, kmvGroupedDistinct)
+    histStreamMaintain, histGroupedExact, kmvGroupedDistinct,
+    cmsStreamMaintain)
 }

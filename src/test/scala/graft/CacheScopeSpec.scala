@@ -34,7 +34,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q104_ivf_partitioned", // corpus + query/probe caches
     "q105_hist_stream",    // price-column cache
     "q106_hist_grouped_exact", // lineitem + grouped-sketch caches
-    "q107_ivf_append"      // corpus cache + searchPartitioned probe cache
+    "q107_ivf_append",     // corpus cache + searchPartitioned probe cache
+    "q111_cms_stream"      // doc + token caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -114,4 +114,54 @@ class IvfCellLayoutSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
    }
   }
+
+  test("compactCells restores one file per cell without changing content or search") {
+   withTempDir("graft_ivf_compact") { root =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    val layout = s"$root/layout"
+    // three generations: base write + two appends — cells accumulate files
+    IvfAnn.writePartitionedByCell(emb.filter(col("vec_id") % 3 === 0),
+      "vec_id", "embedding", cents, layout)
+    IvfAnn.appendPartitionedByCell(emb.filter(col("vec_id") % 3 === 1),
+      "vec_id", "embedding", cents, layout)
+    IvfAnn.appendPartitionedByCell(emb.filter(col("vec_id") % 3 === 2),
+      "vec_id", "embedding", cents, layout)
+    def dataFiles(): Map[String, Int] = {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(java.nio.file.Paths.get(layout)).iterator()
+        .asScala
+        .filter(p => p.getFileName.toString.endsWith(".parquet"))
+        .toSeq.groupBy(_.getParent.getFileName.toString)
+        .map { case (cell, fs) => cell -> fs.length }
+    }
+    val before = dataFiles()
+    assert(before.values.exists(_ > 1),
+      s"appends produced no multi-file cell: $before")
+    val queries = emb.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("neighbor"), round(col("cosine"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    val preSearch = canon(IvfAnn.searchPartitioned(spark, layout, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2))
+    val preContent = spark.read.parquet(layout)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    IvfAnn.compactCells(spark, layout)
+    val after = dataFiles()
+    assert(after.values.forall(_ === 1),
+      s"compaction left a multi-file cell: $after")
+    assert(after.keySet === before.keySet, "compaction changed the cell set")
+    val postContent = spark.read.parquet(layout)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    assert(postContent === preContent)
+    assert(canon(IvfAnn.searchPartitioned(spark, layout, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2))
+      === preSearch)
+    graft.CacheScope.releaseAll()
+   }
+  }
 }
