@@ -337,7 +337,83 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Canonical representative selection — the APPLY step that turns
+    * q55's group detection into the kept corpus: per near-duplicate
+    * component, keep the highest-QUALITY member (lexical diversity
+    * desc, doc_id tiebreak) instead of the arbitrary min-id — the
+    * policy a real curation run wants, since duplicates differ by
+    * boilerplate and truncation and the kept copy should be the best
+    * one. Group detection is q55's LSH → verify → connected-components
+    * chain; the selection itself is one [[graft.plans.TopKPerKeyPlan]]
+    * pass (k=1) over the component-joined quality frame, so at 100 TB
+    * choosing representatives costs one bounded-heap shuffle of
+    * ≤ components rows on top of the grouping. Singleton components
+    * select themselves — output is exactly one row per component, the
+    * deduplicated corpus manifest.
+    */
+  val canonicalPick: QuerySpec = QuerySpec.sql(
+    "q112_dedup_canonical",
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |shs AS (SELECT doc_id, toks, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2
+      |  FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
+      |            JOIN sig sb ON cand.id2 = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+      |qual AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS diversity
+      |  FROM t),
+      |sized AS (
+      |  SELECT cc.doc_id, component, diversity,
+      |    CAST(count(*) OVER (PARTITION BY component) AS BIGINT) AS group_size
+      |  FROM cc JOIN qual USING (doc_id)),
+      |ranked AS (
+      |  SELECT *, row_number() OVER (PARTITION BY component
+      |    ORDER BY diversity DESC, doc_id) AS rk
+      |  FROM sized)
+      |SELECT component, doc_id AS kept_doc, group_size,
+      |  round(diversity + 1e-9, 4) AS diversity
+      |FROM ranked WHERE rk = 1
+      |ORDER BY component""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val toks = Text.tokens(col("text"))
+    val withSh = docs.select(col("doc_id"),
+      MinHashLSH.shingleHashes(toks, 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairs(withSh, "doc_id", "sh", threshold = 0.6)
+      .select(col("id1"), col("id2"))
+    val groups = graft.operators.ConnectedComponents
+      .dedupGroups(docs, "doc_id", pairs, "id1", "id2")
+      .select(col("doc_id"), col("component"),
+        col("group_size").cast("long").as("group_size"))
+    val qual = docs.select(col("doc_id"),
+      (size(array_distinct(toks)).cast("double")
+        / greatest(size(toks), lit(1))).as("diversity"))
+    graft.operators.Dedup.topKPerKey(groups.join(qual, "doc_id"),
+        Seq("component"), Seq(col("diversity").desc, col("doc_id").asc), 1)
+      .select(col("component"), col("doc_id").as("kept_doc"),
+        col("group_size"), round(col("diversity") + lit(1e-9), 4)
+          .as("diversity"))
+      .orderBy(col("component"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
-      decontamination)
+      decontamination, canonicalPick)
 }
