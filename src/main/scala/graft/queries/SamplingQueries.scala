@@ -111,5 +111,54 @@ object SamplingQueries {
       .orderBy(col("source"), col("run_tokens"), col("doc_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(stratifiedSample, tokenBudgetSelect)
+  /** Epochs the shuffle plan covers and shards per epoch. */
+  private val Epochs = 3
+  private val ShuffleShards = 8
+
+  /** Deterministic per-epoch training order — the data-loader side of
+    * the corpus: each epoch permutes the SAME corpus differently by
+    * ranking documents on `hash(doc_id ":" epoch)`, realized as `shard
+    * = hash % shards` plus a position within the shard from a window
+    * PARTITIONED by (epoch, shard) — never a global sort. A trainer
+    * reads shard files in order and gets a full, epoch-distinct,
+    * seed-stable permutation; generating the next epoch's order is a
+    * new hash input, zero data movement and zero stored state. At
+    * 100 TB size shards ≈ executors·k so each epoch's ordering is one
+    * exchange, and the portable hash makes the exact order
+    * reproducible in any engine — the property that lets a training
+    * run resume mid-epoch from any engine's copy of the plan.
+    */
+  val epochShuffle: QuerySpec = QuerySpec.sql(
+    "q113_epoch_shuffle",
+    s"""WITH e AS (
+      |  SELECT doc_id, epoch,
+      |    ${Sketches.uniformHashSql("doc_id || ':' || epoch")} AS k
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(range(0, $Epochs)) AS epoch) ep)
+      |SELECT epoch, CAST(k % $ShuffleShards AS INT) AS shard,
+      |  CAST(row_number() OVER (
+      |    PARTITION BY epoch, k % $ShuffleShards
+      |    ORDER BY k, doc_id) AS BIGINT) AS pos,
+      |  doc_id
+      |FROM e
+      |ORDER BY epoch, shard, pos""".stripMargin
+  ) { (spark, dir) =>
+    val plan = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(sequence(lit(0), lit(Epochs - 1))).as("epoch"))
+      .select(col("doc_id"), col("epoch").cast("long").as("epoch"),
+        Sketches.uniformHash(
+          concat_ws(":", col("doc_id"), col("epoch"))).as("k"))
+      .withColumn("shard", pmod(col("k"), lit(ShuffleShards.toLong))
+        .cast("int"))
+    plan
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("k"), col("doc_id"))).cast("long"))
+      .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+      .orderBy(col("epoch"), col("shard"), col("pos"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(stratifiedSample, tokenBudgetSelect, epochShuffle)
 }

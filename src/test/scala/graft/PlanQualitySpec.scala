@@ -45,6 +45,25 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("q108's stratified sample rides TopKPerKey with a pruned scan, no window") {
+    val plan = planOf("q108_stratified_sample")
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+    // composition-preserving sampling must not read document text
+    assert(!plan.contains("text#"), plan.take(2000))
+  }
+
+  test("q110's grouped k-min reduction rides TopKPerKey, not a per-group sort") {
+    val plan = planOf("q110_kmv_grouped")
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
+  }
+
+  test("q112's canonical pick is a k=1 TopKPerKey over the component frame") {
+    val plan = planOf("q112_dedup_canonical")
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+  }
+
   test("q24 reuses the persisted signature relation") {
     val plan = planOf("q24_minhash_lsh")
     try assert(plan.contains("InMemoryTableScan"), plan.take(2000))
