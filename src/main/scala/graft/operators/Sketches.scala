@@ -74,15 +74,20 @@ object Sketches {
     set.agg(count(lit(1)).as("k_used"), max(col("h")).as("kth_hash"))
 
   /** Per-group KMV sketch states — one k-min set per value of `grpCol`,
-    * as `(grp, h)` rows. The per-group k-min reduction runs through the
-    * custom [[graft.plans.TopKPerKeyPlan]] operator, so each partition
-    * holds one bounded heap per group it sees and the single shuffle
-    * moves ≤ groups · k rows — the per-key cardinality shape (distinct
-    * users per source, distinct tokens per language) that
-    * `count(DISTINCT x) GROUP BY g` answers with a full distinct
-    * shuffle at 100 TB. Merge property is inherited row-wise from
-    * [[kmvMerge]]: union per-shard `(grp, h)` sets, distinct, re-take
-    * k per group.
+    * as `(grp, h)` rows. Two exchanges: the `distinct()` dedup (whose
+    * map-side partial aggregation already collapses repeats, so it
+    * moves per-partition-DISTINCT hashes, not raw rows — the win when
+    * keys repeat heavily, e.g. token streams), then the per-group
+    * k-min reduction through the custom
+    * [[graft.plans.TopKPerKeyPlan]] operator — bounded heap per group
+    * per partition, ≤ groups · k rows moved. Versus
+    * `count(DISTINCT x) GROUP BY g` the second phase is heap-bounded
+    * instead of holding every group's full distinct set through the
+    * final aggregation; the dedup exchange itself is the same in both
+    * (a distinct-heap fused operator would remove it — not built, the
+    * two-exchange shape is honest and map-side-bounded). Merge
+    * property is inherited row-wise from [[kmvMerge]]: union
+    * per-shard `(grp, h)` sets, distinct, re-take k per group.
     */
   def kmvGrouped(df: DataFrame, grpCol: Column, keyCol: Column,
       k: Int): DataFrame =

@@ -38,6 +38,34 @@ object DedupQueries {
       |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END,
       |      s -> ${charHashSql("s")}))""".stripMargin
 
+  /** Shared oracle fragment for q55/q112: the LSH → Jaccard-verify →
+    * connected-components chain (`shs` … `cc`), assuming a
+    * `t(doc_id, toks)` CTE is in scope — ONE copy so a threshold or
+    * band-arithmetic change cannot silently diverge between the two
+    * oracles.
+    */
+  private val componentCtesSql =
+    s"""shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
+      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
+      |pairs AS (
+      |  SELECT id1, id2
+      |  FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
+      |            JOIN sig sb ON cand.id2 = sb.doc_id
+      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
+      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
+      |          UNION ALL SELECT id2, id1 FROM pairs),
+      |reach AS (
+      |  SELECT doc_id AS node, doc_id AS label FROM documents
+      |  UNION
+      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
+      |cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)""".stripMargin
+
   /** Exact deduplication: hash-groupBy on the whitespace-normalized,
     * lowercased text; every row keeps its group size and a canonical flag
     * (lowest doc_id wins).
@@ -249,26 +277,7 @@ object DedupQueries {
   val dedupGroups: QuerySpec = QuerySpec.sql(
     "q55_dedup_groups",
     s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
-      |shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
-      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
-      |bk AS (
-      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
-      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-      |pairs AS (
-      |  SELECT id1, id2
-      |  FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
-      |            JOIN sig sb ON cand.id2 = sb.doc_id
-      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
-      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-      |          UNION ALL SELECT id2, id1 FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS node, doc_id AS label FROM documents
-      |  UNION
-      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
-      |cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node)
+      |$componentCtesSql
       |SELECT doc_id, component,
       |  count(*) OVER (PARTITION BY component) AS group_size,
       |  doc_id = component AS is_canonical
@@ -354,26 +363,7 @@ object DedupQueries {
   val canonicalPick: QuerySpec = QuerySpec.sql(
     "q112_dedup_canonical",
     s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
-      |shs AS (SELECT doc_id, toks, $shinglesSql AS sh FROM t),
-      |sig AS (SELECT doc_id, sh, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
-      |bk AS (
-      |  SELECT doc_id, b.band, array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bucket
-      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
-      |cand AS (
-      |  SELECT DISTINCT l.doc_id AS id1, r.doc_id AS id2
-      |  FROM bk l JOIN bk r ON l.band = r.band AND l.bucket = r.bucket AND l.doc_id < r.doc_id),
-      |pairs AS (
-      |  SELECT id1, id2
-      |  FROM cand JOIN sig sa ON cand.id1 = sa.doc_id
-      |            JOIN sig sb ON cand.id2 = sb.doc_id
-      |  WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6),
-      |edges AS (SELECT id1 AS a, id2 AS b FROM pairs
-      |          UNION ALL SELECT id2, id1 FROM pairs),
-      |reach AS (
-      |  SELECT doc_id AS node, doc_id AS label FROM documents
-      |  UNION
-      |  SELECT e.a, r.label FROM edges e JOIN reach r ON e.b = r.node),
-      |cc AS (SELECT node AS doc_id, min(label) AS component FROM reach GROUP BY node),
+      |$componentCtesSql,
       |qual AS (
       |  SELECT doc_id,
       |    CAST(len(list_distinct(toks)) AS DOUBLE)

@@ -482,7 +482,7 @@ object EventQueries {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types._
     val store = new graft.state.WatermarkStore(spark,
-      java.nio.file.Files.createTempDirectory("graft_q97_").toString + "/wm")
+      graft.Scratch.fresh("q97") + "/wm")
     def ts(s: String) = java.sql.Timestamp.from(java.time.Instant.parse(s))
     val default = ts("2023-12-31T00:00:00Z")
     val events = Tables.load(spark, dir, "events")

@@ -145,10 +145,9 @@ object LayoutQueries {
         when(col("o_orderkey") % 14 === 0,
           round(col("o_totalprice") * 1.1 + lit(1e-9), 2))
           .otherwise(col("o_totalprice")))
-    // a fresh single-writer table per run; snapshots are immutable, the
-    // sandbox's tmp dir is the lifetime owner
-    val table = java.nio.file.Files
-      .createTempDirectory("graft_q96_").toString
+    // a fresh single-writer table per run: Scratch.fresh wipes last
+    // run's versions, so v0/v1 are always THIS run's two commits
+    val table = graft.Scratch.fresh("q96")
     val v0 = Snapshots.write(v0df, table)
     val v1 = Snapshots.write(v1df, table)
     Snapshots.diff(spark, table, v0, v1)
@@ -183,8 +182,7 @@ object LayoutQueries {
       .filter(col("l_orderkey") % 11 === 0)
       .select(col("l_orderkey"), col("l_returnflag"), col("l_quantity"),
         col("l_shipdate"))
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q99_").toString + "/li_orc"
+    val path = graft.Scratch.fresh("q99") + "/li_orc"
     subset.write.mode("overwrite").orc(path)
     spark.read.orc(path)
       .groupBy(col("l_returnflag"))

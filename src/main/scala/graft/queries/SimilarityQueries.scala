@@ -340,8 +340,7 @@ object SimilarityQueries {
     val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
     val cents = graft.operators.IvfAnn
       .centroids(corpus, "vec_id", "embedding", clusters = 16, iters = 2)
-    val path = java.nio.file.Files
-      .createTempDirectory("graft_q104_").toString + "/ivf_cells"
+    val path = graft.Scratch.fresh("q104") + "/ivf_cells"
     graft.operators.IvfAnn
       .writePartitionedByCell(corpus, "vec_id", "embedding", cents, path)
     val queries = corpus.filter(col("vec_id") < 10)
@@ -411,8 +410,7 @@ object SimilarityQueries {
       val delta = all0.filter(col("vec_id") % 5 === 0)
       val cents = graft.operators.IvfAnn
         .centroids(base, "vec_id", "embedding", clusters, iters)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_q107_").toString + "/ivf_cells"
+      val path = graft.Scratch.fresh("q107") + "/ivf_cells"
       graft.operators.IvfAnn
         .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
       graft.operators.IvfAnn

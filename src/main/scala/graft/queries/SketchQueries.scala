@@ -59,11 +59,12 @@ object SketchQueries {
   private val KmvGroupK = 64
 
   /** GROUPED KMV distinct-count — one k-min sketch per `o_orderpriority`
-    * ([[Sketches.kmvGrouped]]), the per-key cardinality lever: at 100 TB
-    * `count(DISTINCT user) GROUP BY source` is a full distinct shuffle,
-    * while the grouped sketch reduces map-side through the custom
-    * top-k-per-key operator (bounded heap per group per partition) and
-    * shuffles ≤ groups · k rows. The exact per-group distinct is
+    * ([[Sketches.kmvGrouped]]), the per-key cardinality lever: the
+    * dedup exchange moves map-side-deduped (grp, hash) pairs and the
+    * k-min reduction is a bounded heap per group per partition with
+    * ≤ groups · k rows in its exchange — unlike
+    * `count(DISTINCT user) GROUP BY source`, whose final aggregation
+    * carries every group's full distinct set. The exact per-group distinct is
     * computed alongside so every group reports the relative error its
     * sketch actually achieves; estimator and hash are bit-reproduced by
     * the oracle, so the gate checks the sketch STATE per group, not
@@ -596,8 +597,7 @@ object SketchQueries {
       .transform(graft.CacheScope.cache)
     // re-materialize as 4 files so AvailableNow + maxFilesPerTrigger=1
     // yields four REAL micro-batches (the fixture table is one file)
-    val streamDir = java.nio.file.Files
-      .createTempDirectory("graft_q111_").toString + "/docs"
+    val streamDir = graft.Scratch.fresh("q111") + "/docs"
     toks.repartition(4).write.mode("overwrite").parquet(streamDir)
     val acc = scala.collection.mutable.ArrayBuffer[(Int, Int, Long)]()
     val q = spark.readStream
@@ -753,8 +753,7 @@ object SketchQueries {
         Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
       // re-materialize as 4 files so AvailableNow + maxFilesPerTrigger=1
       // yields four REAL micro-batches (the fixture table is one file)
-      val streamDir = java.nio.file.Files
-        .createTempDirectory("graft_q105_").toString + "/prices"
+      val streamDir = graft.Scratch.fresh("q105") + "/prices"
       li.repartition(4).write.mode("overwrite").parquet(streamDir)
       val acc =
         scala.collection.mutable.ArrayBuffer[(Int, Double, Double, Long)]()

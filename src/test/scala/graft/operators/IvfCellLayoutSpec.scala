@@ -130,11 +130,12 @@ class IvfCellLayoutSpec extends SparkTestBase {
       "vec_id", "embedding", cents, layout)
     def dataFiles(): Map[String, Int] = {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(java.nio.file.Paths.get(layout)).iterator()
-        .asScala
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(layout))
+      try stream.iterator().asScala
         .filter(p => p.getFileName.toString.endsWith(".parquet"))
         .toSeq.groupBy(_.getParent.getFileName.toString)
         .map { case (cell, fs) => cell -> fs.length }
+      finally stream.close()
     }
     val before = dataFiles()
     assert(before.values.exists(_ > 1),

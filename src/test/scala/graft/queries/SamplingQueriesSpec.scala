@@ -30,29 +30,34 @@ class SamplingQueriesSpec extends SparkTestBase {
   test("token budget: selection is the maximal quality-ordered prefix per source") {
     val budget = 800L
     val toks = Text.tokens(col("text"))
-    val ranked = spark.read.parquet(s"$sfDir/documents.parquet")
+    // per-doc facts only — the walk, cumsum, and cutoff are re-derived
+    // in plain Scala below, INDEPENDENT of the window the production
+    // query uses (a shared window would make this check circular)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
       .select(col("source"), col("doc_id"),
         size(toks).cast("long").as("n_tokens"),
         (size(array_distinct(toks)).cast("double")
           / greatest(size(toks), lit(1))).as("diversity"))
-      .withColumn("run_tokens",
-        sum(col("n_tokens")).over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col("source"))
-            .orderBy(col("diversity").desc, col("doc_id"))
-            .rowsBetween(Long.MinValue, 0)))
       .collect()
-      .groupBy(_.getString(0))
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .groupBy(_._1)
     val selected = SamplingQueries.tokenBudgetSelect.run(spark, sfDir)
       .collect().groupBy(_.getString(0))
-    ranked.foreach { case (source, rows) =>
-      val walk = rows.sortBy(_.getLong(4))
-      val prefix = walk.takeWhile(_.getLong(4) <= budget)
-      val got = selected.getOrElse(source, Array.empty).map(_.getLong(1)).sorted
-      assert(got.toSeq === prefix.map(_.getLong(1)).sorted.toSeq, source)
-      // maximality: the first unselected doc (if any) would bust the budget
-      walk.drop(prefix.length).headOption.foreach { next =>
-        assert(next.getLong(4) > budget, s"$source not maximal")
+    docs.foreach { case (source, rows) =>
+      // quality walk: diversity desc, doc_id asc; greedy inclusive cumsum
+      val walk = rows.sortBy { case (_, id, _, div) => (-div, id) }
+      var running = 0L
+      val expected = walk.takeWhile { case (_, _, n, _) =>
+        running += n; running <= budget
+      }.map(_._2)
+      val got = selected.getOrElse(source, Array.empty).map(_.getLong(1))
+      assert(got.sorted.toSeq === expected.sorted.toSeq, source)
+      // maximality against the independent cumsum: adding the next doc
+      // in the walk (if any) must exceed the budget
+      if (expected.length < walk.length) {
+        val spent = walk.take(expected.length).map(_._3).sum
+        assert(spent + walk(expected.length)._3 > budget,
+          s"$source not maximal: $spent spent of $budget")
       }
     }
   }
