@@ -121,8 +121,8 @@ object SeismicPipeline {
     Tables.overwritePartitioned(merged, silverP, Seq("year", "month"))
 
     // S8 watermark advance to max event time of the written batch
-    val maxTs = silverNew.agg(max(col("event_time"))).collect()
-      .head.getTimestamp(0)
+    val maxTs = graft.state.WatermarkStore.timestampAt(
+      silverNew.agg(max(col("event_time"))).collect().head, 0)
     store.advance("silver_events", "event_time", maxTs, newCount)
 
     // A1/A2 gold build over the FULL silver table

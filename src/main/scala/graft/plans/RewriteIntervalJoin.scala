@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.{Inner, LeftOuter, RightOuter}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{DayTimeIntervalType, DoubleType, LongType, TimestampType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, DoubleType, LongType, TimestampNTZType, TimestampType}
 
 /** Rewrites a pure temporal range θ-join into a bin-bucketed hash
   * equi-join (the optimizer-automated form of the q61 rewrite; same idea
@@ -107,14 +107,28 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
       case _ => None
     }
 
+  /** Both session-zoned TIMESTAMP and TIMESTAMP_NTZ qualify. For NTZ the
+    * bin expression routes through an NTZ→timestamp cast in the session
+    * zone ([[binOf]]); that mapping is monotone only for FIXED-OFFSET
+    * zones (a DST fall-back makes it non-injective, and a pair within
+    * one window of each other could land more than one bin apart —
+    * silently dropping matches), so NTZ eligibility is gated on the
+    * session zone having no transitions.
+    */
   private def tsAttr(j: Join)(e: Expression): Option[AttributeReference] =
     e match {
       case a: AttributeReference
-          if a.dataType == TimestampType &&
+          if (a.dataType == TimestampType ||
+            (a.dataType == TimestampNTZType && fixedOffsetSessionZone)) &&
             (j.left.outputSet.contains(a) || j.right.outputSet.contains(a)) =>
         Some(a)
       case _ => None
     }
+
+  private def fixedOffsetSessionZone: Boolean =
+    try java.time.ZoneId.of(conf.sessionLocalTimeZone)
+      .getRules.isFixedOffset
+    catch { case _: java.time.DateTimeException => false }
 
   private def oppositeSides(j: Join, a: Attribute, b: Attribute): Boolean =
     (j.left.outputSet.contains(a) && j.right.outputSet.contains(b)) ||
@@ -158,7 +172,15 @@ object RewriteIntervalJoin extends Rule[LogicalPlan] {
     * back to long loses nothing.
     */
   private def binOf(ts: Expression, w: Long): Expression = {
-    val us = UnixMicros(ts)
+    // UnixMicros takes session-zoned TIMESTAMP only; NTZ goes through a
+    // session-zone cast (monotone — NTZ eligibility requires a
+    // fixed-offset zone, see tsAttr) applied identically on BOTH sides,
+    // so bin adjacency is preserved
+    val zoned =
+      if (ts.dataType == TimestampNTZType)
+        Cast(ts, TimestampType, Some(conf.sessionLocalTimeZone))
+      else ts
+    val us = UnixMicros(zoned)
     val lw = Literal(w, LongType)
     Cast(Divide(Cast(Subtract(us, Pmod(us, lw)), DoubleType),
       Literal(w.toDouble, DoubleType)), LongType)

@@ -493,7 +493,9 @@ object EventQueries {
         .agg(max(col("ts")).as("m"), count(col("ts")).as("n"))
         .collect().head
       val n = agg.getLong(1)
-      val newWm = if (agg.isNullAt(0)) wm else agg.getTimestamp(0)
+      val newWm =
+        if (agg.isNullAt(0)) wm
+        else graft.state.WatermarkStore.timestampAt(agg, 0)
       store.advance("events", "ts", newWm, n)
       val total = store.all().filter(col("table_name") === "events")
         .select("records_processed").collect().head.getLong(0)
@@ -551,7 +553,9 @@ object EventQueries {
     val feature = struct(
       col("event_id").cast("string").as("id"),
       struct(
-        unix_millis(col("ts")).as("time"),
+        // epoch extraction needs session-zoned TIMESTAMP; the NTZ→ts
+        // cast is value-preserving under the UTC session zone
+        unix_millis(col("ts").cast("timestamp")).as("time"),
         col("value").as("mag"),
         col("event_type").as("magType"),
         col("user_id").as("nst"),

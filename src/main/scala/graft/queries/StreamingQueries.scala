@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
 import graft.QuerySpec
+import graft.sources.Tables
 import graft.streaming.StreamingPipeline
 
 /** Structured Streaming surfaced into the oracle gate: the stream runs to
@@ -38,10 +39,9 @@ object StreamingQueries {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val ev =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    // event-time must be session-zoned TIMESTAMP for withWatermark —
+    // normalize whichever flavor the fixture stores (nanos Long or NTZ)
+    val ev = Tables.tsToTimestamp(raw)
     // complete mode: every window survives to the final table, matching
     // the batch oracle (the watermark only bounds append-mode eviction)
     val sink = "q56_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
@@ -151,10 +151,8 @@ object StreamingQueries {
     val raw = spark.readStream.schema(schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-    val ev =
-      if (schema("ts").dataType == org.apache.spark.sql.types.LongType)
-        raw.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
-      else raw
+    // withWatermark requires session-zoned TIMESTAMP event time
+    val ev = Tables.tsToTimestamp(raw)
     val sessions = graft.streaming.Sessionize.sessionize(
       ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
         .select(col("user_id"), col("ts"),

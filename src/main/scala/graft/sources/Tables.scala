@@ -14,10 +14,14 @@ object Tables {
 
   /** Scan one of the driver-provided tables under `sfDir`.
     *
-    * `events.parquet` stores `ts` as parquet TIMESTAMP(NANOS), which Spark
-    * reads only as a nanosecond Long (`spark.sql.legacy.parquet.nanosAsLong`,
-    * set in [[graft.Sessions]]); we convert to a microsecond timestamp the
-    * same way DuckDB does (truncation), so oracle comparisons line up.
+    * Two fixture vintages of `events.ts` are handled: parquet
+    * TIMESTAMP(NANOS), which Spark reads only as a nanosecond Long
+    * (`spark.sql.legacy.parquet.nanosAsLong`, set in [[graft.Sessions]])
+    * and is truncated to microseconds the same way DuckDB truncates; and
+    * parquet TIMESTAMP(MICROS, isAdjustedToUTC=false), which Spark reads
+    * natively as TIMESTAMP_NTZ and which passes through unchanged —
+    * DuckDB reads the same file as its (naive) TIMESTAMP, so values and
+    * types line up with the oracle with no conversion at all.
     */
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     val df = spark.read.parquet(s"$sfDir/$name.parquet")
@@ -27,6 +31,26 @@ object Tables {
         // is double division in the Column DSL) would round the last digit
         df.withColumn("ts",
           org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+      case _ => df
+    }
+  }
+
+  /** Normalize an event-time column to session-zoned TimestampType for
+    * consumers that REQUIRE it (streaming `withWatermark`, epoch
+    * extraction like `unix_millis`) whatever flavor the source stores:
+    * nanosecond Long (legacy fixtures), TIMESTAMP_NTZ (current
+    * fixtures), or already TimestampType. Under the UTC session zone
+    * ([[graft.Sessions]]) the NTZ→timestamp cast is value-preserving.
+    * Works on batch and streaming frames (pure projection).
+    */
+  def tsToTimestamp(df: DataFrame, colName: String = "ts"): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    df.schema.find(_.name == colName).map(_.dataType) match {
+      case Some(LongType) =>
+        df.withColumn(colName, expr(s"timestamp_micros($colName div 1000)"))
+      case Some(TimestampNTZType) =>
+        df.withColumn(colName, col(colName).cast(TimestampType))
       case _ => df
     }
   }
@@ -44,19 +68,24 @@ object Tables {
     */
   def loadEventsSince(spark: SparkSession, sfDir: String,
       watermark: java.sql.Timestamp): DataFrame = {
-    val exact = org.apache.spark.sql.functions.lit(watermark)
+    import org.apache.spark.sql.functions.{col, expr, lit}
     val raw = spark.read.parquet(s"$sfDir/events.parquet")
     raw.schema.find(_.name == "ts") match {
       case Some(f) if f.dataType == org.apache.spark.sql.types.LongType =>
         val wmNanos = watermark.getTime * 1000000L +
           (watermark.getNanos % 1000000)
-        raw.filter(org.apache.spark.sql.functions.col("ts") > wmNanos)
-          .withColumn("ts",
-            org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
-          .filter(org.apache.spark.sql.functions.col("ts") > exact)
+        raw.filter(col("ts") > wmNanos)
+          .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+          .filter(col("ts") > lit(watermark))
+      case Some(f) if f.dataType == org.apache.spark.sql.types.TimestampNTZType =>
+        // exact NTZ-literal predicate straight on the stored column — no
+        // coarse/residual dance needed (micro precision matches), and the
+        // comparison pushes into the parquet scan as-is
+        val ntzWm = java.time.LocalDateTime.ofInstant(
+          watermark.toInstant, java.time.ZoneOffset.UTC)
+        raw.filter(col("ts") > lit(ntzWm))
       case _ =>
-        load(spark, sfDir, "events")
-          .filter(org.apache.spark.sql.functions.col("ts") > exact)
+        load(spark, sfDir, "events").filter(col("ts") > lit(watermark))
     }
   }
 

@@ -70,3 +70,21 @@ class WatermarkStore(spark: SparkSession, path: String) {
     Tables.overwrite(others.unionByName(updated), path)
   }
 }
+
+object WatermarkStore {
+
+  /** Event-time scalar out of a collected Row, whatever timestamp flavor
+    * the source carried: `TIMESTAMP` surfaces as `java.sql.Timestamp`,
+    * `TIMESTAMP_NTZ` (the current fixtures) as `java.time.LocalDateTime`
+    * — interpreted at UTC, matching the session zone
+    * ([[graft.Sessions]]), so both flavors advance the store to the same
+    * instant.
+    */
+  def timestampAt(row: Row, i: Int): Timestamp = row.get(i) match {
+    case t: Timestamp => t
+    case ldt: java.time.LocalDateTime =>
+      Timestamp.from(ldt.toInstant(java.time.ZoneOffset.UTC))
+    case other => throw new IllegalArgumentException(
+      s"not an event-time value: $other (${if (other == null) "null" else other.getClass})")
+  }
+}
