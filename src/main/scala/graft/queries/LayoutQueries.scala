@@ -195,5 +195,45 @@ object LayoutQueries {
       .orderBy(col("l_returnflag"))
   }
 
-  val all: Seq[QuerySpec] = Seq(zorderSpans, timeTravelCdf, orcRoundtrip)
+  /** File-stats manifest data skipping
+    * ([[graft.layout.StatsManifest]]): the lineitem projection is
+    * range-clustered into 16 files with a per-file min/max manifest,
+    * and the range query reads ONLY the files whose window intersects
+    * the predicate (the Delta/Iceberg data-skipping contract, one level
+    * above parquet row-group pruning — at 100 TB it's the difference
+    * between listing a manifest and opening a million footers). The
+    * pruned read is a superset; the exact predicate re-applies on top,
+    * so the oracle — a plain full-scan range aggregate — hash-matches
+    * iff pruning lost nothing. `StatsManifestSpec` asserts the scan's
+    * FILE SET actually shrank (the I/O claim the result alone can't
+    * prove).
+    */
+  val statsSkipping: QuerySpec = QuerySpec.sql(
+    "q115_stats_skipping",
+    """SELECT l_returnflag,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(l_extendedprice AS DECIMAL(28,10))) AS DOUBLE)
+      |    + 1e-9, 2) AS sum_price
+      |FROM lineitem
+      |WHERE l_extendedprice >= 1000.0 AND l_extendedprice <= 2000.0
+      |GROUP BY l_returnflag
+      |ORDER BY l_returnflag""".stripMargin
+  ) { (spark, dir) =>
+    import graft.layout.StatsManifest
+    val li = Tables.load(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_extendedprice"))
+    val path = graft.Scratch.dir("q115") + "/li_stats"
+    StatsManifest.write(li, path, Seq("l_extendedprice"), targetFiles = 16)
+    StatsManifest.readPruned(spark, path, "l_extendedprice", 1000.0, 2000.0)
+      .filter(col("l_extendedprice") >= 1000.0 &&
+        col("l_extendedprice") <= 2000.0)
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Stable.sumD(col("l_extendedprice")) + lit(1e-9), 2)
+          .as("sum_price"))
+      .orderBy(col("l_returnflag"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(zorderSpans, timeTravelCdf, orcRoundtrip, statsSkipping)
 }

@@ -886,8 +886,50 @@ object SimilarityQueries {
     }
   }
 
+  private def semanticDedupOracleSql(clusters: Int, iters: Int, dim: Int,
+      tau: Double): String = {
+    import Vectors.{dotSql, normSql}
+    // coarseCtes' probes CTE is unused here (harmless) — reusing the
+    // helper keeps the unrolled-Lloyd training byte-identical to q58/q104
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, 1, iters, dim, 1)},
+      |e AS (
+      |  SELECT f.vec_id, f.cell, v.embedding,
+      |         ${normSql("v.embedding")} AS nrm
+      |  FROM af f JOIN corpus v USING (vec_id)),
+      |drops AS (
+      |  SELECT DISTINCT b.vec_id
+      |  FROM e a JOIN e b ON a.cell = b.cell AND a.vec_id < b.vec_id
+      |    AND a.nrm > 0 AND b.nrm > 0
+      |  WHERE ${dotSql("a.embedding", "b.embedding")} / (a.nrm * b.nrm) >= $tau)
+      |SELECT e.vec_id, e.cell, d.vec_id IS NULL AS kept
+      |FROM e LEFT JOIN drops d USING (vec_id)
+      |ORDER BY e.vec_id""".stripMargin
+  }
+
+  /** Cell-scoped semantic dedup ([[graft.operators.SemanticDedup]] — the
+    * SemDeDup shape): IVF-quantize the corpus, near-dup compare only
+    * WITHIN each k-means cell, keep the lowest-id representative per
+    * neighborhood. Pairwise work is Σ n_c² (adaptive cells) instead of
+    * the n² exact pass, and the whole manifest is one shuffle-by-cell;
+    * the deterministic trainer makes the full chain — train, assign,
+    * scope, prune — SQL-expressible, so the oracle replays BOTH Lloyd
+    * iterations (the q58 pattern) and the per-vector kept/dropped
+    * manifest hash-matches end-to-end.
+    */
+  val semanticDedup: QuerySpec = QuerySpec.sql(
+    "q114_semantic_dedup",
+    semanticDedupOracleSql(clusters = 16, iters = 2, dim = 64, tau = 0.35)
+  ) { (spark, dir) =>
+    val corpus = Tables.load(spark, dir, "embeddings")
+    graft.operators.SemanticDedup
+      .manifest(corpus, "vec_id", "embedding",
+        clusters = 16, iters = 2, tau = 0.35)
+      .orderBy(col("vec_id"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
-    ivfRecall, ivfAnnPartitioned, ivfAppend)
+    ivfRecall, ivfAnnPartitioned, ivfAppend, semanticDedup)
 }
