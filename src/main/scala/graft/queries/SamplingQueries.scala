@@ -159,6 +159,56 @@ object SamplingQueries {
       .orderBy(col("epoch"), col("shard"), col("pos"))
   }
 
+  private val WeightedPerSource = 10
+
+  /** Weight-monotone deterministic sampling
+    * ([[graft.operators.WeightedSample]]): each document's lexical
+    * diversity (q109's quality signal) maps onto an integer weight band
+    * 1–5; a weight-w document competes with w hash TICKETS and its
+    * priority is the minimum — min-wise sampling with integer
+    * replication, the deterministic stand-in for
+    * Efraimidis–Spirakis `u^(1/w)` keys (whose `ln`/`pow` are not
+    * bit-stable across engines). Selection probability grows with
+    * quality, the selected SET is engine-reproducible, the key is a
+    * pure projection (no shuffle, no explode), and the only exchange is
+    * the bounded-heap top-k per source.
+    */
+  val weightedSample: QuerySpec = QuerySpec.sql(
+    "q116_weighted_sample",
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      x -> x != '') AS toks
+      |  FROM documents),
+      |w AS (
+      |  SELECT source, doc_id,
+      |    CAST(1 + floor(4 * CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1)) AS INT) AS weight
+      |  FROM t),
+      |k AS (
+      |  SELECT source, doc_id, weight,
+      |    list_min(list_transform(generate_series(0, weight - 1),
+      |      t -> ${Sketches.uniformHashSql("doc_id || ':' || CAST(t AS VARCHAR)")}))
+      |      AS ticket
+      |  FROM w)
+      |SELECT source, doc_id, weight, ticket
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY ticket, doc_id) AS rk FROM k) z
+      |WHERE rk <= $WeightedPerSource
+      |ORDER BY source, ticket, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val weighted = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        (floor(lit(4) * size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1))) + 1).cast("int").as("weight"))
+    graft.operators.WeightedSample
+      .sample(weighted, Seq("source"), "doc_id", "weight",
+        WeightedPerSource)
+      .select(col("source"), col("doc_id"), col("weight"), col("ticket"))
+      .orderBy(col("source"), col("ticket"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(stratifiedSample, tokenBudgetSelect, epochShuffle)
+    Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample)
 }
