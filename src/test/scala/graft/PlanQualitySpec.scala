@@ -230,6 +230,22 @@ class PlanQualitySpec extends SparkTestBase {
     }
   }
 
+  test("q114's cell-scoped pair join hashes on cell (no nested-loop pass)") {
+    val plan = planOf("q114_semantic_dedup")
+    // the self-join must ride the cell equality — a BNLJ here is the n²
+    // all-pairs scan the cell scoping exists to avoid
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
+  test("q116's ticket key is a projection (no explode, one top-k exchange)") {
+    val plan = planOf("q116_weighted_sample")
+    // tickets live inside transform/array_min — materializing them via
+    // Generate would multiply the corpus by the weight band
+    assert(!plan.contains("Generate"), plan.take(2000))
+    assert(plan.contains("TopKPerKey"), plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
