@@ -46,9 +46,13 @@ object SemanticDedup {
     val cents = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, iters)
     // assignment is a pure projection (no shuffle): argmin over the
     // driver-held centroid table, inline expression
-    val e = corpus.select(col(idCol), col(vecCol),
-      CentroidState.nearestCell(col(vecCol), cents).as("cell"),
-      Vectors.norm(col(vecCol)).as("nrm"))
+    // three consumers (both pair-join branches + the manifest) read the
+    // assigned frame — persist via the session cache registry so the
+    // assignment projection runs once (released by the gate runners)
+    val e = graft.CacheScope.cache(
+      corpus.select(col(idCol), col(vecCol),
+        CentroidState.nearestCell(col(vecCol), cents).as("cell"),
+        Vectors.norm(col(vecCol)).as("nrm")))
     // within-cell pairwise: the self-join's ONLY shuffle is by cell;
     // norms are hoisted per vector (n sqrt-dots, not n² extra dots).
     // Zero-norm vectors carry no direction — excluded from pairs, so

@@ -35,7 +35,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q105_hist_stream",    // price-column cache
     "q106_hist_grouped_exact", // lineitem + grouped-sketch caches
     "q107_ivf_append",     // corpus cache + searchPartitioned probe cache
-    "q111_cms_stream"      // doc + token caches
+    "q111_cms_stream",     // doc + token caches
+    "q114_semantic_dedup"  // SemanticDedup assigned-frame cache
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
