@@ -330,4 +330,48 @@ object IvfAnn {
     Dedup.topKPerKey(scored, Seq(qidCol),
       Seq(col("cosine").desc, col("neighbor").asc), k)
   }
+
+  /** Index-staleness telemetry — the WHEN-to-retrain signal that closes
+    * the maintenance loop ([[appendPartitionedByCell]] appends without
+    * retraining; [[compactCells]] defragments; this reports when the
+    * quantizer itself has gone stale): per cell, the mean squared L2
+    * distance to the assigned centroid for each generation in `genCol`
+    * (`base` = the training generation, `delta` = appended batches),
+    * and their ratio. Drift ≫ 1 means appended vectors land far from
+    * the centroids the index was trained on — probe recall decays and a
+    * retrain ([[centroids]]) + rewrite is due.
+    *
+    * One scan of the tagged corpus: assignment is the pure-projection
+    * kernel, the centroid join broadcasts O(clusters) rows, and the
+    * per-cell aggregation is map-side combinable. Means use the
+    * decimal-backed [[graft.functions.Stable]] path, so the report is
+    * bit-reproducible (and SQL-expressible — q117's oracle replays
+    * training and the distance algebra verbatim).
+    *
+    * @return (cell, n_base, n_delta, base_d2, delta_d2, drift) — drift
+    *         is null for cells missing either generation
+    */
+  def driftReport(vecs: DataFrame, genCol: String, idCol: String,
+      vecCol: String, cents: DataFrame): DataFrame = {
+    val cs = CentroidState.collect(cents)
+    val v = col(vecCol)
+    val assigned = vecs.select(col(genCol),
+      CentroidState.nearestCell(v, cs).as("cell"), v)
+    val d2 = col("cnorm2") - lit(2.0) * Vectors.dot(v, col("cvec")) +
+      Vectors.dot(v, v)
+    def genD2(gen: String) =
+      when(col(genCol) === gen, d2)
+    assigned.join(broadcast(cents), "cell")
+      .groupBy(col("cell"))
+      .agg(
+        count(when(col(genCol) === "base", 1)).as("n_base"),
+        count(when(col(genCol) === "delta", 1)).as("n_delta"),
+        graft.functions.Stable.avg4(genD2("base")).as("base_d2"),
+        graft.functions.Stable.avg4(genD2("delta")).as("delta_d2"))
+      .withColumn("drift",
+        // explicit zero guard: Spark's x/0.0 is null while DuckDB's is
+        // inf (q26's rationale) — make the degenerate cell portable
+        when(col("base_d2") > 0,
+          round(col("delta_d2") / col("base_d2") + lit(1e-9), 4)))
+  }
 }

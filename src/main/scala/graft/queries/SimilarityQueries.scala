@@ -928,8 +928,71 @@ object SimilarityQueries {
       .orderBy(col("vec_id"))
   }
 
+  private def ivfDriftOracleSql(clusters: Int, iters: Int,
+      dim: Int): String = {
+    import Vectors.dotSql
+    import graft.functions.Stable.avg4Sql
+    // trains on the base slice (corpus CTE) exactly like q107; the
+    // probes CTE inside coarseCtes is unused here
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |allv AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, 1, iters, dim, 1)},
+      |asg AS (
+      |  SELECT vec_id, gen, cell FROM (
+      |    SELECT v.vec_id,
+      |      CASE WHEN v.vec_id % 5 = 0 THEN 'delta' ELSE 'base' END AS gen,
+      |      c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM allv v CROSS JOIN c${iters}n c) t WHERE rk = 1),
+      |d AS (
+      |  SELECT a.gen, a.cell,
+      |    c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}
+      |      + ${dotSql("v.embedding", "v.embedding")} AS d2
+      |  FROM asg a
+      |  JOIN allv v USING (vec_id)
+      |  JOIN c${iters}n c ON c.cell = a.cell),
+      |g AS (
+      |  SELECT cell,
+      |    CAST(count(CASE WHEN gen = 'base' THEN 1 END) AS BIGINT) AS n_base,
+      |    CAST(count(CASE WHEN gen = 'delta' THEN 1 END) AS BIGINT) AS n_delta,
+      |    ${avg4Sql("CASE WHEN gen = 'base' THEN d2 END")} AS base_d2,
+      |    ${avg4Sql("CASE WHEN gen = 'delta' THEN d2 END")} AS delta_d2
+      |  FROM d GROUP BY cell)
+      |SELECT cell, n_base, n_delta, base_d2, delta_d2,
+      |  CASE WHEN base_d2 > 0
+      |       THEN round(delta_d2 / base_d2 + 1e-9, 4) END AS drift
+      |FROM g ORDER BY cell""".stripMargin
+  }
+
+  /** IVF index-staleness report ([[graft.operators.IvfAnn.driftReport]])
+    * — the WHEN-to-retrain signal completing the maintenance loop
+    * (q107 appends without retraining, `compactCells` defragments):
+    * train on the base generation, assign base AND appended delta to
+    * cells, report per-cell mean squared centroid distance by
+    * generation and their ratio. One corpus scan + a broadcast centroid
+    * join + a map-side-combinable aggregate; the deterministic trainer
+    * makes the whole report oracle-checkable (unrolled-Lloyd CTEs, the
+    * distance algebra replayed verbatim).
+    */
+  val ivfDrift: QuerySpec = QuerySpec.sql(
+    "q117_ivf_drift",
+    ivfDriftOracleSql(clusters = 16, iters = 2, dim = 64)
+  ) { (spark, dir) =>
+    val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+    val base = all0.filter(col("vec_id") % 5 =!= 0)
+    val cents = graft.operators.IvfAnn
+      .centroids(base, "vec_id", "embedding", clusters = 16, iters = 2)
+    val tagged = all0.select(col("vec_id"), col("embedding"),
+      when(col("vec_id") % 5 === 0, "delta").otherwise("base").as("gen"))
+    graft.operators.IvfAnn
+      .driftReport(tagged, "gen", "vec_id", "embedding", cents)
+      .orderBy(col("cell"))
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
-    ivfRecall, ivfAnnPartitioned, ivfAppend, semanticDedup)
+    ivfRecall, ivfAnnPartitioned, ivfAppend, semanticDedup, ivfDrift)
 }

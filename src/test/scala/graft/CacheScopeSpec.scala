@@ -36,7 +36,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q106_hist_grouped_exact", // lineitem + grouped-sketch caches
     "q107_ivf_append",     // corpus cache + searchPartitioned probe cache
     "q111_cms_stream",     // doc + token caches
-    "q114_semantic_dedup"  // SemanticDedup assigned-frame cache
+    "q114_semantic_dedup", // SemanticDedup assigned-frame cache
+    "q117_ivf_drift"       // embeddings cache
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

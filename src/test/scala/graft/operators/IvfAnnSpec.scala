@@ -97,4 +97,30 @@ class IvfAnnSpec extends SparkTestBase {
     // probing every cell IS brute force: recall must be exactly 1
     assert(sweep.last._2 === 1.0, s"full-width recall ${sweep.last._2}")
   }
+
+  test("driftReport flags an out-of-distribution delta (retrain signal)") {
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding",
+      clusters = 8, iters = 2)
+    // in-distribution delta: the held-out slice of the same corpus
+    val inDist = corpus.filter(col("vec_id") % 5 === 0)
+    // out-of-distribution delta: the same held-out vectors shifted by a
+    // constant offset in every dimension — far from every trained cell
+    val shifted = inDist.select(col("vec_id"),
+      transform(col("embedding"), x => x + lit(3.0f)).as("embedding"))
+    def totalDrift(delta: org.apache.spark.sql.DataFrame): Double = {
+      val tagged = base.select(col("vec_id"), col("embedding"),
+          lit("base").as("gen"))
+        .unionByName(delta.select(col("vec_id"), col("embedding"),
+          lit("delta").as("gen")))
+      IvfAnn.driftReport(tagged, "gen", "vec_id", "embedding", cents)
+        .agg(avg(col("drift"))).collect().head.getDouble(0)
+    }
+    val near = totalDrift(inDist)
+    val far = totalDrift(shifted)
+    // a held-out slice of the SAME distribution sits near the trained
+    // centroids (ratio ~1); the shifted batch must read clearly stale
+    assert(near < 2.0, s"in-distribution drift $near")
+    assert(far > 2.0 * near, s"shifted drift $far vs in-dist $near")
+  }
 }
