@@ -209,6 +209,94 @@ object SamplingQueries {
       .orderBy(col("source"), col("ticket"), col("doc_id"))
   }
 
+  private val CurationMinTokens = 20
+  private val CurationMinDiversity = 0.5
+  private val CurationPerSource = 3
+
+  /** The curation tiers COMPOSED as one manifest query — the shape a
+    * real training-data pipeline runs end-to-end: exact dedup (q22's
+    * md5-canonical rule) → quality gate (q19's token/diversity
+    * signals) → weight-monotone sampling (q116's min-ticket keys) →
+    * deterministic training order (q113's epoch-hash rule, epoch 1).
+    * Every stage is individually gated elsewhere; this gate proves the
+    * COMPOSITION stays deterministic and oracle-expressible — the
+    * emitted manifest (who made the cut, with what weight, in what
+    * order) is the pipeline's actual product. Plan shape: one
+    * hash-partitioned window (dedup), map-side token stats, projection
+    * ticket keys, one bounded-heap top-k — no stage adds an exchange
+    * beyond its own.
+    */
+  val curationPipeline: QuerySpec = QuerySpec.sql(
+    "q118_curation_pipeline",
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      x -> x != '') AS toks
+      |  FROM documents),
+      |h AS (
+      |  SELECT source, doc_id, toks,
+      |    md5(array_to_string(toks, ' ')) AS text_hash
+      |  FROM t),
+      |canon AS (
+      |  SELECT source, doc_id, toks FROM (
+      |    SELECT *, min(doc_id) OVER (PARTITION BY text_hash) AS min_id
+      |    FROM h) z
+      |  WHERE doc_id = min_id),
+      |q AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS diversity
+      |  FROM canon),
+      |w AS (
+      |  SELECT source, doc_id, n_tokens, diversity,
+      |    CAST(1 + floor(4 * diversity) AS INT) AS weight
+      |  FROM q
+      |  WHERE n_tokens >= $CurationMinTokens
+      |    AND diversity >= $CurationMinDiversity),
+      |k AS (
+      |  SELECT source, doc_id, n_tokens, weight, diversity,
+      |    list_min(list_transform(generate_series(0, weight - 1),
+      |      t -> ${Sketches.uniformHashSql("doc_id || ':' || CAST(t AS VARCHAR)")}))
+      |      AS ticket
+      |  FROM w),
+      |sel AS (
+      |  SELECT * FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |      ORDER BY ticket, doc_id) AS rk FROM k) z
+      |  WHERE rk <= $CurationPerSource)
+      |SELECT source, doc_id, n_tokens, weight, ticket,
+      |  round(diversity + 1e-9, 4) AS diversity,
+      |  ${Sketches.uniformHashSql("doc_id || ':e1'")} AS order_hash
+      |FROM sel
+      |ORDER BY order_hash, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val toks = Text.tokens(col("text"))
+    val base = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"), toks.as("toks"))
+    val canon = base
+      .withColumn("text_hash",
+        md5(array_join(col("toks"), " ").cast("binary")))
+      .withColumn("min_id",
+        min(col("doc_id")).over(Window.partitionBy(col("text_hash"))))
+      .filter(col("doc_id") === col("min_id"))
+    val quality = canon.select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("diversity"))
+      .filter(col("n_tokens") >= CurationMinTokens &&
+        col("diversity") >= CurationMinDiversity)
+      .withColumn("weight", (floor(col("diversity") * 4) + 1).cast("int"))
+    graft.operators.WeightedSample
+      .sample(quality, Seq("source"), "doc_id", "weight", CurationPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("weight"),
+        col("ticket"),
+        round(col("diversity") + lit(1e-9), 4).as("diversity"),
+        Sketches.uniformHash(
+          concat(col("doc_id").cast("string"), lit(":e1"))).as("order_hash"))
+      .orderBy(col("order_hash"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample)
+    Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
+      curationPipeline)
 }
