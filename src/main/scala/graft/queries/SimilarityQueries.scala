@@ -353,29 +353,18 @@ object SimilarityQueries {
       .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
   }
 
-  /** Incremental IVF index maintenance — the day-2 story of the q104
-    * layout: the quantizer is trained on the BASE corpus only (vectors
-    * with `vec_id % 5 <> 0`), the base is written cell-partitioned, and
-    * the remaining 20% arrive later as a DELTA batch absorbed by
-    * [[graft.operators.IvfAnn.appendPartitionedByCell]] — assigned to
-    * their nearest EXISTING centroids and appended as new files under
-    * the matching cell directories, O(|delta|) with zero corpus rewrite
-    * and zero retraining. The search then runs over the combined layout
-    * with queries drawn from BOTH generations (qids 0 and 5 are delta
-    * vectors), proving appended vectors are immediately searchable and
-    * indistinguishable from base ones. The oracle re-derives training
-    * from the base slice and assignment/probing over the FULL set, so a
-    * hash-equal result gates the append path end-to-end.
+  /** Oracle for the append-maintenance gates (q107 batch, q119
+    * streamed): training re-derived from the BASE slice, assignment and
+    * probing over the FULL set — the end state of the layout is the
+    * same however the delta arrived, so both gates share this SQL.
     */
-  val ivfAppend: QuerySpec = {
+  private def ivfAppendOracleSql(clusters: Int, nProbe: Int, iters: Int,
+      k: Int, dim: Int, nQueries: Int): String = {
     import Vectors.{dotSql, normSql}
-    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
-    QuerySpec.sql(
-      "q107_ivf_append",
-      s"""WITH corpus AS (
-        |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
-        |allv AS (SELECT vec_id, embedding FROM embeddings),
-        |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |allv AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
         |af_all AS (
         |  SELECT vec_id, cell FROM (
         |    SELECT v.vec_id, c.cell,
@@ -404,6 +393,27 @@ object SimilarityQueries {
         |        ORDER BY cos DESC, neighbor) AS rk FROM scored) r
         |WHERE rk <= $k
         |ORDER BY qid, cosine DESC, neighbor""".stripMargin
+  }
+
+  /** Incremental IVF index maintenance — the day-2 story of the q104
+    * layout: the quantizer is trained on the BASE corpus only (vectors
+    * with `vec_id % 5 <> 0`), the base is written cell-partitioned, and
+    * the remaining 20% arrive later as a DELTA batch absorbed by
+    * [[graft.operators.IvfAnn.appendPartitionedByCell]] — assigned to
+    * their nearest EXISTING centroids and appended as new files under
+    * the matching cell directories, O(|delta|) with zero corpus rewrite
+    * and zero retraining. The search then runs over the combined layout
+    * with queries drawn from BOTH generations (qids 0 and 5 are delta
+    * vectors), proving appended vectors are immediately searchable and
+    * indistinguishable from base ones. The oracle re-derives training
+    * from the base slice and assignment/probing over the FULL set, so a
+    * hash-equal result gates the append path end-to-end.
+    */
+  val ivfAppend: QuerySpec = {
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    QuerySpec.sql(
+      "q107_ivf_append",
+      ivfAppendOracleSql(clusters, nProbe, iters, k, dim, nQueries)
     ) { (spark, dir) =>
       val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
       val base = all0.filter(col("vec_id") % 5 =!= 0)
@@ -415,6 +425,62 @@ object SimilarityQueries {
         .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
       graft.operators.IvfAnn
         .appendPartitionedByCell(delta, "vec_id", "embedding", cents, path)
+      val queries = all0.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfAnn
+        .searchPartitioned(spark, path, cents, "vec_id", "embedding",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+    }
+  }
+
+  /** STREAMED index maintenance — q107's append absorbed through a real
+    * Structured Streaming ingest instead of one batch call: the delta
+    * generation arrives as three AvailableNow micro-batches
+    * (`maxFilesPerTrigger=1`) and each `foreachBatch` appends its rows
+    * to the cell layout via
+    * [[graft.operators.IvfAnn.appendPartitionedByCell]] — the
+    * continuous-ingest shape a production vector index actually runs
+    * (per-micro-batch O(batch) appends, never a rewrite). Appends
+    * commute (each lands new files under its cells), so the layout's
+    * end state is identical however the delta was sliced, and the SAME
+    * unrolled-training oracle as q107 gates the streamed path: a
+    * hash-equal search proves micro-batching changed nothing.
+    */
+  val ivfStreamAppend: QuerySpec = {
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    QuerySpec.sql(
+      "q119_ivf_stream",
+      ivfAppendOracleSql(clusters, nProbe, iters, k, dim, nQueries)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val cents = graft.operators.IvfAnn
+        .centroids(base, "vec_id", "embedding", clusters, iters)
+      val root = graft.Scratch.fresh("q119")
+      val path = root + "/ivf_cells"
+      graft.operators.IvfAnn
+        .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
+      // re-materialize the delta as 3 files so AvailableNow +
+      // maxFilesPerTrigger=1 yields three REAL micro-batches
+      val deltaDir = root + "/delta"
+      all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(deltaDir)
+      val q = spark.readStream
+        .schema(spark.read.parquet(deltaDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.IvfAnn
+            .appendPartitionedByCell(batch, "vec_id", "embedding", cents, path)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
       val queries = all0.filter(col("vec_id") < nQueries)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.IvfAnn
@@ -994,5 +1060,6 @@ object SimilarityQueries {
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
-    ivfRecall, ivfAnnPartitioned, ivfAppend, semanticDedup, ivfDrift)
+    ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
+    semanticDedup, ivfDrift)
 }
