@@ -37,19 +37,29 @@ object WeightedSample {
     * Lower key = higher priority; `P(key < other.key)` increases with
     * weight. Pointwise monotone: adding tickets can only lower the key
     * (the w-ticket set is a prefix of the (w+1)-ticket set).
+    *
+    * `weight < 1` yields NULL (no tickets, never sampled) — guarded
+    * explicitly because Spark's `sequence(0, w-1)` DESCENDS for w ≤ 0
+    * (tickets for negative t) while SQL `generate_series` is empty;
+    * the guard keeps both engines on the same "no tickets" answer.
     */
   def minTicket(id: Column, weight: Column): Column =
-    array_min(transform(sequence(lit(0), weight - 1),
-      t => Sketches.uniformHash(
-        concat(id.cast("string"), lit(":"), t.cast("string")))))
+    when(weight >= 1,
+      array_min(transform(sequence(lit(0), weight - 1),
+        t => Sketches.uniformHash(
+          concat(id.cast("string"), lit(":"), t.cast("string"))))))
 
   /** The k lowest-keyed rows per stratum; ties break on `id`. Output
-    * carries the input columns plus `ticket`.
+    * carries the input columns plus `ticket`. Ticketless rows
+    * (weight < 1 → null key) hold ZERO tickets and are excluded before
+    * the top-k — ordering alone would still seat them whenever a
+    * stratum has fewer than k ticketed rows.
     */
   def sample(df: DataFrame, strataCols: Seq[String], idCol: String,
       weightCol: String, k: Int): DataFrame =
     Dedup.topKPerKey(
-      df.withColumn("ticket", minTicket(col(idCol), col(weightCol))),
+      df.withColumn("ticket", minTicket(col(idCol), col(weightCol)))
+        .filter(col("ticket").isNotNull),
       strataCols,
       Seq(col("ticket").asc, col(idCol).asc), k)
 }

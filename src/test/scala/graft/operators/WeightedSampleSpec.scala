@@ -44,4 +44,20 @@ class WeightedSampleSpec extends SparkTestBase {
     assert(winners.getOrElse(4, 0L) > winners.getOrElse(1, 0L),
       winners.toString)
   }
+
+  test("weight below 1 means no tickets: never sampled, key is null") {
+    val base = spark.range(100).select(col("id"),
+      when(col("id") < 50, 0).otherwise(1).cast("int").as("w"),
+      lit("s").as("src"))
+    val ks = base.select(col("id"),
+        WeightedSample.minTicket(col("id"), col("w")).as("k"))
+      .collect().map(r => r.getLong(0) -> r.isNullAt(1)).toMap
+    assert((0L until 50L).forall(ks(_)), "w=0 rows must have null keys")
+    assert((50L until 100L).forall(!ks(_)))
+    // and the sample never admits a ticketless row, even with room
+    val picked = WeightedSample.sample(base, Seq("src"), "id", "w", 80)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.forall(_ >= 50L), s"ticketless row sampled: $picked")
+    assert(picked.size === 50)
+  }
 }
