@@ -131,14 +131,31 @@ object Bench {
     // `flaky`, reporting their successful-run min) — so a consumer
     // keying on `errors` alone cannot read an intermittently-failing
     // suite as clean
-    def line(queries: String, extra: String) =
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${names(contendedNames)},"flaky":${names(flakyNames)},"inflated":${names(inflatedNames)},"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
-    val full = line(qs, "")
-    // never throw after the measurements exist: if the per-query map would
-    // overflow the captured tail, drop it and say so in the JSON itself
+    def line(queries: String, flagNames: Boolean, extra: String) = {
+      def arr(ns: Seq[String]) = if (flagNames) names(ns) else "[]"
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${arr(contendedNames)},"flaky":${arr(flakyNames)},"inflated":${arr(inflatedNames)},"runs":$Runs,"agg":"min","sf":"$sfDir"$extra}"""
+    }
+    // The driver's captured tail is 2000 chars (BENCH_r06.json "tail");
+    // at 119 queries the full line is ~1600, so a heavily-contended run
+    // populating the three flag-name arrays can overflow it. Degrade in
+    // order of load-bearing-ness: the per-query map feeds the NEXT
+    // round's inflation check, so drop the diagnostic name arrays first
+    // and the map only as a last resort. `failed` always survives.
+    // Cap leaves ~150 chars of tail for sbt's trailing "[success]" line.
+    val Cap = 1850
+    val full = line(qs, flagNames = true, "")
     val out =
-      if (full.length < 1800) full
-      else line("{}", s""","warning":"queries omitted: line was ${full.length} chars"""")
+      if (full.length <= Cap) full
+      else {
+        val noFlags = line(qs, flagNames = false,
+          s""","warning":"flag names omitted: line was ${full.length} chars"""")
+        if (noFlags.length <= Cap) noFlags
+        else line("{}", flagNames = false,
+          s""","warning":"queries omitted: line was ${full.length} chars"""")
+      }
+    // nothing may land in the tail after the JSON line — silence the
+    // shutdown logging spark.stop() would otherwise emit there
+    spark.sparkContext.setLogLevel("OFF")
     println(out)
     spark.stop()
   }

@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   * among itself and its neighbours; fixpoint after O(component diameter)
   * rounds. Near-dup graphs are overwhelmingly tiny cliques/chains, so
   * 2–3 rounds converge in practice; `maxIter` bounds adversarial chains.
-  * Lineage is cut with `localCheckpoint` every round — without it the
-  * plan doubles per iteration and the job DAG blows up by round ~10.
-  * (At extreme scale the same loop upgrades to the large-star/small-star
-  * rewiring of Kiveris et al., which shrinks diameter logarithmically —
-  * the per-round dataflow shape is identical.)
+  * Each round's label frame persists through the [[graft.CacheScope]]
+  * registry (every round's sum is an action, so the cache materializes
+  * immediately and the next round reads memory, never a recompute
+  * fan-out — the DAG blowup an uncached loop hits by round ~10), and
+  * the registry releases the whole chain after the consuming query
+  * materializes. `localCheckpoint` would cut lineage harder but its
+  * persisted RDDs escape the registry AND make released frames
+  * unrecomputable; with plain registered caches a post-release re-read
+  * is merely slow, never wrong. (At extreme scale the same loop
+  * upgrades to the large-star/small-star rewiring of Kiveris et al.,
+  * which shrinks diameter logarithmically — the per-round dataflow
+  * shape is identical.)
   *
   * The driver loop carries only the convergence COUNT per round (one
   * scalar), never node data.
@@ -32,10 +39,10 @@ object ConnectedComponents {
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .union(edges.select(col(dstCol).as("a"), col(srcCol).as("b")))
       .distinct()
-      .localCheckpoint(true)
+      .transform(graft.CacheScope.cache)
     var labels = sym.select(col("a").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .transform(graft.CacheScope.cache)
     // labels only ever DECREASE, so the label total strictly drops while
     // anything changes: comparing one overflow-safe decimal sum per round
     // detects the fixpoint without a join-and-count job
@@ -52,7 +59,7 @@ object ConnectedComponents {
         .select(col("a").as("node"), col("label"))
       val next = labels.union(neighbour)
         .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+        .transform(graft.CacheScope.cache)
       val nextSum = labelSum(next)
       labels = next
       converged = nextSum.compareTo(prevSum) == 0

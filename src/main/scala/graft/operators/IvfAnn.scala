@@ -351,8 +351,8 @@ object IvfAnn {
     * @return (cell, n_base, n_delta, base_d2, delta_d2, drift) — drift
     *         is null for cells missing either generation
     */
-  def driftReport(vecs: DataFrame, genCol: String, idCol: String,
-      vecCol: String, cents: DataFrame): DataFrame = {
+  def driftReport(vecs: DataFrame, genCol: String, vecCol: String,
+      cents: DataFrame): DataFrame = {
     val cs = CentroidState.collect(cents)
     val v = col(vecCol)
     val assigned = vecs.select(col(genCol),

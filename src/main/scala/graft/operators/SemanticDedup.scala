@@ -41,8 +41,11 @@ object SemanticDedup {
     * @param tau      cosine threshold at or above which two same-cell
     *                 vectors are near-duplicates
     */
-  def manifest(corpus: DataFrame, idCol: String, vecCol: String,
+  def manifest(corpus0: DataFrame, idCol: String, vecCol: String,
       clusters: Int, iters: Int, tau: Double): DataFrame = {
+    // the trainer alone reads the corpus iters+1 times (seeding collect
+    // plus one scan per Lloyd pass) — cache it like IvfAnn.search does
+    val corpus = graft.CacheScope.cache(corpus0)
     val cents = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, iters)
     // assignment is a pure projection (no shuffle): argmin over the
     // driver-held centroid table, inline expression

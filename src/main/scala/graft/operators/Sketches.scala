@@ -144,19 +144,19 @@ object Sketches {
 
   /** Point estimate for `hashCol`: `min_j counters[j][col_j(h)]` —
     * never underestimates the true count. `counters` is tiny
-    * (`CmsRows · w` rows): always broadcast. `keyCol` must uniquely
-    * identify `df`'s rows (every caller has a natural one — a token, a
-    * doc id): the re-collapse after the posexplode groups on ALL of
-    * `df`'s columns, which under that contract is keyed by `keyCol`, so
-    * the estimate is deterministic under stage retries and upstream
-    * recomputation — no synthetic row ids involved (the previous
+    * (`CmsRows · w` rows): always broadcast. Output carries ONE ROW PER
+    * DISTINCT input row — the re-collapse after the posexplode groups
+    * on all of `df`'s columns, and since the estimate is a pure
+    * function of `hashCol`, collapsing duplicate rows loses nothing (a
+    * caller that needs per-occurrence rows carries its own distinct key
+    * column in `df`). Grouping on real columns — not a synthetic row
+    * id — is what makes the result deterministic under stage retries
+    * and upstream recomputation (the previous
     * `monotonically_increasing_id` formulation carried a
-    * determinism-precondition caveat this signature deletes).
+    * determinism-precondition caveat this contract deletes).
     */
   def cmsEstimate(df: DataFrame, hashCol: String, counters: DataFrame,
-      w: Int, keyCol: String): DataFrame = {
-    require(df.columns.contains(keyCol),
-      s"cmsEstimate: unique key column '$keyCol' not in ${df.columns.toSeq}")
+      w: Int): DataFrame = {
     df
       .select(df.columns.toIndexedSeq.map(col) :+
         posexplode(array((0 until CmsRows).map(j =>

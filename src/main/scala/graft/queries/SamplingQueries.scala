@@ -26,6 +26,13 @@ object SamplingQueries {
   /** Per-source token budget for the greedy selection. */
   private val TokenBudget = 800L
 
+  /** DuckDB mirror of `Text.tokens` — ONE copy so a tokenization tweak
+    * cannot silently diverge the q109/q116/q118 oracles from each other
+    * (the `componentCtesSql` rationale in DedupQueries).
+    */
+  private val tokSql =
+    """list_filter(regexp_split_to_array(lower(text), '\s+'), x -> x != '')"""
+
   /** Stratified fixed-size sampling: the `SamplePerStratum` smallest
     * portable-hash documents per (lang, source) stratum — a
     * deterministic reservoir that preserves corpus COMPOSITION exactly
@@ -72,8 +79,7 @@ object SamplingQueries {
     "q109_token_budget",
     s"""WITH t AS (
       |  SELECT source, doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-      |      x -> x != '') AS toks
+      |    $tokSql AS toks
       |  FROM documents),
       |b AS (
       |  SELECT source, doc_id,
@@ -177,8 +183,7 @@ object SamplingQueries {
     "q116_weighted_sample",
     s"""WITH t AS (
       |  SELECT source, doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-      |      x -> x != '') AS toks
+      |    $tokSql AS toks
       |  FROM documents),
       |w AS (
       |  SELECT source, doc_id,
@@ -230,8 +235,7 @@ object SamplingQueries {
     "q118_curation_pipeline",
     s"""WITH t AS (
       |  SELECT source, doc_id,
-      |    list_filter(regexp_split_to_array(lower(text), '\\s+'),
-      |      x -> x != '') AS toks
+      |    $tokSql AS toks
       |  FROM documents),
       |h AS (
       |  SELECT source, doc_id, toks,

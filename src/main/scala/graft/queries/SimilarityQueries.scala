@@ -1053,7 +1053,7 @@ object SimilarityQueries {
     val tagged = all0.select(col("vec_id"), col("embedding"),
       when(col("vec_id") % 5 === 0, "delta").otherwise("base").as("gen"))
     graft.operators.IvfAnn
-      .driftReport(tagged, "gen", "vec_id", "embedding", cents)
+      .driftReport(tagged, "gen", "embedding", cents)
       .orderBy(col("cell"))
   }
 

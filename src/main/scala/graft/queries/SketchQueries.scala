@@ -276,7 +276,7 @@ object SketchQueries {
     val top = toks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    Sketches.cmsEstimate(top, "h", counters, CmsW, keyCol = "tok")
+    Sketches.cmsEstimate(top, "h", counters, CmsW)
       .select(col("tok"), col("exact_cnt"), col("cms_est"),
         (col("cms_est") - col("exact_cnt")).as("overcount"))
       .orderBy(col("exact_cnt").desc, col("tok"))
@@ -539,9 +539,9 @@ object SketchQueries {
     val top = toks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    val em = Sketches.cmsEstimate(top, "h", merged, CmsW, keyCol = "tok")
+    val em = Sketches.cmsEstimate(top, "h", merged, CmsW)
       .withColumnRenamed("cms_est", "est_merged")
-    Sketches.cmsEstimate(em, "h", whole, CmsW, keyCol = "tok")
+    Sketches.cmsEstimate(em, "h", whole, CmsW)
       .withColumnRenamed("cms_est", "est_whole")
       .select(col("tok"), col("exact_cnt"), col("est_merged"),
         col("est_whole"), (col("est_merged") === col("est_whole"))
@@ -627,9 +627,9 @@ object SketchQueries {
     val top = allToks.groupBy(col("tok"), col("h"))
       .agg(count(lit(1)).as("exact_cnt"))
       .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
-    val es = Sketches.cmsEstimate(top, "h", maintained, CmsW, keyCol = "tok")
+    val es = Sketches.cmsEstimate(top, "h", maintained, CmsW)
       .withColumnRenamed("cms_est", "est_stream")
-    Sketches.cmsEstimate(es, "h", whole, CmsW, keyCol = "tok")
+    Sketches.cmsEstimate(es, "h", whole, CmsW)
       .withColumnRenamed("cms_est", "est_batch")
       .select(col("tok"), col("exact_cnt"), col("est_stream"),
         col("est_batch"), (col("est_stream") === col("est_batch"))

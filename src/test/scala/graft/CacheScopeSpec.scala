@@ -17,6 +17,8 @@ class CacheScopeSpec extends SparkTestBase {
   private val cacheUsers = Seq(
     "q23_ngram_jaccard",   // DedupQueries: shingle + pair frames
     "q24_minhash_lsh",     // MinHashLSH.groups signature cache
+    "q55_dedup_groups",    // MinHashLSH.nearDupPairs signature cache
+    "q112_dedup_canonical", // same, through the canonical-pick chain
     "q58_ivf_ann",         // IvfAnn.search: corpus + query caches
     "q63_tfidf_top_terms", // TextQueries: token frame
     "q67_pq_ann",          // ProductQuantizer: corpus cache

@@ -113,7 +113,7 @@ class IvfAnnSpec extends SparkTestBase {
           lit("base").as("gen"))
         .unionByName(delta.select(col("vec_id"), col("embedding"),
           lit("delta").as("gen")))
-      IvfAnn.driftReport(tagged, "gen", "vec_id", "embedding", cents)
+      IvfAnn.driftReport(tagged, "gen", "embedding", cents)
         .agg(avg(col("drift"))).collect().head.getDouble(0)
     }
     val near = totalDrift(inDist)

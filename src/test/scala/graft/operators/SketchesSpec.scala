@@ -94,7 +94,7 @@ class SketchesSpec extends SparkTestBase {
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
     val counters = Sketches.cmsBuild(hashes, "h", w)
     val exact = hashes.groupBy("k", "h").agg(count(lit(1)).as("exact"))
-    val est = Sketches.cmsEstimate(exact, "h", counters, w, keyCol = "k")
+    val est = Sketches.cmsEstimate(exact, "h", counters, w)
       .select(col("k"), col("exact"), col("cms_est"))
       .as[(String, Long, Long)].collect()
     assert(est.forall { case (_, ex, e) => e >= ex },
@@ -103,30 +103,32 @@ class SketchesSpec extends SparkTestBase {
     assert(est.find(_._1 == "key_1").exists { case (_, ex, e) => e == ex })
   }
 
-  test("count-min estimate is keyed by the caller-supplied unique key") {
+  test("count-min estimate: one row per distinct probe, partition-invariant") {
     val w = 256
     val stream = (1 to 500).map(i => s"k${i % 11}").toDF("k")
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
     val counters = Sketches.cmsBuild(stream, "h", w)
-    // the contract: `keyCol` uniquely identifies probe rows, so every
-    // probe keeps its own output row with all carried columns intact —
-    // and with no synthetic row ids involved, the output is identical
-    // however the probe frame is partitioned (the stage-retry-safety
-    // the old monotonically_increasing_id formulation could not promise)
+    // the contract: output carries one row per DISTINCT probe row with
+    // all carried columns intact — duplicate probes collapse losslessly
+    // (the estimate is a pure function of the hash) — and with no
+    // synthetic row ids involved, the output is identical however the
+    // probe frame is partitioned (the stage-retry-safety the old
+    // monotonically_increasing_id formulation could not promise)
     val probes = Seq("k1", "k2", "k3").toDF("k")
       .select(col("k"), Sketches.uniformHash(col("k")).as("h"))
     def run(parts: Int) =
-      Sketches.cmsEstimate(probes.repartition(parts), "h", counters, w,
-          keyCol = "k")
+      Sketches.cmsEstimate(probes.repartition(parts), "h", counters, w)
         .orderBy(col("k")).select(col("k"), col("cms_est"))
         .as[(String, Long)].collect().toSeq
     assert(run(1).size === 3)
     assert(run(1) == run(7))
-    // a key column that is not in the frame is a caller bug, not a
-    // silent re-keying
-    assertThrows[IllegalArgumentException] {
-      Sketches.cmsEstimate(probes, "h", counters, w, keyCol = "nope")
-    }
+    // duplicate probe rows collapse to one identical row, never to a
+    // wrong estimate
+    val dup = probes.unionByName(probes)
+    val collapsed = Sketches.cmsEstimate(dup, "h", counters, w)
+      .orderBy(col("k")).select(col("k"), col("cms_est"))
+      .as[(String, Long)].collect().toSeq
+    assert(collapsed === run(1))
   }
 
   test("count-min counters are partition-invariant (mergeable sums)") {
