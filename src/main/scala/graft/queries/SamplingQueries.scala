@@ -300,7 +300,66 @@ object SamplingQueries {
       .orderBy(col("order_hash"), col("doc_id"))
   }
 
+  /** Curation-manifest VERSIONING: two admission configs (A: ≥20
+    * tokens, diversity ≥0.5; B: ≥15 tokens, diversity ≥0.6) are
+    * committed as REAL snapshot versions of one manifest table
+    * ([[graft.sources.Snapshots]] — the q96 machinery applied to the
+    * pipeline's own product), and the gate reports the CDF between
+    * them: which documents entered and left the training set when the
+    * quality bar moved. This is the reproducibility story a training
+    * run needs end-to-end — "what exactly changed in my data between
+    * run 17 and run 18" answered from versioned manifests, not by
+    * re-running the old config. The oracle replays both selections and
+    * EXCEPT-ALLs them both ways.
+    */
+  val curationDiff: QuerySpec = QuerySpec.sql(
+    "q120_curation_diff",
+    s"""WITH t AS (
+      |  SELECT source, doc_id,
+      |    $tokSql AS toks
+      |  FROM documents),
+      |b AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS diversity
+      |  FROM t),
+      |va AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    round(diversity + 1e-9, 4) AS diversity
+      |  FROM b WHERE n_tokens >= 20 AND diversity >= 0.5),
+      |vb AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    round(diversity + 1e-9, 4) AS diversity
+      |  FROM b WHERE n_tokens >= 15 AND diversity >= 0.6)
+      |SELECT *, 'insert' AS _change_type FROM (
+      |  SELECT * FROM vb EXCEPT ALL SELECT * FROM va)
+      |UNION ALL
+      |SELECT *, 'delete' AS _change_type FROM (
+      |  SELECT * FROM va EXCEPT ALL SELECT * FROM vb)
+      |ORDER BY _change_type, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Snapshots
+    val toks = Text.tokens(col("text"))
+    val stats = graft.CacheScope.cache(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          (size(array_distinct(toks)).cast("double") /
+            greatest(size(toks), lit(1))).as("diversity")))
+    def admitted(minTokens: Int, minDiv: Double) =
+      stats.filter(col("n_tokens") >= minTokens &&
+          col("diversity") >= minDiv)
+        .select(col("source"), col("doc_id"), col("n_tokens"),
+          round(col("diversity") + lit(1e-9), 4).as("diversity"))
+    val table = graft.Scratch.fresh("q120")
+    val va = Snapshots.write(admitted(20, 0.5), table)
+    val vb = Snapshots.write(admitted(15, 0.6), table)
+    Snapshots.diff(spark, table, va, vb)
+      .orderBy(col("_change_type"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
-      curationPipeline)
+      curationPipeline, curationDiff)
 }

@@ -40,7 +40,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q111_cms_stream",     // doc + token caches
     "q114_semantic_dedup", // SemanticDedup assigned-frame cache
     "q117_ivf_drift",      // embeddings cache
-    "q119_ivf_stream"      // embeddings cache + searchPartitioned probe cache
+    "q119_ivf_stream",     // embeddings cache + searchPartitioned probe cache
+    "q120_curation_diff"   // token-stats cache
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
