@@ -49,6 +49,31 @@ object CacheScope {
       df
     } else df
 
+  /** Persist `df` AND truncate its logical plan: the returned frame is
+    * rebuilt over `df`'s row RDD, so its analyzed plan is a single
+    * `LogicalRDD` node regardless of how deep the input lineage was.
+    * This is the loop-safe variant for iterative operators (connected
+    * components, Lloyd iterations): a loop that embeds the previous
+    * round's frame more than once doubles its logical plan every round
+    * (caching materializes DATA but keeps the full PLAN, and the
+    * analyzer / cache canonicalizer / SQL-listener `explainString` all
+    * walk the tree — 2^rounds nodes OOMs the driver by round ~11).
+    * Rebuilding from the RDD keeps lineage as a linear DAG: a
+    * post-[[releaseAll]] re-read recomputes through RDD lineage —
+    * slow, never wrong — so the registry contract is unchanged.
+    */
+  def cacheTruncated(df: DataFrame): DataFrame =
+    cache(df.sparkSession.createDataFrame(df.rdd, df.schema))
+
+  /** Release ONE registered frame early (loop interiors: round N's
+    * intermediate is dead as soon as round N+1 materializes; holding
+    * every round until [[releaseAll]] would grow the cache linearly
+    * with iteration count). No-op for unregistered frames — a caller's
+    * own cache is never touched.
+    */
+  def release(df: DataFrame): Unit =
+    if (registry.remove(df)) df.unpersist(blocking = false)
+
   /** Number of live registered caches (spec hook). */
   def activeCount: Int = registry.size
 

@@ -62,7 +62,7 @@ object StatsManifest {
     */
   def readPruned(spark: SparkSession, path: String, colName: String,
       lo: Any, hi: Any): DataFrame = {
-    val m = spark.read.parquet(s"$path/$StatsDir")
+    val m = spark.read.parquet(manifestFiles(spark, path): _*)
       // NOT (window misses range); null stats → null predicate → dropped
       .filter(!(col(s"max_$colName") < lit(lo) ||
         col(s"min_$colName") > lit(hi)))
@@ -71,5 +71,21 @@ object StatsManifest {
       spark.createDataFrame(spark.sparkContext.emptyRDD[Row],
         spark.read.parquet(path).schema)
     else spark.read.parquet(files: _*)
+  }
+
+  /** The manifest's data files, listed explicitly. Passing the
+    * underscore-prefixed sidecar DIR as a read root works only through
+    * the hidden-name exemption for explicitly-passed roots, and emits
+    * Spark's "All paths were ignored" WARN on every read; naming the
+    * part files sidesteps both. One driver-side listing of a
+    * single-file directory — no data I/O.
+    */
+  private def manifestFiles(spark: SparkSession, path: String): Seq[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$path/$StatsDir")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(dir).toIndexedSeq
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("part-"))
+      .map(_.toString)
   }
 }

@@ -353,6 +353,7 @@ object IvfAnn {
     */
   def driftReport(vecs: DataFrame, genCol: String, vecCol: String,
       cents: DataFrame): DataFrame = {
+    // (consumed by retrainIfDrifted below — report, decide, rebuild)
     val cs = CentroidState.collect(cents)
     val v = col(vecCol)
     val assigned = vecs.select(col(genCol),
@@ -373,5 +374,59 @@ object IvfAnn {
         // inf (q26's rationale) — make the degenerate cell portable
         when(col("base_d2") > 0,
           round(col("delta_d2") / col("base_d2") + lit(1e-9), 4)))
+  }
+
+  /** Drift-GATED retrain — the decision leg that closes the maintenance
+    * loop ([[appendPartitionedByCell]] absorbs, [[compactCells]]
+    * defragments, [[driftReport]] measures, THIS acts): compute the
+    * corpus-wide drift ratio from the per-cell report, and when it
+    * exceeds `tau`, retrain the quantizer on the FULL tagged corpus and
+    * rewrite the cell layout at `path` through the same crash-safe
+    * staged-publish swap as [[compactCells]] (the layout stays
+    * addressable — old or new, never neither). Below `tau` nothing is
+    * touched and the existing centroids come back.
+    *
+    * The global ratio is the count-weighted mean delta-generation
+    * squared distance over the count-weighted mean base-generation one
+    * — recombined driver-side from the ≤`clusters`-row report (cells
+    * missing a generation contribute nothing, matching the per-cell
+    * null semantics). Retraining costs what [[centroids]] +
+    * [[writePartitionedByCell]] cost — `iters` corpus scans and one
+    * partitioned rewrite — which is exactly why it hides behind the
+    * ratio gate instead of running on every append.
+    *
+    * @return (centroids now governing `path`, whether a retrain ran)
+    */
+  def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      path: String, tagged: DataFrame, genCol: String, idCol: String,
+      vecCol: String, cents: DataFrame, clusters: Int, iters: Int,
+      tau: Double): (DataFrame, Boolean) = {
+    val rep = driftReport(tagged, genCol, vecCol, cents)
+      .select(col("n_base"), col("n_delta"), col("base_d2"),
+        col("delta_d2"))
+      .collect()
+    var (nBase, nDelta) = (0L, 0L)
+    var (sumBase, sumDelta) = (0.0, 0.0)
+    rep.foreach { r =>
+      val (nb, nd) = (r.getLong(0), r.getLong(1))
+      if (nb > 0 && !r.isNullAt(2)) { nBase += nb; sumBase += r.getDouble(2) * nb }
+      if (nd > 0 && !r.isNullAt(3)) { nDelta += nd; sumDelta += r.getDouble(3) * nd }
+    }
+    val ratio =
+      if (nBase > 0 && nDelta > 0 && sumBase > 0)
+        Some((sumDelta / nDelta) / (sumBase / nBase))
+      else None
+    if (!ratio.exists(_ > tau)) (cents, false)
+    else {
+      val full = tagged.select(col(idCol), col(vecCol))
+      val retrained = centroids(full, idCol, vecCol, clusters, iters)
+      val cs = CentroidState.collect(retrained)
+      val staged = path + ".__retrain__"
+      full.select(col(idCol), col(vecCol),
+          CentroidState.nearestCell(col(vecCol), cs).as("cell"))
+        .write.mode("overwrite").partitionBy("cell").parquet(staged)
+      graft.sources.Tables.publish(spark, staged, path)
+      (retrained, true)
+    }
   }
 }

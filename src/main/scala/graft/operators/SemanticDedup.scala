@@ -9,8 +9,7 @@ import graft.functions.Vectors
   * (Abbas et al. 2023, "SemDeDup: Data-efficient learning at web-scale
   * through semantic deduplication"): quantize the corpus with the IVF
   * coarse k-means quantizer ([[IvfAnn]]), compare vectors only WITHIN
-  * their cell, and keep one representative per near-duplicate
-  * neighborhood.
+  * their cell, and prune until the KEPT set is pairwise non-duplicate.
   *
   * This is the scale path past the bounded-sample exact pass (q26) and
   * the sign-bucket LSH pass (q38): pairwise work is Σ n_c² over cells
@@ -22,8 +21,12 @@ import graft.functions.Vectors
   * key) plus the O(clusters·dim) driver-held training.
   *
   * Keep policy: a vector is DROPPED iff some lower-id vector in the same
-  * cell has cosine ≥ `tau` with it — the greedy lowest-id-representative
-  * rule. It is deterministic (no training-order dependence: the
+  * cell has cosine ≥ `tau` with it. The invariant this buys is that the
+  * kept set is PAIRWISE non-duplicate within every cell; a dropped
+  * vector is NOT guaranteed a kept representative within `tau` (its
+  * lower-id witness may itself have been dropped by a still-lower id —
+  * chains prune deeper than a keep-against-kept greedy scan would).
+  * The rule is deterministic (no training-order dependence: the
   * quantizer is the reproducible [[IvfAnn.lloyd]] state) and
   * SQL-expressible, so the full chain — train, assign, scope, prune —
   * is oracle-checkable end-to-end (q114).

@@ -56,10 +56,14 @@ object WeightedSample {
     * stratum has fewer than k ticketed rows.
     */
   def sample(df: DataFrame, strataCols: Seq[String], idCol: String,
-      weightCol: String, k: Int): DataFrame =
+      weightCol: String, k: Int): DataFrame = {
+    require(!df.columns.contains("ticket"),
+      "input already has a 'ticket' column — it would be silently " +
+        "overwritten by the sampler's priority key; rename it first")
     Dedup.topKPerKey(
       df.withColumn("ticket", minTicket(col(idCol), col(weightCol)))
         .filter(col("ticket").isNotNull),
       strataCols,
       Seq(col("ticket").asc, col(idCol).asc), k)
+  }
 }

@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.Bench.QueryResult
+
+/** Pins the Bench output contract consumers depend on:
+  * `errors` counts flaky (intermittent) queries alongside hard
+  * failures, hard failures report -1 in the per-query map, and the
+  * bounded-tail degradation drops diagnostic arrays before the
+  * per-query map.
+  */
+class BenchContractSpec extends AnyFunSuite {
+
+  private val base = Seq(
+    QueryResult("q01_ok", 1.5, contended = false, flaky = false, inflated = false),
+    QueryResult("q02_flaky", 2.0, contended = false, flaky = true, inflated = false),
+    QueryResult("q03_dead", Double.PositiveInfinity,
+      contended = false, flaky = false, inflated = false),
+    QueryResult("q04_slow", 3.25, contended = true, flaky = false, inflated = true))
+
+  test("errors counts hard failures AND intermittent (flaky) queries") {
+    val line = Bench.renderLine(base, 3, "sfX", sweepRetried = false)
+    assert(line.contains("\"errors\":2"), line)
+    assert(line.contains("\"failed\":[\"q03\"]"), line)
+    assert(line.contains("\"flaky\":[\"q02\"]"), line)
+  }
+
+  test("a hard-failed query reports -1, never a time; total skips it") {
+    val line = Bench.renderLine(base, 3, "sfX", sweepRetried = false)
+    assert(line.contains("\"q03\":-1"), line)
+    assert(line.contains("\"value\":6.75"), line) // 1.5 + 2.0 + 3.25
+  }
+
+  test("flag arrays carry short names; sweep_retried only when retried") {
+    val plain = Bench.renderLine(base, 3, "sfX", sweepRetried = false)
+    assert(plain.contains("\"contended\":[\"q04\"]"), plain)
+    assert(plain.contains("\"inflated\":[\"q04\"]"), plain)
+    assert(!plain.contains("sweep_retried"), plain)
+    val retried = Bench.renderLine(base, 3, "sfX", sweepRetried = true)
+    assert(retried.contains("\"sweep_retried\":true"), retried)
+  }
+
+  test("bounded-tail degradation drops flag names before the query map") {
+    // enough flagged queries that the full line overflows the cap
+    val many = (1 to 120).map(i => QueryResult(f"q$i%03d_name", 1.0,
+      contended = true, flaky = false, inflated = true))
+    val line = Bench.renderLine(many, 3, "sfX", sweepRetried = false)
+    assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
+    // per-query map survives (feeds next round's inflation check)…
+    assert(line.contains("\"q001\":1"), line)
+    // …while the diagnostic name arrays were emptied and flagged
+    assert(line.contains("\"contended\":[]"), line)
+    assert(line.contains("flag names omitted"), line)
+  }
+}
