@@ -359,7 +359,129 @@ object SamplingQueries {
       .orderBy(col("_change_type"), col("doc_id"))
   }
 
+  /** Fraction of an asset's payload blocks that also appear in OTHER
+    * assets — admission must reject mostly-recycled media. */
+  private val MaxSharedBlocks = 0.5
+
+  /** Curation extended to MULTIMODAL assets — text admission (q118's
+    * token/diversity gates) joined with a block-level CONTENT-
+    * ADDRESSABLE dedup signal from the q77 machinery: every asset's
+    * payload splits into 64-byte checksummed blocks, a corpus-wide
+    * block-frequency pass counts how many assets carry each block, and
+    * an asset whose payload is mostly OTHER assets' blocks
+    * (`shared_frac ≥ 0.5` — recycled/near-duplicate media) is refused
+    * admission regardless of its caption text. The survivors flow into
+    * the same weight-monotone per-source selection as q118, and the
+    * manifest carries both modalities' signals (tokens/diversity AND
+    * block stats), so "why is this asset in my training set" is
+    * answerable from the manifest alone.
+    *
+    * Plan shape at 100 TB: block explode is generator-only (no
+    * shuffle), the frequency pass is one map-side-combinable groupBy
+    * on block hash, the join back is hash-partitioned on the same key,
+    * and the per-asset rollup + bounded-heap top-k add one exchange
+    * each — linear in corpus bytes, never pairwise in assets (the
+    * content-addressable trick: near-dup detection via a GROUP BY
+    * instead of an asset×asset comparison).
+    */
+  val multimodalCuration: QuerySpec = {
+    val kindSql = s"(['image', 'audio', 'video'])[CAST(${
+      graft.functions.Text.charHashSql("source")} % 3 + 1 AS INT)]"
+    QuerySpec.sql(
+      "q122_multimodal_curation",
+      s"""WITH t AS (
+        |  SELECT source, doc_id,
+        |    $tokSql AS toks
+        |  FROM documents),
+        |q AS (
+        |  SELECT source, doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS diversity
+        |  FROM t),
+        |assets AS (
+        |  SELECT doc_id AS asset_id, $kindSql AS kind,
+        |    octet_length(CAST(text AS BLOB)) AS n_bytes,
+        |    hex(CAST(text AS BLOB)) AS hx
+        |  FROM documents),
+        |b AS (
+        |  SELECT asset_id, kind,
+        |    greatest(CAST(ceil(n_bytes / 64.0) AS BIGINT), 1) AS n_blocks, hx
+        |  FROM assets),
+        |bl AS (
+        |  SELECT asset_id, kind, n_blocks,
+        |    unnest([md5(substring(hx, CAST(i * 128 + 1 AS BIGINT), 128))
+        |            FOR i IN range(0, n_blocks)]) AS bh
+        |  FROM b),
+        |freq AS (SELECT bh, count(DISTINCT asset_id) AS na FROM bl GROUP BY bh),
+        |ast AS (
+        |  SELECT bl.asset_id, bl.kind, bl.n_blocks,
+        |    CAST(sum(CASE WHEN f.na > 1 THEN 1 ELSE 0 END) AS DOUBLE)
+        |      / count(*) AS shared_frac
+        |  FROM bl JOIN freq f USING (bh)
+        |  GROUP BY bl.asset_id, bl.kind, bl.n_blocks),
+        |adm AS (
+        |  SELECT q.source, q.doc_id, a.kind, q.n_tokens, q.diversity,
+        |    a.n_blocks, a.shared_frac,
+        |    CAST(1 + floor(4 * q.diversity) AS INT) AS weight
+        |  FROM q JOIN ast a ON a.asset_id = q.doc_id
+        |  WHERE q.n_tokens >= $CurationMinTokens
+        |    AND q.diversity >= $CurationMinDiversity
+        |    AND a.shared_frac < $MaxSharedBlocks),
+        |k AS (
+        |  SELECT *, list_min(list_transform(generate_series(0, weight - 1),
+        |    t -> ${Sketches.uniformHashSql("doc_id || ':' || CAST(t AS VARCHAR)")}))
+        |    AS ticket
+        |  FROM adm)
+        |SELECT source, doc_id, kind, n_tokens, weight, n_blocks, ticket,
+        |  round(diversity + 1e-9, 4) AS diversity,
+        |  round(shared_frac + 1e-9, 4) AS shared_frac
+        |FROM (SELECT *, row_number() OVER (PARTITION BY source
+        |        ORDER BY ticket, doc_id) AS rk FROM k) z
+        |WHERE rk <= $CurationPerSource
+        |ORDER BY source, ticket, doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents"))
+      val toks = Text.tokens(col("text"))
+      val quality = docs.select(col("source"), col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        (size(array_distinct(toks)).cast("double") /
+          greatest(size(toks), lit(1))).as("diversity"))
+      val blocks = graft.multimodal.Multimodal.assets(docs)
+        .select(col("asset_id"), col("kind"),
+          greatest(ceil(col("n_bytes") / 64.0).cast("long"), lit(1L))
+            .as("n_blocks"),
+          hex(col("payload")).as("hx"))
+        .select(col("asset_id"), col("kind"), col("n_blocks"),
+          col("hx"), explode(sequence(lit(0L), col("n_blocks") - 1)).as("blk"))
+        .withColumn("bh",
+          md5(expr("cast(substring(hx, blk * 128 + 1, 128) as binary)")))
+        .drop("hx")
+      val freq = blocks.groupBy(col("bh"))
+        .agg(countDistinct(col("asset_id")).as("na"))
+      val assetStats = blocks.join(freq, "bh")
+        .groupBy(col("asset_id"), col("kind"), col("n_blocks"))
+        .agg((sum(when(col("na") > 1, 1).otherwise(0)).cast("double") /
+          count(lit(1))).as("shared_frac"))
+      val admitted = quality
+        .join(assetStats, quality("doc_id") === assetStats("asset_id"))
+        .filter(col("n_tokens") >= CurationMinTokens &&
+          col("diversity") >= CurationMinDiversity &&
+          col("shared_frac") < MaxSharedBlocks)
+        .withColumn("weight", (floor(col("diversity") * 4) + 1).cast("int"))
+        .select(col("source"), col("doc_id"), col("kind"), col("n_tokens"),
+          col("diversity"), col("n_blocks"), col("shared_frac"), col("weight"))
+      graft.operators.WeightedSample
+        .sample(admitted, Seq("source"), "doc_id", "weight", CurationPerSource)
+        .select(col("source"), col("doc_id"), col("kind"), col("n_tokens"),
+          col("weight"), col("n_blocks"), col("ticket"),
+          round(col("diversity") + lit(1e-9), 4).as("diversity"),
+          round(col("shared_frac") + lit(1e-9), 4).as("shared_frac"))
+        .orderBy(col("source"), col("ticket"), col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
-      curationPipeline, curationDiff)
+      curationPipeline, curationDiff, multimodalCuration)
 }

@@ -273,9 +273,10 @@ object SimilarityQueries {
   }
 
   private def ivfOracleSql(clusters: Int, nProbe: Int, iters: Int, k: Int,
-      dim: Int, nQueries: Int): String = {
+      dim: Int, nQueries: Int,
+      corpusCte: String = "SELECT vec_id, embedding FROM embeddings"): String = {
     import Vectors.{dotSql, normSql}
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH corpus AS ($corpusCte),
       |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
       |scored AS (
       |  SELECT p.qid, v.vec_id AS neighbor,
@@ -1057,9 +1058,79 @@ object SimilarityQueries {
       .orderBy(col("cell"))
   }
 
+  /** Drift-GATED retrain
+    * ([[graft.operators.IvfAnn.retrainIfDrifted]]) — the decision leg
+    * that completes the index-maintenance lifecycle: append (q107) /
+    * compact (spec) / drift telemetry (q117) / RETRAIN. The delta
+    * generation arrives semantically SHIFTED (+0.5 on every dimension —
+    * appended embeddings from a new encoder checkpoint, the classic
+    * staleness scenario): it is appended WITHOUT retraining first, the
+    * drift ratio is read from [[graft.operators.IvfAnn.driftReport]],
+    * and because shifted vectors sit ~16 squared-distance units from
+    * centroids trained on unit-norm data the ratio blows through
+    * `tau = 3`, so the operator retrains on the full corpus and
+    * rewrites the layout through the crash-safe staged publish. The
+    * search then runs over the REBUILT layout with the RETRAINED
+    * quantizer; the oracle replays q58's unrolled-Lloyd chain on the
+    * post-retrain corpus (base + shifted delta), so a hash-equal
+    * result gates the decision path end-to-end — had the gate NOT
+    * fired, the search would have run on stale centroids and
+    * mismatched. The un-drifted (no-retrain) branch is pinned by
+    * `IvfCellLayoutSpec`.
+    */
+  val ivfRetrain: QuerySpec = {
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    QuerySpec.sql(
+      "q121_ivf_retrain",
+      ivfOracleSql(clusters, nProbe, iters, k, dim, nQueries,
+        corpusCte = """SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings""".stripMargin)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      // the drifted generation: every 5th vector shifted +0.5 per
+      // dimension (float-exact in both engines: widen to double, add,
+      // round back to float)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.5)).cast("float"))
+            .as("embedding"))
+      val cents0 = graft.operators.IvfAnn
+        .centroids(base, "vec_id", "embedding", clusters, iters)
+      val path = graft.Scratch.fresh("q121") + "/ivf_cells"
+      graft.operators.IvfAnn
+        .writePartitionedByCell(base, "vec_id", "embedding", cents0, path)
+      graft.operators.IvfAnn
+        .appendPartitionedByCell(delta, "vec_id", "embedding", cents0, path)
+      val tagged = graft.CacheScope.cache(
+        base.withColumn("gen", lit("base"))
+          .unionByName(delta.withColumn("gen", lit("delta"))))
+      val (cents1, retrained) = graft.operators.IvfAnn
+        .retrainIfDrifted(spark, path, tagged, "gen", "vec_id",
+          "embedding", cents0, clusters, iters, tau = 3.0)
+      // fail loudly if the gate ever stops firing — a silent stale-path
+      // search would surface only as an oracle hash mismatch
+      require(retrained, "drift gate did not fire on a +0.5-shifted delta")
+      val queries = tagged.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfAnn
+        .searchPartitioned(spark, path, cents1, "vec_id", "embedding",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
-    semanticDedup, ivfDrift)
+    semanticDedup, ivfDrift, ivfRetrain)
 }

@@ -165,4 +165,77 @@ class IvfCellLayoutSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
    }
   }
+
+  test("retrainIfDrifted leaves an un-drifted layout untouched") {
+   withTempDir("graft_ivf_nodrift") { root =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0) // same distribution
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    val layout = s"$root/layout"
+    IvfAnn.writePartitionedByCell(base, "vec_id", "embedding", cents, layout)
+    IvfAnn.appendPartitionedByCell(delta, "vec_id", "embedding", cents, layout)
+    def fileSet(): Set[String] = {
+      import scala.jdk.CollectionConverters._
+      val stream = java.nio.file.Files.walk(java.nio.file.Paths.get(layout))
+      try stream.iterator().asScala.map(_.toString)
+        .filter(_.endsWith(".parquet")).toSet
+      finally stream.close()
+    }
+    val before = fileSet()
+    val tagged = base.withColumn("gen", lit("base"))
+      .unionByName(delta.withColumn("gen", lit("delta")))
+    // delta drawn from the SAME distribution: ratio ≈ 1, far below tau
+    val (outCents, retrained) = IvfAnn.retrainIfDrifted(spark, layout,
+      tagged, "gen", "vec_id", "embedding", cents, clusters = 8,
+      iters = 1, tau = 3.0)
+    assert(!retrained, "drift gate fired on a same-distribution delta")
+    assert(fileSet() === before, "no-retrain branch touched the layout")
+    // the original quantizer comes back verbatim
+    assert(CentroidState.collect(outCents).map(_.cell)
+      === CentroidState.collect(cents).map(_.cell))
+    graft.CacheScope.releaseAll()
+   }
+  }
+
+  test("retrainIfDrifted rebuilds the layout under the retrained quantizer") {
+   withTempDir("graft_ivf_retrain") { root =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    // shifted delta — the new-encoder-checkpoint staleness scenario
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    val layout = s"$root/layout"
+    IvfAnn.writePartitionedByCell(base, "vec_id", "embedding", cents, layout)
+    IvfAnn.appendPartitionedByCell(delta, "vec_id", "embedding", cents, layout)
+    val tagged = base.withColumn("gen", lit("base"))
+      .unionByName(delta.withColumn("gen", lit("delta")))
+    val (outCents, retrained) = IvfAnn.retrainIfDrifted(spark, layout,
+      tagged, "gen", "vec_id", "embedding", cents, clusters = 8,
+      iters = 1, tau = 3.0)
+    assert(retrained, "drift gate missed a +0.5-shifted delta")
+    // the rebuilt layout holds every vector exactly once, assigned under
+    // the RETRAINED centroids (not the stale ones)
+    val cs = CentroidState.collect(outCents)
+    val expected = tagged
+      .select(col("vec_id"),
+        CentroidState.nearestCell(col("embedding"), cs).as("cell"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    val actual = spark.read.parquet(layout)
+      .select(col("vec_id"), col("cell")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
+    assert(actual === expected)
+    // and the retrained quantizer differs from the stale one
+    assert(CentroidState.collect(outCents).map(_.cvec.toSeq)
+      !== CentroidState.collect(cents).map(_.cvec.toSeq))
+    graft.CacheScope.releaseAll()
+   }
+  }
 }
