@@ -91,38 +91,48 @@ object ConnectedComponents {
     val planSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var converged = prev._1 == 0L // no real edges: every node is its own star
     var rounds = 0
+    // Each star op computes its neighbourhood minimum with a WINDOW over
+    // one exchange instead of groupBy+join-back (two), and small-star
+    // emits both targets through ONE explode pass instead of a
+    // self-reusing union — a full round is 3 exchanges (large window,
+    // small window, closing distinct). Large-star's intermediate skips
+    // its own distinct: duplicates can at most double small-star's
+    // input (|large| ≤ 2|e|) and the closing distinct subsumes it.
+    // Supernode skew note: a window buffers each key's rows in one task
+    // (spilling, not failing), and large-star itself is the cure — a
+    // hub's larger neighbours all rewire to its minimum in one round,
+    // so degree concentration collapses as the rounds proceed.
     while (!converged && rounds < maxIter) {
       // ---- large-star: (v, m(u)) for v ∈ Γ(u), v > u -----------------
       val sym = e.select(col("a"), col("b"))
         .union(e.select(col("b").as("a"), col("a").as("b")))
-      val largeMins = sym.groupBy("a")
-        .agg(min(col("b")).as("mn"))
-        .select(col("a"), least(col("a"), col("mn")).as("m"))
-      val large = sym.join(largeMins, "a")
+      val wA = org.apache.spark.sql.expressions.Window.partitionBy(col("a"))
+      val large = sym
+        .withColumn("m", least(col("a"), min(col("b")).over(wA)))
         .filter(col("b") > col("a"))
         .select(col("b").as("a"), col("m").as("b"))
         .filter(col("a") =!= col("b"))
-        .distinct()
 
       // ---- small-star over large→small orientation: (v, m(u)) for
       //      v ∈ Γ(u) ∪ {u} ------------------------------------------
-      val dir = large.select(greatest(col("a"), col("b")).as("a"),
-        least(col("a"), col("b")).as("b"))
-      val smallMins = dir.groupBy("a").agg(min(col("b")).as("m"))
-      val small = dir.join(smallMins, "a")
-        .select(col("b").as("a"), col("m").as("b"))
-        .union(smallMins.select(col("a"), col("m").as("b")))
-        .filter(col("a") =!= col("b"))
-        .select(least(col("a"), col("b")).as("a"),
-          greatest(col("a"), col("b")).as("b"))
+      val small = large
+        .select(greatest(col("a"), col("b")).as("a"),
+          least(col("a"), col("b")).as("b"))
+        .withColumn("m", min(col("b")).over(wA))
+        .select(explode(array(col("b"), col("a"))).as("x"), col("m"))
+        .filter(col("x") =!= col("m"))
+        .select(least(col("x"), col("m")).as("a"),
+          greatest(col("x"), col("m")).as("b"))
         .distinct()
 
       val next = graft.CacheScope.cacheTruncated(small)
       val cur = stats(next) // materializes `next`
       planSizes += next.queryExecution.analyzed.collect { case p => p }.size
       if (cur == prev) {
-        // checksums can collide; only an exact set check may end the loop
-        converged = next.except(e).isEmpty && e.except(next).isEmpty
+        // checksums can collide; only an exact set check may end the
+        // loop. Both sides are distinct with equal counts (the stats
+        // triple matched), so one-directional emptiness proves equality.
+        converged = next.except(e).isEmpty
       }
       graft.CacheScope.release(e)
       e = next
