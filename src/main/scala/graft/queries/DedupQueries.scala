@@ -32,7 +32,7 @@ object DedupQueries {
   private def charHashSql(e: String): String = Text.charHashSql(e)
 
   /** DuckDB mirror of [[MinHashLSH.shingleHashes]] (3-gram word shingles). */
-  private val shinglesSql =
+  private[queries] val shinglesSql =
     s"""list_distinct(list_transform(
       |      CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
       |           ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END,

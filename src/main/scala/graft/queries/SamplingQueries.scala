@@ -481,7 +481,120 @@ object SamplingQueries {
     }
   }
 
+  /** A train doc sharing at least this fraction of its shingles with
+    * the eval split is refused admission (would memorize eval content). */
+  private val MaxEvalOverlap = 0.5
+
+  /** DECONTAMINATION-aware curation — q69's leak measurement turned
+    * into an admission gate, pointed the direction a corpus build
+    * needs: q69 asks "which EVAL docs leak from train" (benchmark
+    * validity); curation must ask "which TRAIN candidates contain eval
+    * content" and refuse them, or the model memorizes its own test
+    * set. The train split's candidate docs (q41's portable-hash
+    * bucket < 80) each measure the fraction of their 3-gram shingles
+    * present anywhere in the eval split (bucket ≥ 90); a candidate at
+    * or above `MaxEvalOverlap` is dropped no matter how good its
+    * text quality, and survivors flow through the q118 quality gates
+    * and weighted per-source selection. The manifest carries the
+    * overlap evidence (n_shingles, n_overlap, ratio) so an audit can
+    * re-derive every refusal.
+    *
+    * Scale shape: the eval shingle set is DISTINCT-reduced before the
+    * join (eval splits are fixed benchmark suites — tiny vs the
+    * corpus), so at 100 TB it broadcasts (or becomes a bloom filter,
+    * q81's machinery) and the decon pass costs one generator + one
+    * map-side join over the candidates' shingle stream — no
+    * candidate×eval pairing ever materializes. A doc with zero
+    * shingles has no overlap stats and is dropped by the inner join —
+    * admission requires EVIDENCE of cleanliness, not absence of
+    * evidence (both engines agree: empty explode/unnest emits no row).
+    */
+  val decontaminatedCuration: QuerySpec = QuerySpec.sql(
+    "q123_curation_decon",
+    s"""WITH t AS (
+      |  SELECT source, doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |sh AS (
+      |  SELECT source, doc_id, bucket, toks,
+      |    ${DedupQueries.shinglesSql} AS sh
+      |  FROM t),
+      |eval_sh AS (SELECT DISTINCT unnest(sh) AS s FROM sh WHERE bucket >= 90),
+      |tr AS (SELECT source, doc_id, toks, sh FROM sh WHERE bucket < 80),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tr),
+      |ov AS (
+      |  SELECT e.doc_id, count(*) AS n_shingles,
+      |    CAST(sum(CASE WHEN es.s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS n_overlap
+      |  FROM ex e LEFT JOIN eval_sh es ON e.s = es.s
+      |  GROUP BY e.doc_id),
+      |q AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    CAST(len(list_distinct(toks)) AS DOUBLE)
+      |      / greatest(len(toks), 1) AS diversity
+      |  FROM tr),
+      |adm AS (
+      |  SELECT q.source, q.doc_id, q.n_tokens, q.diversity,
+      |    o.n_shingles, o.n_overlap,
+      |    CAST(o.n_overlap AS DOUBLE) / o.n_shingles AS overlap_ratio,
+      |    CAST(1 + floor(4 * q.diversity) AS INT) AS weight
+      |  FROM q JOIN ov o USING (doc_id)
+      |  WHERE q.n_tokens >= $CurationMinTokens
+      |    AND q.diversity >= $CurationMinDiversity
+      |    AND CAST(o.n_overlap AS DOUBLE) / o.n_shingles < $MaxEvalOverlap),
+      |k AS (
+      |  SELECT *, list_min(list_transform(generate_series(0, weight - 1),
+      |    t -> ${Sketches.uniformHashSql("doc_id || ':' || CAST(t AS VARCHAR)")}))
+      |    AS ticket
+      |  FROM adm)
+      |SELECT source, doc_id, n_tokens, weight, n_shingles, n_overlap, ticket,
+      |  round(diversity + 1e-9, 4) AS diversity,
+      |  round(overlap_ratio + 1e-9, 4) AS overlap_ratio
+      |FROM (SELECT *, row_number() OVER (PARTITION BY source
+      |        ORDER BY ticket, doc_id) AS rk FROM k) z
+      |WHERE rk <= $CurationPerSource
+      |ORDER BY source, ticket, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.MinHashLSH
+    val base = graft.CacheScope.cache(
+      Tables.load(spark, dir, "documents")
+        .select(col("source"), col("doc_id"), Text.tokens(col("text")).as("toks"),
+          ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+        .withColumn("sh", MinHashLSH.shingleHashes(col("toks"), 3)))
+    val evalSh = base.filter(col("bucket") >= 90)
+      .select(explode(col("sh")).as("s")).distinct()
+      .withColumn("hit", lit(1L))
+    val train = base.filter(col("bucket") < 80)
+    val overlap = train
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+      .join(evalSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+    val ratio = col("n_overlap").cast("double") / col("n_shingles")
+    val admitted = train
+      .select(col("source"), col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        (size(array_distinct(col("toks"))).cast("double") /
+          greatest(size(col("toks")), lit(1))).as("diversity"))
+      .join(overlap, "doc_id")
+      .filter(col("n_tokens") >= CurationMinTokens &&
+        col("diversity") >= CurationMinDiversity &&
+        ratio < MaxEvalOverlap)
+      .withColumn("overlap_ratio", ratio)
+      .withColumn("weight", (floor(col("diversity") * 4) + 1).cast("int"))
+    graft.operators.WeightedSample
+      .sample(admitted, Seq("source"), "doc_id", "weight", CurationPerSource)
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("weight"),
+        col("n_shingles"), col("n_overlap"), col("ticket"),
+        round(col("diversity") + lit(1e-9), 4).as("diversity"),
+        round(col("overlap_ratio") + lit(1e-9), 4).as("overlap_ratio"))
+      .orderBy(col("source"), col("ticket"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
-      curationPipeline, curationDiff, multimodalCuration)
+      curationPipeline, curationDiff, multimodalCuration,
+      decontaminatedCuration)
 }
