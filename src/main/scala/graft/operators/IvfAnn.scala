@@ -331,6 +331,35 @@ object IvfAnn {
       Seq(col("cosine").desc, col("neighbor").asc), k)
   }
 
+  /** Write a SELF-CONTAINED index directory: the cell layout AND the
+    * quantizer that produced it travel together (`dir/cells`,
+    * `dir/centroids`) — the serving layer needs both, and versioning
+    * them separately invites quantizer/layout skew (a search against
+    * cells written under other centroids probes the wrong cells and
+    * silently loses recall). Combined with
+    * [[graft.sources.Snapshots.commit]] this is zero-downtime index
+    * publishing: each retrain commits a full index version while
+    * searches pinned to the previous version keep serving (q124).
+    */
+  def writeIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      cents: DataFrame, dir: String): Unit = {
+    writePartitionedByCell(corpus, idCol, vecCol, cents, s"$dir/cells")
+    cents.coalesce(1).write.mode("overwrite").parquet(s"$dir/centroids")
+  }
+
+  /** Search a [[writeIndex]] directory: the quantizer loads from the
+    * index itself (O(clusters) driver rows), then the search runs
+    * against the colocated cell layout — same probe-side broadcast
+    * guard, partition pruning, and custom top-k as
+    * [[searchPartitioned]].
+    */
+  def searchIndex(spark: org.apache.spark.sql.SparkSession, dir: String,
+      idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, k: Int, nProbe: Int): DataFrame =
+    searchPartitioned(spark, s"$dir/cells",
+      spark.read.parquet(s"$dir/centroids"), idCol, vecCol,
+      queries, qidCol, qvecCol, k, nProbe)
+
   /** Index-staleness telemetry — the WHEN-to-retrain signal that closes
     * the maintenance loop ([[appendPartitionedByCell]] appends without
     * retraining; [[compactCells]] defragments; this reports when the

@@ -1128,9 +1128,72 @@ object SimilarityQueries {
     }
   }
 
+  /** VERSIONED index serving — zero-downtime publishing through
+    * [[graft.sources.Snapshots.commit]] applied to the self-contained
+    * index directory ([[graft.operators.IvfAnn.writeIndex]]: quantizer
+    * + cell layout travel together, so a version can never mix one
+    * version's centroids with another's cells): v0 is the index over
+    * the base corpus, v1 the retrained index over the full corpus, and
+    * the gate searches BOTH — crucially, the v0 search runs AFTER the
+    * v1 publish, proving a reader pinned to a version keeps serving
+    * identical results while the next version lands (MVCC: readers
+    * resolve the pointer once, then scan an immutable directory). The
+    * oracle replays each version's unrolled-Lloyd chain over its own
+    * corpus slice; hash equality gates quantizer-layout pairing, the
+    * pointer flip, and both searches end-to-end.
+    */
+  val ivfVersioned: QuerySpec = {
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    val baseCte =
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0"
+    QuerySpec.sql(
+      "q124_ivf_versioned",
+      s"""SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, t0.* FROM (
+        |${ivfOracleSql(clusters, nProbe, iters, k, dim, nQueries, baseCte)}
+        |  ) t0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS version, t1.* FROM (
+        |${ivfOracleSql(clusters, nProbe, iters, k, dim, nQueries)}
+        |  ) t1) u
+        |ORDER BY version, qid, cosine DESC, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      import graft.sources.Snapshots
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val table = graft.Scratch.fresh("q124") + "/ivf_index"
+      val cents0 = graft.operators.IvfAnn
+        .centroids(base, "vec_id", "embedding", clusters, iters)
+      val v0 = Snapshots.commit(spark, table)(d => graft.operators.IvfAnn
+        .writeIndex(base, "vec_id", "embedding", cents0, d))
+      val cents1 = graft.operators.IvfAnn
+        .centroids(all0, "vec_id", "embedding", clusters, iters)
+      val v1 = Snapshots.commit(spark, table)(d => graft.operators.IvfAnn
+        .writeIndex(all0, "vec_id", "embedding", cents1, d))
+      def searchV(v: Long, corpus: org.apache.spark.sql.DataFrame) =
+        graft.operators.IvfAnn
+        .searchIndex(spark, Snapshots.versionPath(table, v),
+          "vec_id", "embedding",
+          corpus.filter(col("vec_id") < nQueries)
+            .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+          "qid", "qv", k = k, nProbe = nProbe)
+        .withColumn("version", lit(v))
+      // the v0 search runs AFTER the v1 publish — the pinned reader
+      // must be undisturbed by the newer commit
+      val s1 = searchV(v1, all0)
+      val s0 = searchV(v0, base)
+      s0.unionByName(s1)
+        .select(col("version"), col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .orderBy(col("version"), col("qid"), col("cosine").desc,
+          col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
-    semanticDedup, ivfDrift, ivfRetrain)
+    semanticDedup, ivfDrift, ivfRetrain, ivfVersioned)
 }

@@ -70,11 +70,28 @@ object Snapshots {
     * rename, so readers see either the previous or the new version — never
     * a partial directory.
     */
-  def write(df: DataFrame, path: String): Long = {
-    val spark = df.sparkSession
+  def write(df: DataFrame, path: String): Long =
+    commit(df.sparkSession, path)(dir =>
+      df.write.mode(SaveMode.ErrorIfExists).parquet(dir))
+
+  /** Commit a version whose CONTENT an arbitrary writer produces —
+    * partitioned layouts, multi-artifact directories — under the same
+    * MVCC contract as [[write]]: `writer` receives the fresh version
+    * directory and must fully materialize it; the pointer flips only
+    * after it returns, so a reader resolves either the previous or the
+    * new version, never a partial one, and a crash mid-write leaves an
+    * orphan directory no reader can observe ([[vacuum]] collects it).
+    * This is how non-tabular artifacts version — e.g. an IVF index
+    * (quantizer + cell layout) published while searches pinned to the
+    * previous version keep serving ([[graft.operators.IvfAnn]], q124).
+    */
+  def commit(spark: SparkSession, path: String)(writer: String => Unit): Long = {
     val f = fs(spark, path)
     val next = latestVersion(spark, path).getOrElse(-1L) + 1
-    df.write.mode(SaveMode.ErrorIfExists).parquet(versionDir(path, next).toString)
+    val dir = versionDir(path, next)
+    if (f.exists(dir))
+      throw new java.io.IOException(s"version dir already exists: $dir")
+    writer(dir.toString)
     val tmp = new Path(s"$path/.$Pointer.tmp")
     val out = f.create(tmp, true)
     try out.write(next.toString.getBytes("UTF-8"))
@@ -85,6 +102,13 @@ object Snapshots {
       throw new java.io.IOException(s"snapshot commit failed: $tmp -> $ptr")
     next
   }
+
+  /** The version directory's path (for artifacts a plain
+    * [[readVersion]] DataFrame read can't serve — partitioned layouts
+    * searched through their own reader).
+    */
+  def versionPath(path: String, version: Long): String =
+    versionDir(path, version).toString
 
   /** Read the latest committed snapshot. */
   def read(spark: SparkSession, path: String): DataFrame =

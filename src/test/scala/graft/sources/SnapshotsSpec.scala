@@ -107,6 +107,46 @@ class SnapshotsSpec extends SparkTestBase {
     assert(Snapshots.diff(spark, path, 1, 1).count() == 0)
   }
 
+  test("commit versions arbitrary directory layouts under the same pointer") {
+    import spark.implicits._
+    val path = tmpTable()
+    // a multi-artifact version: two files the single-DataFrame write
+    // could never produce
+    val v0 = Snapshots.commit(spark, path) { dir =>
+      Seq((1, "a")).toDF("id", "s").write.parquet(s"$dir/cells")
+      Seq((1, 0.5)).toDF("cell", "w").write.parquet(s"$dir/meta")
+    }
+    assert(v0 == 0L)
+    assert(Snapshots.latestVersion(spark, path).contains(0L))
+    val v1 = Snapshots.commit(spark, path) { dir =>
+      Seq((2, "b")).toDF("id", "s").write.parquet(s"$dir/cells")
+      Seq((2, 0.7)).toDF("cell", "w").write.parquet(s"$dir/meta")
+    }
+    assert(v1 == 1L)
+    // pinned read of v0's artifacts is undisturbed by the v1 publish
+    assert(spark.read.parquet(s"${Snapshots.versionPath(path, 0)}/cells")
+      .select("s").as[String].collect().toSeq == Seq("a"))
+    assert(spark.read.parquet(s"${Snapshots.versionPath(path, 1)}/cells")
+      .select("s").as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("a commit whose writer throws leaves no observable version") {
+    import spark.implicits._
+    val path = tmpTable()
+    Snapshots.write(Seq((1, "a")).toDF("id", "s"), path)
+    intercept[RuntimeException] {
+      Snapshots.commit(spark, path) { dir =>
+        Seq((9, "x")).toDF("id", "s").write.parquet(s"$dir/cells")
+        throw new RuntimeException("writer died mid-version")
+      }
+    }
+    // the pointer never moved; the half-written dir is an orphan
+    assert(Snapshots.latestVersion(spark, path).contains(0L))
+    assert(Snapshots.read(spark, path).select("s").as[String].collect()
+      .toSeq == Seq("a"))
+    assert(Snapshots.vacuum(spark, path, keepLast = 3) == Seq(1L))
+  }
+
   test("an orphaned snapshot dir (crash before pointer move) is invisible and vacuumed") {
     import spark.implicits._
     val path = tmpTable()
