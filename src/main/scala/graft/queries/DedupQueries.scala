@@ -403,7 +403,219 @@ object DedupQueries {
       .orderBy(col("component"))
   }
 
+  /** q126 hot-span parameters: span length in tokens, and the number of
+    * DISTINCT documents an n-gram must appear in to count as repeated.
+    */
+  val SpanN = 5
+  val SpanHotDf = 2L
+
+  /** Shared oracle fragment for q126/q127: the hot-span coverage chain
+    * (`ex` … `covl`) of [[graft.operators.SpanScrub]], assuming a
+    * `t(doc_id, toks, …)` CTE in scope — ONE copy so a span-length or
+    * threshold change cannot silently diverge the two oracles
+    * (the componentCtesSql rationale).
+    */
+  private[queries] val scrubCtesSql =
+    s"""ex AS (
+      |  SELECT doc_id, u.i, array_to_string(toks[u.i : u.i + ${SpanN - 1}], ' ') AS g
+      |  FROM t, unnest(generate_series(1, greatest(len(toks) - ${SpanN - 1}, 0))) AS u(i)),
+      |hot AS (SELECT g FROM ex GROUP BY g
+      |        HAVING count(DISTINCT doc_id) >= $SpanHotDf),
+      |occ AS (SELECT doc_id, i FROM ex WHERE g IN (SELECT g FROM hot)),
+      |cov AS (SELECT DISTINCT doc_id, u.p
+      |        FROM occ, unnest(generate_series(i, i + ${SpanN - 1})) AS u(p)),
+      |covl AS (SELECT doc_id, list_sort(list(p)) AS ps FROM cov GROUP BY doc_id)""".stripMargin
+
+  /** The surviving-token list after the scrub, as DuckDB SQL — assumes
+    * `toks` and (possibly NULL) `ps` in scope.
+    */
+  private[queries] val cleanedToksSql =
+    """[toks[p] FOR p IN generate_series(1, len(toks))
+      |    IF NOT list_contains(coalesce(ps, CAST([] AS BIGINT[])), p)]""".stripMargin
+
+  /** Incremental dedup-index maintenance ([[graft.operators.LshIndex]])
+    * — the day-2 story of q24's LSH: the corpus's band-bucket rows are
+    * a PERSISTED parquet index, and a later delta batch (deterministic
+    * 20% hash split, q123's bucket formula) is admitted by probing that
+    * on-disk index instead of recomputing corpus signatures: delta band
+    * rows join the index on `(band, bkt)`, candidates Jaccard-verify
+    * against only the COLLIDED corpus docs' shingles (left-semi), and
+    * docs with zero verified duplicates append their band rows O(delta)
+    * — no corpus rewrite, no retraining, immediately probe-able by the
+    * next batch. The oracle re-derives the whole pipeline from scratch
+    * (signatures for both splits, band collisions, verify, admission
+    * count), and `index_rows_after` is read back from DISK post-append,
+    * so a hash-equal row set gates index write, probe, verify, and
+    * append end-to-end. This is continuous-ingest dedup at 100 TB:
+    * per-batch cost is O(|delta| + collisions), never O(corpus).
+    */
+  val lshIndexAppend: QuerySpec = QuerySpec.sql(
+    "q125_lsh_index_append",
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, bucket, sh,
+      |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, bucket, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+      |  FROM bk d JOIN bk c ON d.band = c.band AND d.bkt = c.bkt
+      |  WHERE d.bucket >= 80 AND c.bucket < 80),
+      |ver AS (
+      |  SELECT did, cid,
+      |    CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+      |      / (len(sd.sh) + len(sc.sh) - len(list_intersect(sd.sh, sc.sh))) AS j
+      |  FROM cand JOIN sig sd ON sd.doc_id = cand.did
+      |            JOIN sig sc ON sc.doc_id = cand.cid),
+      |agg AS (
+      |  SELECT s.doc_id,
+      |    CAST(count(v.cid) AS BIGINT) AS n_candidates,
+      |    CAST(count(v.cid) FILTER (WHERE v.j >= 0.6) AS BIGINT) AS n_dups
+      |  FROM sig s LEFT JOIN ver v ON v.did = s.doc_id
+      |  WHERE s.bucket >= 80
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(${MinHashLSH.Bands} * (
+      |      (SELECT count(*) FROM t WHERE bucket < 80)
+      |      + (SELECT count(*) FROM agg WHERE n_dups = 0)) AS BIGINT)
+      |    AS index_rows_after)
+      |SELECT doc_id, n_candidates, n_dups, n_dups = 0 AS admitted,
+      |  st.index_rows_after
+      |FROM agg CROSS JOIN st
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val corpus = docs.filter(col("bucket") < 80)
+    val delta = docs.filter(col("bucket") >= 80)
+    val path = graft.Scratch.fresh("q125") + "/lsh_index"
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+    // verify against only the collided corpus docs (left-semi prune)
+    val corpusSh = corpus
+      .join(cand.select(col("indexId").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+    val deltaSh = delta.select(col("doc_id").as("did"), col("sh").as("__shd"))
+    val ver = cand
+      .select(col("deltaId").as("did"), col("indexId").as("cid"))
+      .join(deltaSh, "did").join(corpusSh, "cid")
+      .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
+    val perDoc = delta.select(col("doc_id"))
+      .join(ver.groupBy(col("did").as("doc_id"))
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nd"), lit(0L)).as("n_dups"))
+      .withColumn("admitted", col("n_dups") === 0L)
+      .transform(graft.CacheScope.cache)
+    LshIndex.append(
+      delta.join(perDoc.filter(col("admitted")).select(col("doc_id")),
+        Seq("doc_id"), "left_semi"),
+      "doc_id", "sh", path)
+    val after = spark.read.parquet(path)
+      .agg(count(lit(1)).as("index_rows_after"))
+    perDoc.crossJoin(broadcast(after)).orderBy(col("doc_id"))
+  }
+
+  /** Substring-level dedup ([[graft.operators.SpanScrub]]): delete
+    * token spans repeated across documents — the partial-overlap
+    * regime document-level dedup can't see (shared boilerplate inside
+    * otherwise-unique docs). Every [[SpanN]]-gram occurring in ≥
+    * [[SpanHotDf]] distinct documents marks its token positions; the
+    * scrubbed text keeps the unique remainder, and each row reports
+    * how much was cut. Cost is one generator scan + one gram groupBy +
+    * one semi-join — linear in corpus tokens (see the operator doc for
+    * the 100 TB shape).
+    */
+  val spanScrub: QuerySpec = QuerySpec.sql(
+    "q126_span_scrub",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |$scrubCtesSql,
+      |spans AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_spans
+      |          FROM occ GROUP BY doc_id)
+      |SELECT t.doc_id,
+      |  CAST(len(toks) AS BIGINT) AS n_tokens,
+      |  CAST(coalesce(len(ps), 0) AS BIGINT) AS n_removed,
+      |  coalesce(n_spans, CAST(0 AS BIGINT)) AS n_spans,
+      |  coalesce(array_to_string($cleanedToksSql, ' '), '') AS cleaned_text
+      |FROM t LEFT JOIN covl USING (doc_id) LEFT JOIN spans USING (doc_id)
+      |ORDER BY t.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+    graft.operators.SpanScrub
+      .scrub(docs, "doc_id", "toks", SpanN, SpanHotDf)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_spans"), array_join(col("cleaned"), " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** q128's hot-bucket threshold: a band bucket holding at least this
+    * many docs is "hot" (its probe cost is quadratic in its size).
+    */
+  val HotBucket = 8L
+
+  /** LSH index-health telemetry — the when-to-rebucket signal
+    * completing the q125 maintenance story (the [[SimilarityQueries]]
+    * q117 drift report, for the dedup index family). Per band:
+    * bucket count, max bucket size, hot buckets (≥ [[HotBucket]]
+    * docs), and `candidate_pairs` = Σ s·(s−1)/2 — the EXACT pair
+    * count the q24/q125 probe join will generate, i.e. the index's
+    * real serving cost. Boilerplate-heavy corpora collapse signature
+    * variance and concentrate docs into few buckets; when
+    * `candidate_pairs` outgrows the duplicate-density budget, raise
+    * bands/rows or df-cap the shingles and rebuild. One groupBy
+    * cascade over the band rows — O(index) with map-side combine,
+    * no pair ever materializes.
+    */
+  val lshSkewReport: QuerySpec = QuerySpec.sql(
+    "q128_lsh_skew",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |sz AS (SELECT band, bkt, CAST(count(*) AS BIGINT) AS s
+      |       FROM bk GROUP BY 1, 2)
+      |SELECT CAST(band AS BIGINT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(sum(s) AS BIGINT) AS n_docs,
+      |  CAST(max(s) AS BIGINT) AS max_bucket,
+      |  CAST(count(*) FILTER (WHERE s >= $HotBucket) AS BIGINT) AS hot_buckets,
+      |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs
+      |FROM sz GROUP BY band
+      |ORDER BY band""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    val sz = graft.operators.LshIndex.bandRows(docs, "doc_id", "sh")
+      .groupBy(col("band"), col("bkt")).agg(count(lit(1)).as("s"))
+    sz.groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("s")).as("n_docs"),
+        max(col("s")).as("max_bucket"),
+        sum(when(col("s") >= HotBucket, 1L).otherwise(0L)).as("hot_buckets"),
+        sum(expr("(s * (s - 1)) div 2")).as("candidate_pairs"))
+      .orderBy(col("band"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
-      decontamination, canonicalPick)
+      decontamination, canonicalPick, lshIndexAppend, spanScrub,
+      lshSkewReport)
 }

@@ -593,8 +593,73 @@ object SamplingQueries {
       .orderBy(col("source"), col("ticket"), col("doc_id"))
   }
 
+  /** Per-source budget for the scrub-aware selection (cleaned tokens). */
+  private val CleanTokenBudget = 600L
+
+  /** Scrub-aware token budgeting — q109's greedy selection with the
+    * budget counted in UNIQUE-content tokens: documents first pass
+    * through [[graft.operators.SpanScrub]] (q126's hot-span removal),
+    * then the per-source quality walk accumulates `n_clean` — tokens
+    * surviving the scrub — instead of raw length. A training budget
+    * buys information, not bytes: without this, boilerplate-padded
+    * documents consume budget with content the model has already seen
+    * (the Lee et al. motivation applied at SELECTION time). Fully
+    * scrubbed docs (nothing unique left) drop out before the walk;
+    * quality (diversity) is likewise computed on the cleaned tokens,
+    * so a doc can't buy rank with repeated content either. Cost = the
+    * q126 scrub chain + ONE keyed window — same exchange count as
+    * q109 at any scale.
+    */
+  val scrubbedBudgetSelect: QuerySpec = QuerySpec.sql(
+    "q127_scrubbed_budget",
+    s"""WITH t AS (SELECT source, doc_id, $tokSql AS toks FROM documents),
+      |${DedupQueries.scrubCtesSql},
+      |cl AS (
+      |  SELECT source, t.doc_id,
+      |    CAST(len(toks) AS BIGINT) AS n_tokens,
+      |    ${DedupQueries.cleanedToksSql} AS ctoks
+      |  FROM t LEFT JOIN covl USING (doc_id)),
+      |b AS (
+      |  SELECT source, doc_id, n_tokens,
+      |    CAST(len(ctoks) AS BIGINT) AS n_clean,
+      |    CAST(len(list_distinct(ctoks)) AS DOUBLE)
+      |      / greatest(len(ctoks), 1) AS diversity
+      |  FROM cl WHERE len(ctoks) > 0),
+      |r AS (
+      |  SELECT *, CAST(sum(n_clean) OVER (PARTITION BY source
+      |      ORDER BY diversity DESC, doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      |      AS run_clean
+      |  FROM b)
+      |SELECT source, doc_id, n_tokens, n_clean, run_clean,
+      |  round(diversity + 1e-9, 4) AS diversity
+      |FROM r WHERE run_clean <= $CleanTokenBudget
+      |ORDER BY source, run_clean, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.queries.{DedupQueries => DQ}
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        Text.tokens(col("text")).as("toks"))
+    val b = graft.operators.SpanScrub
+      .scrub(docs, "doc_id", "toks", DQ.SpanN, DQ.SpanHotDf)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        size(col("cleaned")).cast("long").as("n_clean"),
+        (size(array_distinct(col("cleaned"))).cast("double")
+          / greatest(size(col("cleaned")), lit(1))).as("diversity"))
+      .filter(col("n_clean") > 0)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("diversity").desc, col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    b.withColumn("run_clean", sum(col("n_clean")).over(w))
+      .filter(col("run_clean") <= CleanTokenBudget)
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        col("n_clean"), col("run_clean"),
+        round(col("diversity") + lit(1e-9), 4).as("diversity"))
+      .orderBy(col("source"), col("run_clean"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
-      decontaminatedCuration)
+      decontaminatedCuration, scrubbedBudgetSelect)
 }

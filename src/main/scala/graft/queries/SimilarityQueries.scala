@@ -274,7 +274,8 @@ object SimilarityQueries {
 
   private def ivfOracleSql(clusters: Int, nProbe: Int, iters: Int, k: Int,
       dim: Int, nQueries: Int,
-      corpusCte: String = "SELECT vec_id, embedding FROM embeddings"): String = {
+      corpusCte: String = "SELECT vec_id, embedding FROM embeddings",
+      scoredPred: String = ""): String = {
     import Vectors.{dotSql, normSql}
     s"""WITH corpus AS ($corpusCte),
       |${coarseCtes(clusters, nProbe, iters, dim, nQueries)},
@@ -287,7 +288,8 @@ object SimilarityQueries {
       |  JOIN af f ON f.cell = p.cell
       |  JOIN corpus v ON v.vec_id = f.vec_id
       |  WHERE v.vec_id <> p.qid
-      |    AND ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0)
+      |    AND ${normSql("q.embedding")} > 0 AND ${normSql("v.embedding")} > 0
+      |    $scoredPred)
       |SELECT qid, neighbor, round(cos + 1e-9, 4) AS cosine
       |FROM (SELECT *, row_number() OVER (PARTITION BY qid
       |        ORDER BY cos DESC, neighbor) AS rk FROM scored) r
@@ -1191,9 +1193,64 @@ object SimilarityQueries {
     }
   }
 
+  /** DELETE leg of the index lifecycle — tombstoned logical deletes
+    * served correctly, then applied physically by compaction
+    * ([[graft.operators.IvfAnn.deleteFromCells]]): 10% of the corpus
+    * (every `vec_id ≥ 10` with `vec_id % 10 = 3`) is deleted as an
+    * O(|deletes|) append-only marker — NO corpus rewrite on the delete
+    * path — and the search runs twice: phase `tombstone` (markers
+    * anti-joined at probe time) and phase `compacted` (after
+    * [[graft.operators.IvfAnn.compactCells]] rewrote the cells without
+    * the deleted rows and the publish swap cleared the markers). Both
+    * phases must hash-match ONE oracle: the unrolled-Lloyd search over
+    * the full-corpus-trained quantizer scoring only surviving vectors
+    * (deleted vectors still shaped the centroids — deletes don't
+    * retrain). The tombstone-phase frame is materialized BEFORE the
+    * compaction swaps the directory under it, the ordering a real
+    * serving layer gets from snapshot versioning (q124).
+    */
+  val ivfDelete: QuerySpec = {
+    val (clusters, nProbe, iters, k, dim, nQueries) = (16, 4, 2, 3, 64, 10)
+    QuerySpec.sql(
+      "q129_ivf_delete",
+      s"""SELECT ph.phase, t.qid, t.neighbor, t.cosine FROM (
+        |${ivfOracleSql(clusters, nProbe, iters, k, dim, nQueries,
+             scoredPred = "AND NOT (v.vec_id >= 10 AND v.vec_id % 10 = 3)")}
+        |) t CROSS JOIN (SELECT unnest(['compacted', 'tombstone']) AS phase) ph
+        |ORDER BY ph.phase, t.qid, t.cosine DESC, t.neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val cents = graft.operators.IvfAnn
+        .centroids(corpus, "vec_id", "embedding", clusters, iters)
+      val path = graft.Scratch.fresh("q129") + "/ivf_cells"
+      graft.operators.IvfAnn
+        .writePartitionedByCell(corpus, "vec_id", "embedding", cents, path)
+      graft.operators.IvfAnn.deleteFromCells(spark, path,
+        corpus.filter(col("vec_id") >= 10 && col("vec_id") % 10 === 3)
+          .select(col("vec_id")), "vec_id")
+      val queries = corpus.filter(col("vec_id") < nQueries)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      def searchNow(phase: String) = graft.operators.IvfAnn
+        .searchPartitioned(spark, path, cents, "vec_id", "embedding",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .withColumn("phase", lit(phase))
+      // materialize the tombstone-phase result BEFORE compaction swaps
+      // the directory out from under its (lazy) file scan
+      val served = graft.CacheScope.cacheTruncated(searchNow("tombstone"))
+      served.count()
+      graft.operators.IvfAnn.compactCells(spark, path)
+      served.unionByName(searchNow("compacted"))
+        .select(col("phase"), col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .orderBy(col("phase"), col("qid"), col("cosine").desc,
+          col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
-    semanticDedup, ivfDrift, ivfRetrain, ivfVersioned)
+    semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete)
 }

@@ -246,13 +246,38 @@ class PlanQualitySpec extends SparkTestBase {
     assert(plan.contains("TopKPerKey"), plan.take(2000))
   }
 
+  test("q125's index probe hash-joins on the band bucket (no pairwise pass)") {
+    // constructing q125 writes + caches over its scratch index dir; release
+    // before the next construction wipes the dir (stale cached listings)
+    try {
+      val plan = planOf("q125_lsh_index_append")
+      // the only nested-loop join allowed is the 1-row stats broadcast;
+      // the delta×index probe and the verify join must stay hash joins
+      val bnlj = "BroadcastNestedLoopJoin".r.findAllIn(plan).size
+      assert(bnlj <= 1, s"probe degenerated to nested loop:\n${plan.take(2000)}")
+    } finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
+  }
+
+  test("q126 generates positioned n-grams once for hot-set and coverage (persist reuse)") {
+    try {
+      val plan = planOf("q126_span_scrub")
+      // ex feeds the gram groupBy AND the occurrence semi-join; without the
+      // persist both branches re-tokenize + re-explode the corpus
+      assert(plan.contains("InMemoryTableScan"), plan.take(2000))
+    } finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
+  }
+
   test("no query plan contains a cartesian product") {
-    // θ-joins must plan as broadcast nested loop, never cartesian
+    // θ-joins must plan as broadcast nested loop, never cartesian.
+    // Release per query (in finally, so one failure can't strand caches):
+    // layout-writing queries cache frames over scratch dirs their NEXT
+    // construction wipes — a stale cached relation then reads deleted files.
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
-      val plan = planOf(name)
-      assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(800)}")
+      try {
+        val plan = planOf(name)
+        assert(!plan.contains("CartesianProduct"), s"$name: ${plan.take(800)}")
+      } finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
     }
-    spark.catalog.clearCache()
   }
 
   test("no query plans an unpartitioned window outside the documented tiny-frame set") {
@@ -272,18 +297,19 @@ class PlanQualitySpec extends SparkTestBase {
       "q89_ivf_recall", "q96_time_travel_cdf", "q105_hist_stream")
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(tinyFrameWindows).foreach { name =>
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      val plan = df.queryExecution.executedPlan
-      val unpartitioned = plan.collect {
-        case w: org.apache.spark.sql.execution.window.WindowExec
-            if w.partitionSpec.isEmpty => w
-        case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
-            if w.partitionSpec.isEmpty => w
-      }
-      assert(unpartitioned.isEmpty,
-        s"$name plans an unpartitioned window:\n" +
-          unpartitioned.map(_.toString).mkString("\n"))
+      try {
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        val plan = df.queryExecution.executedPlan
+        val unpartitioned = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty => w
+          case w: org.apache.spark.sql.execution.window.WindowGroupLimitExec
+              if w.partitionSpec.isEmpty => w
+        }
+        assert(unpartitioned.isEmpty,
+          s"$name plans an unpartitioned window:\n" +
+            unpartitioned.map(_.toString).mkString("\n"))
+      } finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
     }
-    spark.catalog.clearCache()
   }
 }

@@ -238,4 +238,48 @@ class IvfCellLayoutSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
    }
   }
+
+  test("tombstoned deletes are invisible to search and applied by compaction") {
+   withTempDir("graft_ivf_delete") { root =>
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .filter(col("vec_id") < 200)
+    val cents = IvfAnn.centroids(emb, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    IvfAnn.writePartitionedByCell(emb, "vec_id", "embedding", cents, root)
+    val deleted = emb.filter(col("vec_id") >= 16 && col("vec_id") % 5 === 0)
+      .select(col("vec_id"))
+    IvfAnn.deleteFromCells(spark, root, deleted, "vec_id")
+    // the layout scan itself still sees every row (markers are hidden)
+    assert(spark.read.parquet(root).count() === emb.count())
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def canon(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("qid"), col("neighbor"), round(col("cosine"), 9))
+      .collect().map(_.toString).sorted.toSeq
+    def searchNow() = canon(IvfAnn.searchPartitioned(spark, root, cents,
+      "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 2))
+    // oracle: in-memory search over the SURVIVING corpus under the SAME
+    // (full-corpus-trained) centroids
+    val survivors = emb.join(deleted, Seq("vec_id"), "left_anti")
+    val cs = CentroidState.collect(cents)
+    val assigned = survivors.select(col("vec_id"), col("embedding"),
+      CentroidState.nearestCell(col("embedding"), cs).as("cell"))
+    val expected = {
+      val alt = root + "_expected"
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(alt)
+      canon(IvfAnn.searchPartitioned(spark, alt, cents, "vec_id",
+        "embedding", queries, "qid", "qv", k = 5, nProbe = 2))
+    }
+    val tombstonePhase = searchNow()
+    assert(tombstonePhase === expected)
+    assert(tombstonePhase.nonEmpty)
+    // compaction applies the deletes physically and clears the markers
+    IvfAnn.compactCells(spark, root)
+    assert(spark.read.parquet(root).count() ===
+      emb.count() - deleted.count())
+    assert(IvfAnn.tombstones(spark, root).isEmpty)
+    assert(searchNow() === expected)
+    graft.CacheScope.releaseAll()
+   }
+  }
 }

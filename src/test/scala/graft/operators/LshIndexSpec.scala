@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.functions.Text
+
+class LshIndexSpec extends SparkTestBase {
+
+  private def withSh(docs: Seq[(Long, String)]) = {
+    import spark.implicits._
+    docs.toDF("doc_id", "text")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+  }
+
+  test("bandRows emits exactly Bands rows per doc, equal docs collide everywhere") {
+    val df = withSh(Seq(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different text with no shared shingles at all"))
+    val rows = LshIndex.bandRows(df, "doc_id", "sh")
+    assert(rows.count() === 3L * MinHashLSH.Bands)
+    // identical docs have identical signatures => same bucket in every band
+    val collisions = rows.filter(col("doc_id") === 1L).as("a")
+      .join(rows.filter(col("doc_id") === 2L).as("b"),
+        col("a.band") === col("b.band") && col("a.bkt") === col("b.bkt"))
+      .count()
+    assert(collisions === MinHashLSH.Bands.toLong)
+  }
+
+  test("write + probe + append round-trips through disk, O(delta) admission") {
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    val path = graft.Scratch.fresh("lshindex_spec") + "/idx"
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    assert(spark.read.parquet(path).count() === 2L * MinHashLSH.Bands)
+
+    // delta: one exact dup of doc 10, one novel doc
+    val delta = withSh(Seq(
+      20L -> "shared text body one two three four five six seven",
+      21L -> "a fresh never before seen document with novel content"))
+    val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((20L, 10L)))
+    assert(!cand.exists(_._1 == 21L))
+
+    // admit only the novel doc; index grows by Bands rows
+    LshIndex.append(delta.filter(col("doc_id") === 21L), "doc_id", "sh", path)
+    assert(spark.read.parquet(path).count() === 3L * MinHashLSH.Bands)
+    // the appended doc is immediately probe-able by the next batch
+    val cand2 = LshIndex.candidates(spark, path,
+        withSh(Seq(30L -> "a fresh never before seen document with novel content")),
+        "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand2.contains((30L, 21L)))
+  }
+}
