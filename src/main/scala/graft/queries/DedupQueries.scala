@@ -614,8 +614,129 @@ object DedupQueries {
       .orderBy(col("band"))
   }
 
+  /** q131's arrival waves: [lo, hi) bucket ranges, admitted in order. */
+  private val SeqWaves = Seq((80, 87), (87, 94), (94, 100))
+
+  /** Sequential (arrival-ORDER-dependent) index admission — what q125
+    * proves for one delta batch, run as three consecutive waves against
+    * the SAME persisted index, each wave probing the index state its
+    * predecessors left: a wave-2 doc that near-duplicates an ADMITTED
+    * wave-1 doc is refused, while under q125's single-batch semantics
+    * neither would see the other. This is the steady-state ingest
+    * contract (today's batch dedups against everything admitted before
+    * it), and the oracle replays the exact sequential recurrence
+    * (idx₀ = corpus bands; aggᵢ = wave i admission against idxᵢ₋₁;
+    * idxᵢ = idxᵢ₋₁ ∪ admitted bands), so the hash gate proves the
+    * on-disk index's grow-as-you-admit state machine, not just one
+    * probe. Each wave's stats frame is materialized (lineage-truncated)
+    * BEFORE its append — re-executing the probe after the index grew
+    * would silently change the answer. The q119 AvailableNow machinery
+    * layers directly on top (one wave per micro-batch via foreachBatch);
+    * the semantics under test — state recurrence — are identical.
+    */
+  val lshSequential: QuerySpec = {
+    def candSql(i: Int, lo: Int, hi: Int) =
+      s"""cand$i AS (
+        |  SELECT DISTINCT d.doc_id AS did, x.doc_id AS cid
+        |  FROM bk d JOIN idx${i - 1} x ON d.band = x.band AND d.bkt = x.bkt
+        |  WHERE d.bucket >= $lo AND d.bucket < $hi),
+        |ver$i AS (
+        |  SELECT did, cid,
+        |    CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+        |      / (len(sd.sh) + len(sc.sh) - len(list_intersect(sd.sh, sc.sh))) AS j
+        |  FROM cand$i JOIN sig sd ON sd.doc_id = cand$i.did
+        |              JOIN sig sc ON sc.doc_id = cand$i.cid),
+        |agg$i AS (
+        |  SELECT s.doc_id,
+        |    CAST(count(v.cid) AS BIGINT) AS n_candidates,
+        |    CAST(count(v.cid) FILTER (WHERE v.j >= 0.6) AS BIGINT) AS n_dups
+        |  FROM sig s LEFT JOIN ver$i v ON v.did = s.doc_id
+        |  WHERE s.bucket >= $lo AND s.bucket < $hi
+        |  GROUP BY 1),
+        |idx$i AS (
+        |  SELECT * FROM idx${i - 1}
+        |  UNION ALL
+        |  SELECT bk.doc_id, band, bkt FROM bk
+        |  JOIN agg$i a ON bk.doc_id = a.doc_id WHERE a.n_dups = 0)""".stripMargin
+    val waves = SeqWaves.zipWithIndex
+      .map { case ((lo, hi), i) => candSql(i + 1, lo, hi) }.mkString(",\n")
+    val unions = SeqWaves.indices
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS batch, * FROM agg${i + 1}")
+      .mkString("\n  UNION ALL ")
+    QuerySpec.sql(
+      "q131_lsh_sequential",
+      s"""WITH t AS (
+        |  SELECT doc_id, $tokSql AS toks,
+        |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+        |  FROM documents),
+        |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+        |sig AS (SELECT doc_id, bucket, sh,
+        |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+        |bk AS (
+        |  SELECT doc_id, bucket, b.band,
+        |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+        |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+        |idx0 AS (SELECT doc_id, band, bkt FROM bk WHERE bucket < 80),
+        |$waves,
+        |adm AS ($unions),
+        |st AS (
+        |  SELECT CAST(${MinHashLSH.Bands} * (
+        |      (SELECT count(*) FROM t WHERE bucket < 80)
+        |      + (SELECT count(*) FROM adm WHERE n_dups = 0)) AS BIGINT)
+        |    AS index_rows_after)
+        |SELECT doc_id, batch, n_candidates, n_dups, n_dups = 0 AS admitted,
+        |  st.index_rows_after
+        |FROM adm CROSS JOIN st
+        |ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.LshIndex
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+          ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+        .transform(graft.CacheScope.cache)
+      val path = graft.Scratch.fresh("q131") + "/lsh_index"
+      LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+      val perWave = SeqWaves.zipWithIndex.map { case ((lo, hi), i) =>
+        val wave = docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        val cand = LshIndex.candidates(spark, path, wave, "doc_id", "sh")
+        val idxSh = docs
+          .join(cand.select(col("indexId").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+        val ver = cand
+          .select(col("deltaId").as("did"), col("indexId").as("cid"))
+          .join(wave.select(col("doc_id").as("did"), col("sh").as("__shd")),
+            "did")
+          .join(idxSh, "cid")
+          .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
+        val stats = wave.select(col("doc_id"))
+          .join(ver.groupBy(col("did").as("doc_id"))
+              .agg(count(lit(1)).as("nc"),
+                sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"), lit((i + 1).toLong).as("batch"),
+            coalesce(col("nc"), lit(0L)).as("n_candidates"),
+            coalesce(col("nd"), lit(0L)).as("n_dups"))
+          .withColumn("admitted", col("n_dups") === 0L)
+          .transform(graft.CacheScope.cacheTruncated)
+        stats.count() // pin the probe's answer BEFORE the index grows
+        LshIndex.append(
+          wave.join(stats.filter(col("admitted")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi"),
+          "doc_id", "sh", path)
+        stats
+      }
+      val after = spark.read.parquet(path)
+        .agg(count(lit(1)).as("index_rows_after"))
+      perWave.reduce(_ unionByName _)
+        .crossJoin(broadcast(after))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
-      lshSkewReport)
+      lshSkewReport, lshSequential)
 }

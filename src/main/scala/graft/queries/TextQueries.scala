@@ -637,8 +637,67 @@ object TextQueries {
       .orderBy(col("source"), col("doc_id"))
   }
 
+  /** q130's rarity bar: a doc whose average token log10-probability
+    * under the corpus unigram model falls below this is flagged.
+    */
+  private val RareLogProb = -1.7
+
+  /** Corpus-trained unigram language-model scoring — the distributed
+    * skeleton of the CCNet/KenLM perplexity quality filter: train token
+    * frequencies over the corpus itself (one groupBy), score each
+    * document by its average token log-probability, and flag documents
+    * whose tokens are corpus-atypical (the rarity tail where OCR noise
+    * and gibberish live; with an external reference model the same
+    * plumbing scores against any vocabulary). Train+score is two scans
+    * + one join against the model — the model is vocabulary-sized, so
+    * the join broadcasts at any corpus scale. Per-doc averaging sums
+    * through [[graft.functions.Stable]]'s decimal grid, so the score is
+    * partition-order-invariant and engine-reproducible despite the
+    * float log. Zero-token documents have no probability under the
+    * model and drop out (inner-join semantics in both engines).
+    */
+  val unigramScore: QuerySpec = QuerySpec.sql(
+    "q130_unigram_lm",
+    s"""WITH t AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+      |  FROM documents),
+      |ex AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      |m AS (SELECT tok, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY tok),
+      |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM m),
+      |lp AS (
+      |  SELECT e.doc_id, log10(CAST(m.cnt AS DOUBLE))
+      |    - log10(CAST(tot.total AS DOUBLE)) AS logp
+      |  FROM ex e JOIN m USING (tok) CROSS JOIN tot),
+      |d AS (
+      |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    ${graft.functions.Stable.sumDSql("logp")} / count(*) AS avg_logp
+      |  FROM lp GROUP BY doc_id)
+      |SELECT doc_id, n_tokens,
+      |  round(avg_logp + 1e-9, 4) AS avg_logp,
+      |  avg_logp < $RareLogProb AS is_rare
+      |FROM d ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val ex = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), explode(Text.tokens(col("text"))).as("tok"))
+      .transform(graft.CacheScope.cache)
+    val model = ex.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .transform(graft.CacheScope.cache)
+    val total = model.agg(sum(col("cnt")).as("total"))
+    val avgLogp = graft.functions.Stable
+      .sumD(log10(col("cnt").cast("double"))
+        - log10(col("total").cast("double"))) / count(lit(1))
+    ex.join(broadcast(model), "tok")
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"), avgLogp.as("avg_logp"))
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("avg_logp") + lit(1e-9), 4).as("avg_logp"),
+        (col("avg_logp") < RareLogProb).as("is_rare"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
-      temperatureMix, mixMaterialize)
+      temperatureMix, mixMaterialize, unigramScore)
 }
