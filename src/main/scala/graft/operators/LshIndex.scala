@@ -73,4 +73,20 @@ object LshIndex {
   def append(batch: DataFrame, idCol: String, shCol: String,
       path: String): Unit =
     Tables.append(bandRows(batch, idCol, shCol), path)
+
+  /** Compact the index: per-batch appends accumulate one small file
+    * each, and probe cost degrades with file COUNT (open/footer per
+    * file) long before it degrades with rows. The rewrite coalesces to
+    * `targetFiles` and swaps in via the crash-safe publish chain —
+    * the [[IvfAnn.compactCells]] discipline for the dedup index
+    * (content untouched, spec-asserted). At scale, compact into files
+    * BUCKETED by `bkt` so the admission probe becomes a co-located
+    * join.
+    */
+  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+    val staged = path + ".__compact__"
+    spark.read.parquet(path).repartition(targetFiles)
+      .write.mode("overwrite").parquet(staged)
+    Tables.publish(spark, staged, path)
+  }
 }

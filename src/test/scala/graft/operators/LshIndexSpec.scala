@@ -56,4 +56,22 @@ class LshIndexSpec extends SparkTestBase {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(cand2.contains((30L, 21L)))
   }
+
+  test("compact coalesces append fragments without changing content") {
+    val path = graft.Scratch.fresh("lshindex_compact") + "/idx"
+    val docs = (0L until 6L).map(i =>
+      i -> s"document number $i with its own words here now")
+    LshIndex.write(withSh(docs.take(1)), "doc_id", "sh", path)
+    docs.drop(1).foreach(d =>
+      LshIndex.append(withSh(Seq(d)), "doc_id", "sh", path))
+    def files() = spark.read.parquet(path).select(input_file_name())
+      .distinct().count()
+    def content() = spark.read.parquet(path)
+      .collect().map(_.toString).sorted.toSeq
+    val before = content()
+    assert(files() >= 6L) // one fragment per append
+    LshIndex.compact(spark, path)
+    assert(files() === 1L)
+    assert(content() === before)
+  }
 }
