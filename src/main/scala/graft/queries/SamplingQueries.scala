@@ -658,8 +658,125 @@ object SamplingQueries {
       .orderBy(col("source"), col("run_clean"), col("doc_id"))
   }
 
+  /** One day's corpus ingest as a single oracle-gated cycle — the
+    * composition every pieces-gate points at: a delta batch arrives,
+    * dedup ADMISSION runs against the persisted LSH band index (q125's
+    * probe/verify/append, O(delta)), the per-source token-budget
+    * manifest REBUILDS over the grown corpus, and both manifests are
+    * real [[graft.sources.Snapshots]] versions whose CDF is the
+    * deliverable: which documents ENTERED the training set because of
+    * today's batch — and which LEFT, because a fixed budget means a
+    * better new document DISPLACES the marginal old one (the subtle
+    * effect: an admitted doc with higher diversity shifts every
+    * later cumsum in its source, so downstream rows change or fall off
+    * the budget). "What changed in my training set today and why" is
+    * answered from versioned manifests alone; every stage is the
+    * already-gated machinery, so the new surface under test is exactly
+    * the composition.
+    */
+  val ingestCycle: QuerySpec = {
+    def walkSql(src: String) =
+      s"""SELECT source, doc_id, n_tokens, run_tokens,
+        |    round(diversity + 1e-9, 4) AS diversity
+        |  FROM (
+        |    SELECT *, CAST(sum(n_tokens) OVER (PARTITION BY source
+        |        ORDER BY diversity DESC, doc_id
+        |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |        AS run_tokens
+        |    FROM $src) z
+        |  WHERE run_tokens <= $TokenBudget""".stripMargin
+    QuerySpec.sql(
+      "q132_ingest_cycle",
+      s"""WITH t AS (
+        |  SELECT source, doc_id, $tokSql AS toks,
+        |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+        |  FROM documents),
+        |shs AS (SELECT source, doc_id, bucket, toks,
+        |  ${DedupQueries.shinglesSql} AS sh FROM t),
+        |sig AS (SELECT doc_id, bucket, sh,
+        |  ${graft.operators.MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+        |bk AS (
+        |  SELECT doc_id, bucket, b.band,
+        |    array_to_string(sig[b.band * ${graft.operators.MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${graft.operators.MinHashLSH.RowsPerBand}], '_') AS bkt
+        |  FROM sig, (SELECT unnest(range(0, ${graft.operators.MinHashLSH.Bands})) AS band) b),
+        |cand AS (
+        |  SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+        |  FROM bk d JOIN bk c ON d.band = c.band AND d.bkt = c.bkt
+        |  WHERE d.bucket >= 80 AND c.bucket < 80),
+        |dup AS (
+        |  SELECT DISTINCT did FROM cand
+        |  JOIN sig sd ON sd.doc_id = cand.did
+        |  JOIN sig sc ON sc.doc_id = cand.cid
+        |  WHERE CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+        |    / (len(sd.sh) + len(sc.sh) - len(list_intersect(sd.sh, sc.sh))) >= 0.6),
+        |b AS (
+        |  SELECT source, doc_id, bucket,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CAST(len(list_distinct(toks)) AS DOUBLE)
+        |      / greatest(len(toks), 1) AS diversity
+        |  FROM shs),
+        |m0 AS (SELECT * FROM b WHERE bucket < 80),
+        |m1 AS (SELECT * FROM b WHERE bucket < 80
+        |       OR (bucket >= 80 AND doc_id NOT IN (SELECT did FROM dup))),
+        |v0 AS (${walkSql("m0")}),
+        |v1 AS (${walkSql("m1")})
+        |SELECT *, 'insert' AS _change_type FROM (
+        |  SELECT * FROM v1 EXCEPT ALL SELECT * FROM v0)
+        |UNION ALL
+        |SELECT *, 'delete' AS _change_type FROM (
+        |  SELECT * FROM v0 EXCEPT ALL SELECT * FROM v1)
+        |ORDER BY _change_type, doc_id, run_tokens""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.{LshIndex, MinHashLSH}
+      import graft.sources.Snapshots
+      val toks = Text.tokens(col("text"))
+      val docs = graft.CacheScope.cache(
+        Tables.load(spark, dir, "documents")
+          .select(col("source"), col("doc_id"),
+            MinHashLSH.shingleHashes(toks, 3).as("sh"),
+            size(toks).cast("long").as("n_tokens"),
+            (size(array_distinct(toks)).cast("double")
+              / greatest(size(toks), lit(1))).as("diversity"),
+            ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket")))
+      val corpus = docs.filter(col("bucket") < 80)
+      val delta = docs.filter(col("bucket") >= 80)
+      val root = graft.Scratch.fresh("q132")
+      val path = root + "/lsh_index"
+      LshIndex.write(corpus, "doc_id", "sh", path)
+      val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+      val corpusSh = corpus
+        .join(cand.select(col("indexId").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+      val dupIds = cand
+        .select(col("deltaId").as("did"), col("indexId").as("cid"))
+        .join(delta.select(col("doc_id").as("did"), col("sh").as("__shd")),
+          "did")
+        .join(corpusSh, "cid")
+        .filter(MinHashLSH.jaccard(col("__shd"), col("__shc")) >= 0.6)
+        .select(col("did").as("doc_id")).distinct()
+      val admitted = delta.join(dupIds, Seq("doc_id"), "left_anti")
+      LshIndex.append(admitted, "doc_id", "sh", path)
+      def manifest(d: org.apache.spark.sql.DataFrame) = {
+        val w = Window.partitionBy(col("source"))
+          .orderBy(col("diversity").desc, col("doc_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        d.withColumn("run_tokens", sum(col("n_tokens")).over(w))
+          .filter(col("run_tokens") <= TokenBudget)
+          .select(col("source"), col("doc_id"), col("n_tokens"),
+            col("run_tokens"),
+            round(col("diversity") + lit(1e-9), 4).as("diversity"))
+      }
+      val table = root + "/manifest"
+      val v0 = Snapshots.write(manifest(corpus), table)
+      val v1 = Snapshots.write(manifest(corpus.unionByName(admitted)), table)
+      Snapshots.diff(spark, table, v0, v1)
+        .orderBy(col("_change_type"), col("doc_id"), col("run_tokens"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
-      decontaminatedCuration, scrubbedBudgetSelect)
+      decontaminatedCuration, scrubbedBudgetSelect, ingestCycle)
 }
