@@ -64,4 +64,46 @@ class SpanScrubSpec extends SparkTestBase {
     val out = SpanScrub.scrub(df, "doc_id", "toks", n = 5, minDf = 3L)
     assert(out.agg(sum(col("n_removed"))).head.getLong(0) === 0L)
   }
+
+  /** Brute-force driver-side reference: same hot-span rule, naive. */
+  private def refScrub(docs: Seq[(Long, Vector[String])], n: Int,
+      minDf: Int): Map[Long, (Long, Long, Long, String)] = {
+    val grams = docs.flatMap { case (id, ts) =>
+      ts.sliding(n).filter(_.size == n).zipWithIndex
+        .map { case (g, i) => (id, i, g.mkString(" ")) }
+    }
+    val hot = grams.groupBy(_._3).filter(_._2.map(_._1).distinct.size >= minDf)
+      .keySet
+    docs.map { case (id, ts) =>
+      val occ = grams.filter(g => g._1 == id && hot(g._3))
+      val cov = occ.flatMap(g => g._2 until (g._2 + n)).toSet
+      val cleaned = ts.zipWithIndex.collect {
+        case (t, i) if !cov(i) => t
+      }
+      id -> ((ts.size.toLong, cov.size.toLong, occ.size.toLong,
+        cleaned.mkString(" ")))
+    }.toMap
+  }
+
+  test("random corpora match the brute-force reference exactly") {
+    val rnd = new scala.util.Random(42)
+    val vocab = Vector("aa", "bb", "cc", "dd", "ee")
+    (1 to 3).foreach { trial =>
+      // small vocabulary + a planted shared run force real hot spans
+      val planted = Vector.fill(4)(vocab(rnd.nextInt(vocab.size)))
+      val docs = (1L to 12L).map { id =>
+        val body = Vector.fill(3 + rnd.nextInt(8))(vocab(rnd.nextInt(vocab.size)))
+        val ts = if (id % 3 == 0) planted ++ body else body
+        id -> ts
+      }
+      val expected = refScrub(docs, n = 3, minDf = 2)
+      val df = toksDf(docs.map { case (id, ts) => id -> ts.mkString(" ") })
+      val got = SpanScrub.scrub(df, "doc_id", "toks", n = 3, minDf = 2L)
+        .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+          col("n_spans"), array_join(col("cleaned"), " ").as("cleaned"))
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+      assert(got === expected, s"trial $trial: $docs")
+    }
+  }
 }
