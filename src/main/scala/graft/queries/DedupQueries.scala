@@ -735,8 +735,113 @@ object DedupQueries {
     }
   }
 
+  /** The right-to-be-forgotten leg for the dedup index
+    * ([[graft.operators.LshIndex.delete]]): a slice of the corpus
+    * (every `doc_id % 13 = 7`) is forgotten via O(|deletes|)
+    * append-only tombstone markers — the index is NOT rewritten — and
+    * the delta batch's admission runs twice: phase `tombstone`
+    * (markers anti-joined at probe time) and phase `compacted` (after
+    * [[graft.operators.LshIndex.compact]] dropped the forgotten band
+    * rows physically and the publish swap cleared the markers). Both
+    * phases must hash-match ONE oracle probing only the SURVIVING
+    * corpus — the consequential behavior: a delta doc whose only
+    * near-duplicate was forgotten is now ADMITTED (a forgotten doc
+    * must stop blocking admissions immediately, not at compaction
+    * cadence), and `index_rows_after` read from disk post-compaction
+    * proves the physical application. The tombstone-phase stats are
+    * materialized before compaction swaps the directory under them
+    * (q129's discipline).
+    */
+  val lshForget: QuerySpec = QuerySpec.sql(
+    "q133_lsh_forget",
+    s"""SELECT ph.phase, r.* FROM (
+      |WITH t AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, bucket, sh,
+      |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, bucket, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |cand AS (
+      |  SELECT DISTINCT d.doc_id AS did, c.doc_id AS cid
+      |  FROM bk d JOIN bk c ON d.band = c.band AND d.bkt = c.bkt
+      |  WHERE d.bucket >= 80 AND c.bucket < 80 AND c.doc_id % 13 <> 7),
+      |ver AS (
+      |  SELECT did, cid,
+      |    CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+      |      / (len(sd.sh) + len(sc.sh) - len(list_intersect(sd.sh, sc.sh))) AS j
+      |  FROM cand JOIN sig sd ON sd.doc_id = cand.did
+      |            JOIN sig sc ON sc.doc_id = cand.cid),
+      |agg AS (
+      |  SELECT s.doc_id,
+      |    CAST(count(v.cid) AS BIGINT) AS n_candidates,
+      |    CAST(count(v.cid) FILTER (WHERE v.j >= 0.6) AS BIGINT) AS n_dups
+      |  FROM sig s LEFT JOIN ver v ON v.did = s.doc_id
+      |  WHERE s.bucket >= 80
+      |  GROUP BY 1),
+      |st AS (
+      |  SELECT CAST(${MinHashLSH.Bands} *
+      |      (SELECT count(*) FROM t WHERE bucket < 80 AND doc_id % 13 <> 7)
+      |    AS BIGINT) AS index_rows_after)
+      |SELECT doc_id, n_candidates, n_dups, n_dups = 0 AS admitted,
+      |  st.index_rows_after
+      |FROM agg CROSS JOIN st
+      |) r CROSS JOIN (SELECT unnest(['compacted', 'tombstone']) AS phase) ph
+      |ORDER BY ph.phase, r.doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val corpus = docs.filter(col("bucket") < 80)
+    val delta = docs.filter(col("bucket") >= 80)
+    val path = graft.Scratch.fresh("q133") + "/lsh_index"
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    LshIndex.delete(spark, path,
+      corpus.filter(col("doc_id") % 13 === 7).select(col("doc_id")),
+      "doc_id")
+    def admission(phase: String) = {
+      val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+      val corpusSh = corpus
+        .join(cand.select(col("indexId").as("doc_id")).distinct(),
+          Seq("doc_id"), "left_semi")
+        .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+      val ver = cand
+        .select(col("deltaId").as("did"), col("indexId").as("cid"))
+        .join(delta.select(col("doc_id").as("did"), col("sh").as("__shd")),
+          "did")
+        .join(corpusSh, "cid")
+        .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
+      delta.select(col("doc_id"))
+        .join(ver.groupBy(col("did").as("doc_id"))
+            .agg(count(lit(1)).as("nc"),
+              sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
+          Seq("doc_id"), "left")
+        .select(lit(phase).as("phase"), col("doc_id"),
+          coalesce(col("nc"), lit(0L)).as("n_candidates"),
+          coalesce(col("nd"), lit(0L)).as("n_dups"))
+        .withColumn("admitted", col("n_dups") === 0L)
+    }
+    val served = graft.CacheScope.cacheTruncated(admission("tombstone"))
+    served.count() // pin BEFORE compaction swaps the directory
+    LshIndex.compact(spark, path)
+    val after = spark.read.parquet(path)
+      .agg(count(lit(1)).as("index_rows_after"))
+    served.unionByName(admission("compacted"))
+      .crossJoin(broadcast(after))
+      .select(col("phase"), col("doc_id"), col("n_candidates"),
+        col("n_dups"), col("admitted"), col("index_rows_after"))
+      .orderBy(col("phase"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
-      lshSkewReport, lshSequential)
+      lshSkewReport, lshSequential, lshForget)
 }

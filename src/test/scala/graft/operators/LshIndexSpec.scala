@@ -57,6 +57,29 @@ class LshIndexSpec extends SparkTestBase {
     assert(cand2.contains((30L, 21L)))
   }
 
+  test("deleted docs stop blocking admissions immediately; compact applies physically") {
+    val path = graft.Scratch.fresh("lshindex_forget") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val probe = withSh(Seq(
+      20L -> "shared text body one two three four five six seven"))
+    def collides() = LshIndex.candidates(spark, path, probe, "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collides().contains((20L, 10L)))
+    // forget doc 10 — markers only, index files untouched
+    import spark.implicits._
+    LshIndex.delete(spark, path, Seq(10L).toDF("doc_id"), "doc_id")
+    assert(spark.read.parquet(path).count() === 2L * MinHashLSH.Bands)
+    assert(!collides().exists(_._2 == 10L))
+    // compaction drops the band rows physically and clears the markers
+    LshIndex.compact(spark, path)
+    assert(spark.read.parquet(path).count() === 1L * MinHashLSH.Bands)
+    assert(LshIndex.tombstones(spark, path).isEmpty)
+    assert(!collides().exists(_._2 == 10L))
+  }
+
   test("compact coalesces append fragments without changing content") {
     val path = graft.Scratch.fresh("lshindex_compact") + "/idx"
     val docs = (0L until 6L).map(i =>
