@@ -41,6 +41,18 @@ object SpanScrub {
         array_join(slice(col("__toks"), col("i"), lit(n)), " ").as("g"))
   }
 
+  /** Per-gram distinct-document counts — the scrub's "model". Counts
+    * over disjoint corpus slices are ADDITIVE (a doc lives in exactly
+    * one slice), so the model maintains incrementally: merge a slice's
+    * counts into a persisted state table with one groupBy-sum (see
+    * q134), exactly the sketch-maintenance pattern.
+    */
+  def gramCounts(df: DataFrame, idCol: String, toksCol: String,
+      n: Int): DataFrame =
+    positionedNgrams(df, idCol, toksCol, n)
+      .groupBy(col("g"))
+      .agg(countDistinct(col(idCol)).as("df"))
+
   /** Scrub hot spans: per input row adds
     *  - `n_tokens`  — token count before the scrub,
     *  - `n_removed` — distinct token positions covered by a hot n-gram,
@@ -54,6 +66,20 @@ object SpanScrub {
       .agg(countDistinct(col(idCol)).as("df"))
       .filter(col("df") >= minDf)
       .select(col("g"))
+    scrubAgainst(df, ex, hot, idCol, toksCol, n)
+  }
+
+  /** [[scrub]] with an EXTERNAL hot set (a `g`-column frame, e.g. the
+    * thresholded maintained model from [[gramCounts]] merges).
+    */
+  def scrubWith(df: DataFrame, idCol: String, toksCol: String,
+      n: Int, hot: DataFrame): DataFrame = {
+    val ex = graft.CacheScope.cache(positionedNgrams(df, idCol, toksCol, n))
+    scrubAgainst(df, ex, hot.select(col("g")), idCol, toksCol, n)
+  }
+
+  private def scrubAgainst(df: DataFrame, ex: DataFrame, hot: DataFrame,
+      idCol: String, toksCol: String, n: Int): DataFrame = {
     val occ = graft.CacheScope.cache(ex.join(hot, Seq("g"), "left_semi"))
     val cov = occ
       .select(col(idCol), explode(sequence(col("i"), col("i") + (n - 1))).as("p"))

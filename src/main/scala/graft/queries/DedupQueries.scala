@@ -840,8 +840,50 @@ object DedupQueries {
       .orderBy(col("phase"), col("doc_id"))
   }
 
+  /** INCREMENTAL maintenance of the scrub's model — the q126 hot-gram
+    * set rebuilt as a persisted STATE TABLE folded one corpus slice at
+    * a time: per-gram distinct-doc counts over disjoint slices are
+    * additive (each doc lives in exactly one slice), so each wave
+    * merges its counts into the state with one groupBy-sum and a
+    * crash-safe overwrite swap — the sketch-maintenance pattern
+    * (q105/q111) applied to the dedup model, O(slice grams) per wave
+    * with no corpus recompute. The gate thresholds the MAINTAINED
+    * state and scrubs through it — and its oracle is BYTE-IDENTICAL to
+    * q126's: maintained-state scrubbing must equal the one-shot batch
+    * recompute exactly, which is the entire claim of incremental
+    * maintenance.
+    */
+  val spanScrubMaintained: QuerySpec = QuerySpec.sql(
+    "q134_span_state",
+    spanScrub.oracle.get
+  ) { (spark, dir) =>
+    import graft.operators.SpanScrub
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), Text.tokens(col("text")).as("toks"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val state = graft.Scratch.fresh("q134") + "/gram_state"
+    Seq((0, 34), (34, 67), (67, 100)).zipWithIndex
+      .foreach { case ((lo, hi), i) =>
+        val inc = SpanScrub.gramCounts(
+          docs.filter(col("bucket") >= lo && col("bucket") < hi),
+          "doc_id", "toks", SpanN)
+        val merged =
+          if (i == 0) inc
+          else spark.read.parquet(state).unionByName(inc)
+            .groupBy(col("g")).agg(sum(col("df")).as("df"))
+        Tables.overwrite(merged, state) // safe: staged-temp + swap
+      }
+    val hot = spark.read.parquet(state)
+      .filter(col("df") >= SpanHotDf).select(col("g"))
+    SpanScrub.scrubWith(docs.drop("bucket"), "doc_id", "toks", SpanN, hot)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_spans"), array_join(col("cleaned"), " ").as("cleaned_text"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
-      lshSkewReport, lshSequential, lshForget)
+      lshSkewReport, lshSequential, lshForget, spanScrubMaintained)
 }
