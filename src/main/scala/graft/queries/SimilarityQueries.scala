@@ -1248,9 +1248,177 @@ object SimilarityQueries {
     }
   }
 
+  /** Batch-hard TRIPLET mining (Hermans et al., "In Defense of the
+    * Triplet Loss") — the contrastive-training staple the embedding
+    * tier was missing: for each anchor, the HARDEST positive (the
+    * same-label vector it is LEAST similar to — the pair training must
+    * pull together) and the HARDEST negative (the different-label
+    * vector it is MOST similar to — the pair training must push
+    * apart), plus the margin between them; anchors with small or
+    * negative margins are the violated triplets a mining-driven
+    * training loop feeds back first. Both picks are k=1
+    * [[graft.plans.TopKPerKeyPlan]] passes over one broadcast-scored
+    * frame — bounded heaps, no per-anchor sort; at 100 TB the
+    * candidate set scopes through IVF cells first (q58's machinery)
+    * so scoring never touches the full corpus per anchor.
+    */
+  val tripletMining: QuerySpec = {
+    val nAnchors = 32
+    QuerySpec.sql(
+      "q135_triplet_mining",
+      s"""WITH a AS (
+        |  SELECT vec_id AS anchor, label, embedding AS av
+        |  FROM embeddings WHERE vec_id < $nAnchors),
+        |c AS (SELECT vec_id, label AS clabel, embedding FROM embeddings),
+        |scored AS (
+        |  SELECT anchor, a.label, vec_id, clabel,
+        |    ${Vectors.cosineSql("av", "embedding")} AS cos
+        |  FROM a JOIN c ON anchor <> vec_id
+        |    AND ${Vectors.normSql("av")} > 0
+        |    AND ${Vectors.normSql("embedding")} > 0),
+        |pos AS (
+        |  SELECT anchor, label, vec_id AS pos_id, cos AS cos_pos,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY cos ASC, vec_id) AS rk
+        |  FROM scored WHERE clabel = label),
+        |neg AS (
+        |  SELECT anchor, vec_id AS neg_id, cos AS cos_neg,
+        |    row_number() OVER (PARTITION BY anchor
+        |      ORDER BY cos DESC, vec_id) AS rk
+        |  FROM scored WHERE clabel <> label)
+        |SELECT anchor, label, pos_id,
+        |  round(cos_pos + 1e-9, 4) AS cos_pos,
+        |  neg_id, round(cos_neg + 1e-9, 4) AS cos_neg,
+        |  round(cos_neg - cos_pos + 1e-9, 4) AS margin
+        |FROM pos JOIN neg USING (anchor)
+        |WHERE pos.rk = 1 AND neg.rk = 1
+        |ORDER BY anchor""".stripMargin
+    ) { (spark, dir) =>
+      val e = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val anchors = e.filter(col("vec_id") < nAnchors)
+        .select(col("vec_id").as("anchor"), col("label"),
+          col("embedding").as("av"))
+      val scored = graft.CacheScope.cache(broadcast(anchors)
+        .join(e.select(col("vec_id"), col("label").as("clabel"),
+            col("embedding")),
+          col("anchor") =!= col("vec_id") &&
+            Vectors.norm(col("av")) > 0 && Vectors.norm(col("embedding")) > 0)
+        .select(col("anchor"), col("label"), col("vec_id"), col("clabel"),
+          Vectors.cosine(col("av"), col("embedding")).as("cos")))
+      val pos = graft.operators.Dedup.topKPerKey(
+          scored.filter(col("clabel") === col("label")),
+          Seq("anchor"), Seq(col("cos").asc, col("vec_id").asc), 1)
+        .select(col("anchor"), col("label"), col("vec_id").as("pos_id"),
+          col("cos").as("cos_pos"))
+      val neg = graft.operators.Dedup.topKPerKey(
+          scored.filter(col("clabel") =!= col("label")),
+          Seq("anchor"), Seq(col("cos").desc, col("vec_id").asc), 1)
+        .select(col("anchor"), col("vec_id").as("neg_id"),
+          col("cos").as("cos_neg"))
+      pos.join(neg, "anchor")
+        .select(col("anchor"), col("label"), col("pos_id"),
+          round(col("cos_pos") + lit(1e-9), 4).as("cos_pos"),
+          col("neg_id"), round(col("cos_neg") + lit(1e-9), 4).as("cos_neg"),
+          round(col("cos_neg") - col("cos_pos") + lit(1e-9), 4).as("margin"))
+        .orderBy(col("anchor"))
+    }
+  }
+
+  /** Greedy k-CENTER diversity selection (Gonzalez' 2-approximation —
+    * the coreset/data-pruning shape: pick the k most mutually distant
+    * exemplars, maximizing coverage instead of similarity): seed with
+    * the lowest id, then repeatedly take the point FARTHEST (cosine
+    * distance) from everything selected so far; each pick's distance
+    * is the coverage radius, and the monotonically shrinking radius
+    * column is the diminishing-returns curve that says when to stop.
+    * The selection is sequential by nature, and the determinism
+    * contract makes it SQL-expressible anyway: the oracle UNROLLS all
+    * k−1 greedy steps as CTE pairs (distance refresh via `least`,
+    * argmax via ORDER BY d DESC, id LIMIT 1) — the q58 Lloyd-unroll
+    * trick applied to a greedy cover. Spark runs the same recurrence
+    * with one bounded scan per step over the cached sample (driver
+    * state = k ids + one 64-float vector per step, the CentroidState
+    * bound); at corpus scale the sample IS the bounded calibration
+    * slice (q26's pattern) or each IVF cell selects its own exemplars.
+    */
+  val kcenterSelect: QuerySpec = {
+    val (nSample, k) = (256, 6)
+    // p_i is the (i+1)-th selected point: seed is step 1, p1 step 2, …
+    val steps = (2 until k).map { i =>
+      val prev = i - 1
+      s"""d$i AS (
+        |  SELECT d$prev.vec_id, v.embedding,
+        |    least(d$prev.d, 1 - ${Vectors.cosineSql("v.embedding", "c.embedding")}) AS d
+        |  FROM d$prev JOIN s v ON v.vec_id = d$prev.vec_id
+        |  CROSS JOIN (SELECT embedding FROM s
+        |              WHERE vec_id = (SELECT vec_id FROM p$prev)) c
+        |  WHERE d$prev.vec_id <> (SELECT vec_id FROM p$prev)),
+        |p$i AS (SELECT vec_id, d FROM d$i ORDER BY d DESC, vec_id LIMIT 1)"""
+        .stripMargin
+    }.mkString(",\n")
+    val unions = (1 until k)
+      .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS step, vec_id, d FROM p$i")
+      .mkString("\n  UNION ALL ")
+    QuerySpec.sql(
+      "q136_kcenter",
+      s"""WITH s AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  WHERE vec_id < $nSample AND ${Vectors.normSql("embedding")} > 0),
+        |seed AS (SELECT min(vec_id) AS vec_id FROM s),
+        |d1 AS (
+        |  SELECT v.vec_id, v.embedding,
+        |    1 - ${Vectors.cosineSql("v.embedding", "c.embedding")} AS d
+        |  FROM s v CROSS JOIN (SELECT embedding FROM s
+        |    WHERE vec_id = (SELECT vec_id FROM seed)) c
+        |  WHERE v.vec_id <> (SELECT vec_id FROM seed)),
+        |p1 AS (SELECT vec_id, d FROM d1 ORDER BY d DESC, vec_id LIMIT 1),
+        |$steps
+        |SELECT step, vec_id, round(d + 1e-9, 4) AS radius FROM (
+        |  SELECT CAST(1 AS BIGINT) AS step, vec_id, CAST(0 AS DOUBLE) AS d
+        |  FROM seed
+        |  UNION ALL $unions) u
+        |ORDER BY step""".stripMargin
+    ) { (spark, dir) =>
+      val sample = graft.CacheScope.cache(
+        Tables.load(spark, dir, "embeddings")
+          .filter(col("vec_id") < nSample &&
+            Vectors.norm(col("embedding")) > 0)
+          .select(col("vec_id"), col("embedding")))
+      val seedId = sample.agg(min(col("vec_id"))).head().getLong(0)
+      def vecOf(id: Long): org.apache.spark.sql.Column = {
+        val v = sample.filter(col("vec_id") === id)
+          .select(col("embedding")).head().getSeq[Float](0)
+        typedLit(v)
+      }
+      var dists = sample.filter(col("vec_id") =!= seedId)
+        .select(col("vec_id"), col("embedding"),
+          (lit(1.0) - Vectors.cosine(col("embedding"), vecOf(seedId)))
+            .as("d"))
+      val picked = scala.collection.mutable.ArrayBuffer((1L, seedId, 0.0))
+      // steps 2..k: argmax of min-distance-to-selected, then refresh
+      (2 to k).foreach { i =>
+        val top = dists.orderBy(col("d").desc, col("vec_id")).limit(1)
+          .select(col("vec_id"), col("d")).head
+        val (id, d) = (top.getLong(0), top.getDouble(1))
+        picked += ((i.toLong, id, d))
+        if (i < k) dists = dists.filter(col("vec_id") =!= id)
+          .select(col("vec_id"), col("embedding"),
+            least(col("d"),
+              lit(1.0) - Vectors.cosine(col("embedding"), vecOf(id)))
+              .as("d"))
+      }
+      import spark.implicits._
+      picked.toSeq.toDF("step", "vec_id", "d")
+        .select(col("step"), col("vec_id"),
+          round(col("d") + lit(1e-9), 4).as("radius"))
+        .orderBy(col("step"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
-    semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete)
+    semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
+    tripletMining, kcenterSelect)
 }
