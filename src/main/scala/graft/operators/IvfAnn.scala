@@ -277,13 +277,10 @@ object IvfAnn {
     val staged = path + ".__compact__"
     val base = spark.read.parquet(path)
     // layout schema is (idCol, vecCol) + partition col `cell` — the id
-    // is the first data column by [[writePartitionedByCell]] construction
-    val idName = base.columns.head
-    val live = tombstones(spark, path) match {
-      case Some(ts) =>
-        base.join(ts, base(idName) === ts(TombstoneCol), "left_anti")
-      case None => base
-    }
+    // is the first data column by [[writePartitionedByCell]] construction;
+    // pending tombstones apply physically here
+    val live = graft.sources.Tombstones
+      .filterLive(spark, path, base, base.columns.head)
     live.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
     // the publish swap replaces the whole directory, so the applied
@@ -291,46 +288,25 @@ object IvfAnn {
     graft.sources.Tables.publish(spark, staged, path)
   }
 
-  /** Column name tombstone markers are stored under — fixed so readers
-    * need no schema negotiation with the layout's id column (the
-    * anti-join renames at probe time).
-    */
-  val TombstoneCol = "__deleted_id"
-  private val TombstoneDir = "_tombstones"
-
-  /** LOGICAL delete from a cell layout — O(|deletes|), append-only: the
-    * ids land as a marker file under `path/_tombstones` (underscore
-    * prefix: invisible to the layout scan), [[searchPartitioned]]
-    * anti-joins them at probe time, and the next [[compactCells]]
-    * applies them PHYSICALLY (its publish swap replaces the directory,
-    * clearing the markers with the old layout). This is the
-    * right-to-be-forgotten shape at 10 B vectors: the delete path never
-    * rewrites the corpus, and the serving penalty — one broadcast
-    * anti-join against the (small) tombstone set — is bounded by
-    * compaction cadence, exactly like small-file growth under
-    * [[appendPartitionedByCell]].
+  /** LOGICAL delete from a cell layout — O(|deletes|), append-only
+    * markers via the shared [[graft.sources.Tombstones]] mechanics:
+    * [[searchPartitioned]] anti-joins them at probe time, and the next
+    * [[compactCells]] applies them PHYSICALLY (its publish swap
+    * replaces the directory, clearing the markers with the old
+    * layout). This is the right-to-be-forgotten shape at 10 B vectors:
+    * the delete path never rewrites the corpus, and the serving
+    * penalty — one broadcast anti-join against the (small) tombstone
+    * set — is bounded by compaction cadence, exactly like small-file
+    * growth under [[appendPartitionedByCell]].
     */
   def deleteFromCells(spark: org.apache.spark.sql.SparkSession,
       path: String, ids: DataFrame, idCol: String): Unit =
-    ids.select(col(idCol).as(TombstoneCol)).distinct()
-      .write.mode("append").parquet(s"$path/$TombstoneDir")
+    graft.sources.Tombstones.write(spark, path, ids, idCol)
 
-  /** The layout's pending tombstones (None when nothing was deleted).
-    * Listed and read by explicit part file — passing the underscore
-    * dir as a read root rides a hidden-name exemption and emits the
-    * "All paths were ignored" WARN (the StatsManifest rationale).
-    */
+  /** The layout's pending tombstones (None when nothing was deleted). */
   def tombstones(spark: org.apache.spark.sql.SparkSession,
-      path: String): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else {
-      val files = fs.listStatus(dir).toIndexedSeq.map(_.getPath)
-        .filter(_.getName.startsWith("part-")).map(_.toString)
-      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
-    }
-  }
+      path: String): Option[DataFrame] =
+    graft.sources.Tombstones.read(spark, path)
 
   /** Scan ONLY the given cells' partitions of a
     * [[writePartitionedByCell]] layout (partition pruning does the
@@ -371,13 +347,9 @@ object IvfAnn {
       .collect().map(_.getInt(0)).toSeq
     // pending logical deletes are filtered at probe time — a broadcast
     // anti-join against the (small, compaction-bounded) tombstone set
-    val pruned = readCells(spark, path, wanted)
-    val corpus = (tombstones(spark, path) match {
-      case Some(ts) =>
-        pruned.join(broadcast(ts), pruned(idCol) === ts(TombstoneCol),
-          "left_anti")
-      case None => pruned
-    }).withColumn("__n", Vectors.norm(col(vecCol)))
+    val corpus = graft.sources.Tombstones
+      .filterLive(spark, path, readCells(spark, path, wanted), idCol)
+      .withColumn("__n", Vectors.norm(col(vecCol)))
     val scored = probeSide(probed, qcached.count() * nProbe,
         bytesPerRow = cs.head.cvec.length * 4L + 64L)
       .join(corpus, "cell")

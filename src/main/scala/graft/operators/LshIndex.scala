@@ -60,12 +60,8 @@ object LshIndex {
     */
   def candidates(spark: SparkSession, path: String, delta: DataFrame,
       idCol: String, shCol: String): DataFrame = {
-    val base = spark.read.parquet(path)
-    val index = tombstones(spark, path) match {
-      case Some(ts) =>
-        base.join(broadcast(ts), base(idCol) === ts(TombstoneCol), "left_anti")
-      case None => base
-    }
+    val index = graft.sources.Tombstones
+      .filterLive(spark, path, spark.read.parquet(path), idCol)
     bandRows(delta, idCol, shCol).as("d")
       .join(index.as("c"),
         col("d.band") === col("c.band") && col("d.bkt") === col("c.bkt"))
@@ -73,41 +69,22 @@ object LshIndex {
       .distinct()
   }
 
-  /** Column tombstone markers are stored under, and their directory —
-    * the [[IvfAnn]] tombstone contract applied to the dedup index.
-    */
-  val TombstoneCol = "__deleted_id"
-  private val TombstoneDir = "_tombstones"
-
-  /** LOGICAL delete of documents from the index — O(|deletes|),
-    * append-only markers under `path/_tombstones` (underscore dir:
-    * invisible to the index scan). [[candidates]] skips tombstoned
-    * docs at probe time — a forgotten document must stop blocking new
-    * admissions IMMEDIATELY, not at compaction cadence — and the next
-    * [[compact]] drops their band rows physically (its publish swap
-    * clears the markers with the old directory). The
-    * right-to-be-forgotten shape for the dedup index: the delete path
-    * never rewrites the corpus.
+  /** LOGICAL delete of documents from the index — the shared
+    * [[graft.sources.Tombstones]] mechanics: O(|deletes|) append-only
+    * markers. [[candidates]] skips tombstoned docs at probe time — a
+    * forgotten document must stop blocking new admissions IMMEDIATELY,
+    * not at compaction cadence — and the next [[compact]] drops their
+    * band rows physically (its publish swap clears the markers with
+    * the old directory). The right-to-be-forgotten shape for the dedup
+    * index: the delete path never rewrites the corpus.
     */
   def delete(spark: SparkSession, path: String, ids: DataFrame,
       idCol: String): Unit =
-    ids.select(col(idCol).as(TombstoneCol)).distinct()
-      .write.mode("append").parquet(s"$path/$TombstoneDir")
+    graft.sources.Tombstones.write(spark, path, ids, idCol)
 
-  /** The index's pending tombstones (None when nothing was deleted);
-    * read by explicit part file — the underscore-dir-as-root WARN
-    * rationale of [[graft.layout.StatsManifest]].
-    */
-  def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
-    val dir = new org.apache.hadoop.fs.Path(s"$path/$TombstoneDir")
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dir)) None
-    else {
-      val files = fs.listStatus(dir).toIndexedSeq.map(_.getPath)
-        .filter(_.getName.startsWith("part-")).map(_.toString)
-      if (files.isEmpty) None else Some(spark.read.parquet(files: _*))
-    }
-  }
+  /** The index's pending tombstones (None when nothing was deleted). */
+  def tombstones(spark: SparkSession, path: String): Option[DataFrame] =
+    graft.sources.Tombstones.read(spark, path)
 
   /** Append a batch's band rows to the index — O(|batch|), new files
     * only, no rewrite. Caller admits the batch first (see
@@ -131,11 +108,8 @@ object LshIndex {
     val base = spark.read.parquet(path)
     // index schema is (idCol, band, bkt) — id is the first column by
     // [[bandRows]] construction; pending tombstones apply physically here
-    val live = tombstones(spark, path) match {
-      case Some(ts) =>
-        base.join(ts, base(base.columns.head) === ts(TombstoneCol), "left_anti")
-      case None => base
-    }
+    val live = graft.sources.Tombstones
+      .filterLive(spark, path, base, base.columns.head)
     live.repartition(targetFiles)
       .write.mode("overwrite").parquet(staged)
     Tables.publish(spark, staged, path)
