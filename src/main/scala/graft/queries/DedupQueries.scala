@@ -882,8 +882,128 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** VERSIONED serving for the dedup index (q124's zero-downtime
+    * contract applied to the LSH family): index generation v0 covers
+    * the corpus, v1 additionally the wave-1 admissions, both committed
+    * as real [[graft.sources.Snapshots]] versions of one index table.
+    * A second arrival wave probes BOTH — and the v0 probe runs AFTER
+    * the v1 publish, proving a reader pinned to a version keeps
+    * serving identical admission decisions while the next generation
+    * lands (MVCC: resolve the pointer once, scan an immutable
+    * directory; an in-place index rewrite under a live reader is the
+    * failure mode this kills). The consequential difference is in the
+    * gate: a wave-2 doc duplicating an ADMITTED wave-1 doc is refused
+    * under v1 but admitted under v0 — version choice IS an admission
+    * semantics choice, which is why serving must be pinned.
+    */
+  val lshVersioned: QuerySpec = {
+    def admSql(i: Int, idx: String, lo: Int, hi: Int) =
+      s"""cand$i AS (
+        |  SELECT DISTINCT d.doc_id AS did, x.doc_id AS cid
+        |  FROM bk d JOIN $idx x ON d.band = x.band AND d.bkt = x.bkt
+        |  WHERE d.bucket >= $lo AND d.bucket < $hi),
+        |ver$i AS (
+        |  SELECT did, cid,
+        |    CAST(len(list_intersect(sd.sh, sc.sh)) AS DOUBLE)
+        |      / (len(sd.sh) + len(sc.sh) - len(list_intersect(sd.sh, sc.sh))) AS j
+        |  FROM cand$i JOIN sig sd ON sd.doc_id = cand$i.did
+        |              JOIN sig sc ON sc.doc_id = cand$i.cid),
+        |agg$i AS (
+        |  SELECT s.doc_id,
+        |    CAST(count(v.cid) AS BIGINT) AS n_candidates,
+        |    CAST(count(v.cid) FILTER (WHERE v.j >= 0.6) AS BIGINT) AS n_dups
+        |  FROM sig s LEFT JOIN ver$i v ON v.did = s.doc_id
+        |  WHERE s.bucket >= $lo AND s.bucket < $hi
+        |  GROUP BY 1)""".stripMargin
+    QuerySpec.sql(
+      "q137_lsh_versioned",
+      s"""WITH t AS (
+        |  SELECT doc_id, $tokSql AS toks,
+        |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+        |  FROM documents),
+        |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+        |sig AS (SELECT doc_id, bucket, sh,
+        |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+        |bk AS (
+        |  SELECT doc_id, bucket, b.band,
+        |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+        |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+        |idx0 AS (SELECT doc_id, band, bkt FROM bk WHERE bucket < 80),
+        |${admSql(1, "idx0", 80, 90)},
+        |idx1 AS (
+        |  SELECT * FROM idx0
+        |  UNION ALL
+        |  SELECT bk.doc_id, band, bkt FROM bk
+        |  JOIN agg1 a ON bk.doc_id = a.doc_id WHERE a.n_dups = 0),
+        |${admSql(2, "idx1", 90, 100)},
+        |${admSql(3, "idx0", 90, 100)}
+        |SELECT CAST(1 AS BIGINT) AS version, doc_id, n_candidates, n_dups,
+        |  n_dups = 0 AS admitted FROM agg2
+        |UNION ALL
+        |SELECT CAST(0 AS BIGINT) AS version, doc_id, n_candidates, n_dups,
+        |  n_dups = 0 AS admitted FROM agg3
+        |ORDER BY version, doc_id""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.LshIndex
+      import graft.sources.Snapshots
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+          ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+        .transform(graft.CacheScope.cache)
+      val corpus = docs.filter(col("bucket") < 80)
+      val wave1 = docs.filter(col("bucket") >= 80 && col("bucket") < 90)
+      val wave2 = docs.filter(col("bucket") >= 90)
+      val table = graft.Scratch.fresh("q137") + "/lsh_index"
+      def admissionAt(path: String, wave: org.apache.spark.sql.DataFrame) = {
+        val cand = LshIndex.candidates(spark, path, wave, "doc_id", "sh")
+        val idxSh = docs
+          .join(cand.select(col("indexId").as("doc_id")).distinct(),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+        val ver = cand
+          .select(col("deltaId").as("did"), col("indexId").as("cid"))
+          .join(wave.select(col("doc_id").as("did"), col("sh").as("__shd")),
+            "did")
+          .join(idxSh, "cid")
+          .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
+        wave.select(col("doc_id"))
+          .join(ver.groupBy(col("did").as("doc_id"))
+              .agg(count(lit(1)).as("nc"),
+                sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
+            Seq("doc_id"), "left")
+          .select(col("doc_id"),
+            coalesce(col("nc"), lit(0L)).as("n_candidates"),
+            coalesce(col("nd"), lit(0L)).as("n_dups"))
+          .withColumn("admitted", col("n_dups") === 0L)
+      }
+      val v0 = Snapshots.commit(spark, table)(d =>
+        LshIndex.write(corpus, "doc_id", "sh", d))
+      // wave-1 admission decides against v0, then v1 = corpus ∪ admitted
+      val adm1 = graft.CacheScope.cacheTruncated(
+        admissionAt(Snapshots.versionPath(table, v0), wave1))
+      adm1.count()
+      val grown = corpus.unionByName(
+        wave1.join(adm1.filter(col("admitted")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"))
+      val v1 = Snapshots.commit(spark, table)(d =>
+        LshIndex.write(grown, "doc_id", "sh", d))
+      // the v0 probe runs AFTER the v1 publish — the pinned reader
+      // must be undisturbed by the newer commit
+      val s1 = admissionAt(Snapshots.versionPath(table, v1), wave2)
+        .withColumn("version", lit(1L))
+      val s0 = admissionAt(Snapshots.versionPath(table, v0), wave2)
+        .withColumn("version", lit(0L))
+      s0.unionByName(s1)
+        .select(col("version"), col("doc_id"), col("n_candidates"),
+          col("n_dups"), col("admitted"))
+        .orderBy(col("version"), col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
-      lshSkewReport, lshSequential, lshForget, spanScrubMaintained)
+      lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
+      lshVersioned)
 }
