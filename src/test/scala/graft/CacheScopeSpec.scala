@@ -41,7 +41,22 @@ class CacheScopeSpec extends SparkTestBase {
     "q114_semantic_dedup", // SemanticDedup assigned-frame cache
     "q117_ivf_drift",      // embeddings cache
     "q119_ivf_stream",     // embeddings cache + searchPartitioned probe cache
-    "q120_curation_diff"   // token-stats cache
+    "q120_curation_diff",  // token-stats cache
+    "q121_ivf_retrain",    // embeddings + tagged-generation caches
+    "q123_curation_decon", // shingled-base cache
+    "q124_ivf_versioned",  // embeddings cache (two-version build)
+    "q125_lsh_index_append", // docs + per-doc admission caches
+    "q126_span_scrub",     // positioned-ngram + occurrence caches
+    "q127_scrubbed_budget", // same, through the budget walk
+    "q129_ivf_delete",     // corpus + materialized tombstone-phase caches
+    "q130_unigram_lm",     // token-stream + model caches
+    "q131_lsh_sequential", // docs + per-wave truncated stats caches
+    "q132_ingest_cycle",   // docs cache through admission + manifests
+    "q133_lsh_forget",     // docs + materialized tombstone-phase caches
+    "q134_span_state",     // docs + scrub caches over the maintained state
+    "q135_triplet_mining", // embeddings + scored-frame caches
+    "q136_kcenter",        // sample cache across the greedy steps
+    "q137_lsh_versioned"   // docs + wave-1 admission caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
