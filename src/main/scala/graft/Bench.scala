@@ -35,27 +35,56 @@ object Bench {
     * construction), values rounded to ms. When even that overflows,
     * degrade in order of load-bearing-ness: per-query map feeds the
     * NEXT round's inflation check, so the diagnostic flag-name arrays
-    * drop first, the map only as a last resort. `failed` always
-    * survives. Cap leaves ~150 chars of tail for sbt's trailing
-    * "[success]" line.
+    * drop first, then per-query PRECISION (ms → 10 ms → 100 ms — a
+    * coarse time still names which query regressed; round 8's 137
+    * queries overflowed the ms tier and committed `queries:{}`, losing
+    * the whole map), the map itself only as a last resort. `failed`
+    * always survives, and [[writeSidecar]] keeps the full-precision map
+    * on disk regardless of what the stdout line had to drop. Cap
+    * leaves ~150 chars of tail for sbt's trailing "[success]" line.
     */
   val Cap = 1850
 
+  /** Committed full-precision per-query sidecar — the artifact the
+    * round-over-round regression check reads when the stdout line had
+    * to degrade (and [[main]]'s preferred prior-round yardstick, keyed
+    * by `sf` so a local sf0.01 iteration run can never poison the
+    * driver's sf0.1 inflation check).
+    */
+  val SidecarPath = "BENCH_QUERIES.json"
+
+  private def ms3(v: Double, decimals: Int = 3): String = {
+    val p = math.pow(10, decimals)
+    val r = math.rint(v * p) / p
+    if (r == r.toLong) r.toLong.toString else r.toString
+  }
+
+  private[graft] def renderSidecar(results: Seq[QueryResult],
+      sfDir: String): String = {
+    val qs = results
+      .map(r => "\"" + short(r.name) + "\":" +
+        (if (r.best.isInfinity) -1 else ms3(r.best)))
+      .mkString("{", ",", "}")
+    s"""{"sf":"$sfDir","queries":$qs}"""
+  }
+
+  private[graft] def writeSidecar(results: Seq[QueryResult],
+      sfDir: String): Unit =
+    java.nio.file.Files.write(java.nio.file.Paths.get(SidecarPath),
+      (renderSidecar(results, sfDir) + "\n")
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private[graft] def renderLine(results: Seq[QueryResult], runs: Int,
       sfDir: String, sweepRetried: Boolean): String = {
-    def ms3(v: Double): String = {
-      val r = math.rint(v * 1000) / 1000
-      if (r == r.toLong) r.toLong.toString else r.toString
-    }
     def names(ns: Seq[String]) =
       ns.map("\"" + short(_) + "\"").mkString("[", ",", "]")
     val contendedNames = results.collect { case r if r.contended => r.name }
     val flakyNames = results.collect { case r if r.flaky => r.name }
     val inflatedNames = results.collect { case r if r.inflated => r.name }
     val failed = results.collect { case r if r.best.isInfinity => r.name }
-    val qs = results
+    def qsAt(decimals: Int) = results
       .map(r => "\"" + short(r.name) + "\":" +
-        (if (r.best.isInfinity) -1 else ms3(r.best)))
+        (if (r.best.isInfinity) -1 else ms3(r.best, decimals)))
       .mkString("{", ",", "}")
     val total = results.map(_.best).filterNot(_.isInfinity).sum
     val retried = if (sweepRetried) ""","sweep_retried":true""" else ""
@@ -66,14 +95,18 @@ object Bench {
       def arr(ns: Seq[String]) = if (flagNames) names(ns) else "[]"
       s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${arr(contendedNames)},"flaky":${arr(flakyNames)},"inflated":${arr(inflatedNames)},"runs":$runs,"agg":"min","sf":"$sfDir"$retried$extra}"""
     }
-    val full = line(qs, flagNames = true, "")
+    val full = line(qsAt(3), flagNames = true, "")
     if (full.length <= Cap) full
     else {
-      val noFlags = line(qs, flagNames = false,
-        s""","warning":"flag names omitted: line was ${full.length} chars"""")
-      if (noFlags.length <= Cap) noFlags
-      else line("{}", flagNames = false,
-        s""","warning":"queries omitted: line was ${full.length} chars"""")
+      val over = s"line was ${full.length} chars"
+      val tiers =
+        line(qsAt(3), flagNames = false,
+          s""","warning":"flag names omitted: $over"""") ::
+        List(2, 1).map(d => line(qsAt(d), flagNames = false,
+          s""","warning":"flag names omitted, times rounded to ${if (d == 2) "10ms" else "100ms"}: $over""""))
+      tiers.find(_.length <= Cap).getOrElse(
+        line("{}", flagNames = false,
+          s""","warning":"queries omitted: $over""""))
     }
   }
 
@@ -134,21 +167,39 @@ object Bench {
     // the known one-line format (only the per-query map has q-prefixed
     // keys), so no JSON library is needed.
     val prior: Map[String, Double] = {
-      val dir = new java.io.File(".").listFiles()
-      val files = if (dir == null) Array.empty[java.io.File]
-        else dir.filter(_.getName.matches("BENCH_r\\d+\\.json"))
-      files.sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
-        .map { f =>
-          val s = new String(java.nio.file.Files.readAllBytes(f.toPath))
-          // the driver re-serializes this file pretty-printed (": " with
-          // a space), while Bench's own stdout line is compact — accept
-          // both, or the prior map silently parses empty and the
-          // inflation check no-ops (caught in round 7)
-          "\"(q\\d+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(s)
-            .map(m => m.group(1) -> m.group(2).toDouble)
-            .filter(_._2 > 0) // -1 marks a failed query, not a time
-            .toMap
-        }.getOrElse(Map.empty)
+      def parseQs(s: String): Map[String, Double] =
+        // the driver re-serializes BENCH files pretty-printed (": " with
+        // a space), while Bench's own output is compact — accept both,
+        // or the prior map silently parses empty and the inflation
+        // check no-ops (caught in round 7)
+        "\"(q\\d+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(s)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter(_._2 > 0) // -1 marks a failed query, not a time
+          .toMap
+      // preferred yardstick: the committed full-precision sidecar — but
+      // ONLY when its sf matches this run's (a local sf0.01 iteration
+      // overwrites the sidecar; its times must never become the sf0.1
+      // inflation baseline). Fall back to the latest BENCH_rN.json,
+      // whose map may be precision-degraded or (round 8) empty.
+      val sidecar = {
+        val f = java.nio.file.Paths.get(SidecarPath)
+        if (!java.nio.file.Files.exists(f)) Map.empty[String, Double]
+        else {
+          val s = new String(java.nio.file.Files.readAllBytes(f))
+          if (s.contains("\"sf\":\"" + sfDir + "\"")) parseQs(s)
+          else Map.empty[String, Double]
+        }
+      }
+      if (sidecar.nonEmpty) sidecar
+      else {
+        val dir = new java.io.File(".").listFiles()
+        val files = if (dir == null) Array.empty[java.io.File]
+          else dir.filter(_.getName.matches("BENCH_r\\d+\\.json"))
+        files.sortBy(f => f.getName.replaceAll("\\D", "").toInt).lastOption
+          .map(f => parseQs(
+            new String(java.nio.file.Files.readAllBytes(f.toPath))))
+          .getOrElse(Map.empty)
+      }
     }
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
 
@@ -210,6 +261,9 @@ object Bench {
             a.inflated && b.inflated)
         }
       }
+    // full-precision per-query map survives on disk even when the
+    // stdout line degrades (and feeds the next run's inflation check)
+    writeSidecar(results, sfDir)
     val out = renderLine(results, Runs, sfDir, sweepRetried)
     // nothing may land in the tail after the JSON line — silence the
     // shutdown logging spark.stop() would otherwise emit there

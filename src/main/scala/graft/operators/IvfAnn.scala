@@ -257,6 +257,10 @@ object IvfAnn {
     delta.select(col(idCol), col(vecCol),
         CentroidState.nearestCell(col(vecCol), cs).as("cell"))
       .write.mode("append").partitionBy("cell").parquet(path)
+    // a forgotten-then-readmitted vector must serve its NEW rows — a
+    // stale tombstone would mask them at probe time and the next
+    // compaction would drop them physically (round-8 advice)
+    graft.sources.Tombstones.unmark(delta.sparkSession, path, delta, idCol)
   }
 
   /** Compact a cell layout in place: every cell's rows are rewritten
@@ -273,16 +277,22 @@ object IvfAnn {
     * identical.
     */
   def compactCells(spark: org.apache.spark.sql.SparkSession,
-      path: String): Unit = {
+      path: String, idCol: String): Unit = {
     val staged = path + ".__compact__"
     val base = spark.read.parquet(path)
-    // layout schema is (idCol, vecCol) + partition col `cell` — the id
-    // is the first data column by [[writePartitionedByCell]] construction;
+    // `idCol` is explicit — inferring it from column position would
+    // silently anti-join tombstones against the wrong column on a
+    // reordered layout, permanently losing the deletes (round-8 advice);
     // pending tombstones apply physically here
-    val live = graft.sources.Tombstones
-      .filterLive(spark, path, base, base.columns.head)
+    require(base.columns.contains(idCol),
+      s"id column '$idCol' not in layout schema ${base.columns.mkString(",")}")
+    val snap = graft.sources.Tombstones.fileSnapshot(spark, path)
+    val live = graft.sources.Tombstones.filterLive(spark, path, base, idCol)
     live.repartition(col("cell"))
       .write.mode("overwrite").partitionBy("cell").parquet(staged)
+    // deletes that arrived mid-compaction ride into the new layout
+    // instead of vanishing with the publish swap
+    graft.sources.Tombstones.carryInto(spark, path, snap, staged)
     // the publish swap replaces the whole directory, so the applied
     // tombstones vanish with the old layout — no separate cleanup step
     graft.sources.Tables.publish(spark, staged, path)

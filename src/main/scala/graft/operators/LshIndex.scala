@@ -25,10 +25,13 @@ import graft.sources.Tables
   *  4. appending the non-duplicate docs' band rows — the corpus is
   *     never rewritten and the quantizer-free index never retrains.
   *
-  * At 100 TB the index table is bucketed by `bkt` so the probe is a
-  * co-located join; here it is a plain parquet dir and the probe
-  * shuffles |delta|·Bands + collided index rows only (AQE broadcasts
-  * the delta side when small, which is the steady-state ingest shape).
+  * Two physical layouts serve the probe: the plain parquet dir (the
+  * ingest tier — appends are cheap, the probe shuffles |delta|·Bands +
+  * collided index rows, AQE broadcasts the delta side when small), and
+  * the [[compactBucketed]] catalog table bucketed by `bkt` (the 100 TB
+  * steady state — [[candidatesBucketed]] plans with zero exchange over
+  * the index side, so the corpus-sized scan never moves however big
+  * the delta).
   */
 object LshIndex {
 
@@ -88,30 +91,82 @@ object LshIndex {
 
   /** Append a batch's band rows to the index — O(|batch|), new files
     * only, no rewrite. Caller admits the batch first (see
-    * [[candidates]] + Jaccard verify).
+    * [[candidates]] + Jaccard verify). Any stale tombstone matching a
+    * batch id is cleared ([[graft.sources.Tombstones.unmark]]): a
+    * forgotten-then-readmitted document must serve its NEW band rows,
+    * not stay masked until a compaction silently drops them.
     */
   def append(batch: DataFrame, idCol: String, shCol: String,
-      path: String): Unit =
+      path: String): Unit = {
     Tables.append(bandRows(batch, idCol, shCol), path)
+    graft.sources.Tombstones
+      .unmark(batch.sparkSession, path, batch, idCol)
+  }
 
   /** Compact the index: per-batch appends accumulate one small file
     * each, and probe cost degrades with file COUNT (open/footer per
     * file) long before it degrades with rows. The rewrite coalesces to
     * `targetFiles` and swaps in via the crash-safe publish chain —
     * the [[IvfAnn.compactCells]] discipline for the dedup index
-    * (content untouched, spec-asserted). At scale, compact into files
-    * BUCKETED by `bkt` so the admission probe becomes a co-located
-    * join.
+    * (content untouched, spec-asserted). `idCol` names the id column
+    * explicitly — inferring it from column position would silently
+    * anti-join tombstones against the wrong column if a layout ever
+    * arrived reordered, permanently losing the deletes. Markers
+    * appended while the compaction ran are carried into the new layout
+    * instead of vanishing with the publish swap. For the 100 TB
+    * steady-state probe layout, see [[compactBucketed]].
     */
-  def compact(spark: SparkSession, path: String, targetFiles: Int = 1): Unit = {
+  def compact(spark: SparkSession, path: String, idCol: String,
+      targetFiles: Int = 1): Unit = {
     val staged = path + ".__compact__"
     val base = spark.read.parquet(path)
-    // index schema is (idCol, band, bkt) — id is the first column by
-    // [[bandRows]] construction; pending tombstones apply physically here
-    val live = graft.sources.Tombstones
-      .filterLive(spark, path, base, base.columns.head)
+    require(base.columns.contains(idCol),
+      s"id column '$idCol' not in index schema ${base.columns.mkString(",")}")
+    val snap = graft.sources.Tombstones.fileSnapshot(spark, path)
+    // pending tombstones apply physically here
+    val live = graft.sources.Tombstones.filterLive(spark, path, base, idCol)
     live.repartition(targetFiles)
       .write.mode("overwrite").parquet(staged)
+    // deletes that arrived mid-compaction ride into the new layout
+    graft.sources.Tombstones.carryInto(spark, path, snap, staged)
     Tables.publish(spark, staged, path)
+  }
+
+  /** Compact the index into a catalog table BUCKETED by `(band, bkt)`
+    * — the steady-state serving layout at 100 TB: the admission probe
+    * joins on `(band, bkt)`, and a scan of a table bucketed on exactly
+    * those keys already satisfies the join's clustering, so
+    * [[candidatesBucketed]] plans with NO exchange over the index side
+    * (spec-pinned; bucketing on `bkt` alone would still shuffle —
+    * Spark's co-partitioning check requires ALL join keys). The
+    * corpus-sized side of every future probe stops moving; only the
+    * delta shuffles. Pending tombstones apply physically here, exactly
+    * like [[compact]].
+    */
+  def compactBucketed(spark: SparkSession, path: String, table: String,
+      buckets: Int, idCol: String): Unit = {
+    val base = spark.read.parquet(path)
+    require(base.columns.contains(idCol),
+      s"id column '$idCol' not in index schema ${base.columns.mkString(",")}")
+    val live = graft.sources.Tombstones.filterLive(spark, path, base, idCol)
+    graft.layout.Bucketing
+      .writeBucketedBy(live, table, Seq("band", "bkt"), buckets)
+  }
+
+  /** [[candidates]] against a [[compactBucketed]] catalog table: same
+    * distinct `(deltaId, indexId)` contract, but the index side reads
+    * pre-clustered by `bkt` — a small delta broadcasts (index side
+    * streamed, zero exchange), and a LARGE backfill delta degrades to a
+    * sort-merge join where only the DELTA shuffles into the index's
+    * bucket layout. Either way the index never moves.
+    */
+  def candidatesBucketed(spark: SparkSession, table: String,
+      delta: DataFrame, idCol: String, shCol: String): DataFrame = {
+    val index = spark.table(table)
+    bandRows(delta, idCol, shCol).as("d")
+      .join(index.as("c"),
+        col("d.band") === col("c.band") && col("d.bkt") === col("c.bkt"))
+      .select(col(s"d.$idCol").as("deltaId"), col(s"c.$idCol").as("indexId"))
+      .distinct()
   }
 }

@@ -89,13 +89,26 @@ object SpanScrub {
     val spans = occ.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_spans"))
     val ps: Column = coalesce(col("__ps"), array().cast("array<int>"))
+    // O(L + R) reassembly per doc (L tokens, R removed positions):
+    // array_except builds a hash set over the removed positions and
+    // walks 1..L once, so the kept-position list costs constant work
+    // per token — a per-token array_contains(ps, ·) membership scan
+    // would be O(L·R), ~10⁸ comparisons for a 10k-token boilerplate-
+    // heavy doc. sequence(1, L) is distinct and ascending, array_except
+    // preserves left-operand order, so kept positions come out in
+    // document order and element_at re-reads each surviving token O(1).
+    val allPos = when(size(col(toksCol)) >= 1,
+      sequence(lit(1), size(col(toksCol))))
+      .otherwise(array().cast("array<int>"))
     df.join(cov, Seq(idCol), "left")
       .join(spans, Seq(idCol), "left")
       .withColumn("n_tokens", size(col(toksCol)).cast("long"))
       .withColumn("n_removed", size(ps).cast("long"))
       .withColumn("n_spans", coalesce(col("n_spans"), lit(0L)))
       .withColumn("cleaned",
-        filter(col(toksCol), (t, idx) => !array_contains(ps, idx + 1)))
+        when(col(toksCol).isNotNull,
+          transform(array_except(allPos, ps),
+            p => element_at(col(toksCol), p))))
       .drop("__ps")
   }
 }

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -449,8 +450,12 @@ object DedupQueries {
     * append end-to-end. This is continuous-ingest dedup at 100 TB:
     * per-batch cost is O(|delta| + collisions), never O(corpus).
     */
-  val lshIndexAppend: QuerySpec = QuerySpec.sql(
-    "q125_lsh_index_append",
+  /** Shared oracle for q125 (plain-path probe) and q140 (bucketed
+    * steady-state probe): the physical index layout is invisible to
+    * the admission SEMANTICS, so both gates must hash-match the same
+    * re-derived pipeline.
+    */
+  private val lshIndexAppendSql =
     s"""WITH t AS (
       |  SELECT doc_id, $tokSql AS toks,
       |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
@@ -488,7 +493,16 @@ object DedupQueries {
       |  st.index_rows_after
       |FROM agg CROSS JOIN st
       |ORDER BY doc_id""".stripMargin
-  ) { (spark, dir) =>
+
+  /** Shared Spark-side admission pipeline for q125/q140: build the
+    * on-disk index from the corpus split, probe the delta through
+    * `probe` (plain path vs bucketed table — the only difference
+    * between the two gates), Jaccard-verify collided docs only, append
+    * the admitted band rows, and report per-doc stats plus the on-disk
+    * row count read back AFTER the append.
+    */
+  private def lshAdmissionRun(spark: SparkSession, dir: String, tag: String,
+      probe: (String, DataFrame) => DataFrame): DataFrame = {
     import graft.operators.LshIndex
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
@@ -497,9 +511,9 @@ object DedupQueries {
       .transform(graft.CacheScope.cache)
     val corpus = docs.filter(col("bucket") < 80)
     val delta = docs.filter(col("bucket") >= 80)
-    val path = graft.Scratch.fresh("q125") + "/lsh_index"
+    val path = graft.Scratch.fresh(tag) + "/lsh_index"
     LshIndex.write(corpus, "doc_id", "sh", path)
-    val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+    val cand = probe(path, delta)
     // verify against only the collided corpus docs (left-semi prune)
     val corpusSh = corpus
       .join(cand.select(col("indexId").as("doc_id")).distinct(),
@@ -527,6 +541,38 @@ object DedupQueries {
     val after = spark.read.parquet(path)
       .agg(count(lit(1)).as("index_rows_after"))
     perDoc.crossJoin(broadcast(after)).orderBy(col("doc_id"))
+  }
+
+  val lshIndexAppend: QuerySpec = QuerySpec.sql(
+    "q125_lsh_index_append", lshIndexAppendSql
+  ) { (spark, dir) =>
+    lshAdmissionRun(spark, dir, "q125", (path, delta) =>
+      graft.operators.LshIndex
+        .candidates(spark, path, delta, "doc_id", "sh"))
+  }
+
+  /** q125's admission run against the BUCKETED steady-state serving
+    * layout ([[graft.operators.LshIndex.compactBucketed]]): the index
+    * is compacted into a catalog table bucketed by the probe keys
+    * `(band, bkt)`, and the delta probes it exchange-free on the index
+    * side ([[graft.operators.LshIndex.candidatesBucketed]];
+    * `LshIndexSpec` pins the plan) — at 100 TB this is the difference
+    * between re-shuffling the corpus-sized index on every ingest batch
+    * and shuffling only the delta. Identical oracle to q125: the
+    * physical layout must be invisible to the admission semantics, so
+    * a hash-equal row set proves the bucketed compaction + probe chain
+    * end-to-end.
+    */
+  val lshBucketedAdmission: QuerySpec = QuerySpec.sql(
+    "q140_lsh_bucketed", lshIndexAppendSql
+  ) { (spark, dir) =>
+    val table = "q140_lsh_index_bucketed"
+    lshAdmissionRun(spark, dir, "q140", (path, delta) => {
+      graft.operators.LshIndex
+        .compactBucketed(spark, path, table, buckets = 16, "doc_id")
+      graft.operators.LshIndex
+        .candidatesBucketed(spark, table, delta, "doc_id", "sh")
+    })
   }
 
   /** Substring-level dedup ([[graft.operators.SpanScrub]]): delete
@@ -830,7 +876,7 @@ object DedupQueries {
     }
     val served = graft.CacheScope.cacheTruncated(admission("tombstone"))
     served.count() // pin BEFORE compaction swaps the directory
-    LshIndex.compact(spark, path)
+    LshIndex.compact(spark, path, "doc_id")
     val after = spark.read.parquet(path)
       .agg(count(lit(1)).as("index_rows_after"))
     served.unionByName(admission("compacted"))
@@ -1005,5 +1051,5 @@ object DedupQueries {
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
-      lshVersioned)
+      lshVersioned, lshBucketedAdmission)
 }

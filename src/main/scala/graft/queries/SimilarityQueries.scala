@@ -1239,7 +1239,7 @@ object SimilarityQueries {
       // the directory out from under its (lazy) file scan
       val served = graft.CacheScope.cacheTruncated(searchNow("tombstone"))
       served.count()
-      graft.operators.IvfAnn.compactCells(spark, path)
+      graft.operators.IvfAnn.compactCells(spark, path, "vec_id")
       served.unionByName(searchNow("compacted"))
         .select(col("phase"), col("qid"), col("neighbor"),
           round(col("cosine") + lit(1e-9), 4).as("cosine"))

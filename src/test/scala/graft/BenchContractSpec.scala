@@ -53,4 +53,27 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"contended\":[]"), line)
     assert(line.contains("flag names omitted"), line)
   }
+
+  test("round-8 regression: ~140 ms-precision queries keep the map by " +
+      "rounding, never by dropping it") {
+    // the exact shape that committed queries:{} in round 8 — too many
+    // queries for the ms tier even with flag names gone
+    val many = (1 to 140).map(i => QueryResult(f"q$i%03d_name", 1.234,
+      contended = false, flaky = false, inflated = false))
+    val line = Bench.renderLine(many, 3, "/root/testdata/sf0.1",
+      sweepRetried = false)
+    assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
+    assert(!line.contains("\"queries\":{}"), line)
+    assert(line.contains("times rounded"), line)
+    // a rounded tier kept the entry (1.23 at 10ms, 1.2 at 100ms)
+    assert(line.contains("\"q001\":1.2"), line)
+  }
+
+  test("sidecar carries the FULL-precision map and the run's sf") {
+    val s = Bench.renderSidecar(base, "/root/testdata/sf0.1")
+    assert(s.contains("\"sf\":\"/root/testdata/sf0.1\""), s)
+    assert(s.contains("\"q01\":1.5"), s)
+    assert(s.contains("\"q04\":3.25"), s)
+    assert(s.contains("\"q03\":-1"), s) // failed marker survives
+  }
 }

@@ -102,6 +102,28 @@ class ConnectedComponentsSpec extends SparkTestBase {
     }
   }
 
+  test("a 10^5-edge supernode star converges in <=3 rounds, constant plan") {
+    import spark.implicits._
+    // one hub adjacent to 10^5 spokes, hub id ABOVE every spoke — the
+    // adversarial orientation: the symmetrized frame carries all 10^5
+    // neighbours under the hub's window key in one task (the round-8
+    // verdict's unpinned spill scenario). Large-star is the cure the
+    // operator docstring claims: every spoke > m rewires to the
+    // neighbourhood min in ONE pass, so the star must collapse in a
+    // constant number of rounds with the per-round plan staying tiny —
+    // degree concentration must never show up as extra rounds or plan
+    // growth.
+    val hub = 100001L
+    val edges = (1L to 100000L).map(i => (hub, i)).toDF("s", "d")
+    val (labels, rounds, planSizes) =
+      ConnectedComponents.componentsWithStats(edges, "s", "d")
+    val out = labels.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(out.length === 100001 && out.forall(_._2 == 1L))
+    assert(rounds <= 3, s"supernode star took $rounds rounds")
+    assert(planSizes.distinct.size <= 1,
+      s"per-round plan sizes drifted: $planSizes")
+  }
+
   test("empty edge frame yields empty labels") {
     import spark.implicits._
     val edges = Seq.empty[(Long, Long)].toDF("s", "d")

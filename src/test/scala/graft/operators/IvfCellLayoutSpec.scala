@@ -150,7 +150,7 @@ class IvfCellLayoutSpec extends SparkTestBase {
     val preContent = spark.read.parquet(layout)
       .select(col("vec_id"), col("cell")).collect()
       .map(r => r.getLong(0) -> r.getInt(1)).sorted.toSeq
-    IvfAnn.compactCells(spark, layout)
+    IvfAnn.compactCells(spark, layout, "vec_id")
     val after = dataFiles()
     assert(after.values.forall(_ === 1),
       s"compaction left a multi-file cell: $after")
@@ -274,7 +274,7 @@ class IvfCellLayoutSpec extends SparkTestBase {
     assert(tombstonePhase === expected)
     assert(tombstonePhase.nonEmpty)
     // compaction applies the deletes physically and clears the markers
-    IvfAnn.compactCells(spark, root)
+    IvfAnn.compactCells(spark, root, "vec_id")
     assert(spark.read.parquet(root).count() ===
       emb.count() - deleted.count())
     assert(IvfAnn.tombstones(spark, root).isEmpty)

@@ -74,10 +74,76 @@ class LshIndexSpec extends SparkTestBase {
     assert(spark.read.parquet(path).count() === 2L * MinHashLSH.Bands)
     assert(!collides().exists(_._2 == 10L))
     // compaction drops the band rows physically and clears the markers
-    LshIndex.compact(spark, path)
+    LshIndex.compact(spark, path, "doc_id")
     assert(spark.read.parquet(path).count() === 1L * MinHashLSH.Bands)
     assert(LshIndex.tombstones(spark, path).isEmpty)
     assert(!collides().exists(_._2 == 10L))
+  }
+
+  test("delete-then-readmit: append clears the stale marker so the doc " +
+      "serves and survives compaction") {
+    val path = graft.Scratch.fresh("lshindex_readmit") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    import spark.implicits._
+    LshIndex.delete(spark, path, Seq(10L).toDF("doc_id"), "doc_id")
+    // doc 10 is re-ingested: the stale marker must not mask its NEW rows
+    LshIndex.append(
+      withSh(Seq(10L -> "shared text body one two three four five six seven")),
+      "doc_id", "sh", path)
+    assert(LshIndex.tombstones(spark, path).isEmpty,
+      "re-admission must clear the matching tombstone")
+    val probe = withSh(Seq(
+      20L -> "shared text body one two three four five six seven"))
+    def collides() = LshIndex.candidates(spark, path, probe, "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(collides().contains((20L, 10L)),
+      "re-admitted doc must be visible at probe time")
+    // compaction must KEEP the re-admitted rows (round-8 advice: the old
+    // marker used to drop them physically, losing the doc forever)
+    LshIndex.compact(spark, path, "doc_id")
+    assert(collides().contains((20L, 10L)),
+      "re-admitted doc must survive compaction")
+  }
+
+  test("bucketed steady-state probe: index side plans with no exchange") {
+    val path = graft.Scratch.fresh("lshindex_bucketed") + "/idx"
+    val docs = (0L until 40L).map(i =>
+      i -> s"document number $i body with distinct words w$i x$i y$i z$i")
+    LshIndex.write(withSh(docs), "doc_id", "sh", path)
+    val table = "lsh_idx_bucketed_spec"
+    try {
+      LshIndex.compactBucketed(spark, path, table, buckets = 8, "doc_id")
+      val delta = withSh(Seq(
+        100L -> "document number 7 body with distinct words w7 x7 y7 z7",
+        101L -> "a wholly novel document that matches nothing in the index"))
+      // force the sort-merge path (a broadcast delta would trivially
+      // leave the index exchange-free) — the claim under test is the
+      // LARGE-delta shape: only the delta shuffles into the index's
+      // bucket layout
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val cand = LshIndex.candidatesBucketed(spark, table, delta,
+        "doc_id", "sh")
+      val plan = cand.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      // distinct() adds its own exchange after the join; the JOIN itself
+      // must only shuffle the delta side — with the index side also
+      // shuffling this would be 3
+      assert(exchanges <= 2,
+        s"index side of the probe must not shuffle ($exchanges exchanges):\n$plan")
+      // same answer as the plain-path probe
+      val got = cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got === want)
+      assert(got.contains((100L, 7L)) && !got.exists(_._1 == 101L))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
   }
 
   test("compact coalesces append fragments without changing content") {
@@ -93,7 +159,7 @@ class LshIndexSpec extends SparkTestBase {
       .collect().map(_.toString).sorted.toSeq
     val before = content()
     assert(files() >= 6L) // one fragment per append
-    LshIndex.compact(spark, path)
+    LshIndex.compact(spark, path, "doc_id")
     assert(files() === 1L)
     assert(content() === before)
   }

@@ -106,4 +106,31 @@ class SpanScrubSpec extends SparkTestBase {
       assert(got === expected, s"trial $trial: $docs")
     }
   }
+
+  test("a 5k-token high-coverage doc scrubs exactly (O(L+R) reassembly)") {
+    // two docs sharing a 5000-token boilerplate block: every 5-gram
+    // fully inside the block is hot, so ~99.8% of each doc's positions
+    // are removed — the regime where the old per-token
+    // array_contains(removed, ·) reassembly paid O(L·R) ≈ 2.5·10⁷
+    // comparisons per doc and the array_except path pays O(L)
+    val L = 5000
+    val shared = (1 to L).map(i => s"s$i").toVector
+    val prefix = (1 to 10).map(i => s"u$i").toVector
+    val suffix = (1 to 10).map(i => s"v$i").toVector
+    val df = toksDf(Seq(
+      1L -> (prefix ++ shared).mkString(" "),
+      2L -> (shared ++ suffix).mkString(" ")))
+    val out = SpanScrub.scrub(df, "doc_id", "toks", n = 5, minDf = 2L)
+      .select(col("doc_id"), col("n_tokens"), col("n_removed"),
+        col("n_spans"), array_join(col("cleaned"), " ").as("cleaned"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // hot 5-grams are exactly those fully inside the shared block
+    // (boundary grams mix unique tokens and occur once): L-4 spans
+    // covering all L shared positions, unique prefix/suffix survive
+    assert(out(1L) === (((L + 10).toLong, L.toLong, (L - 4).toLong,
+      prefix.mkString(" "))))
+    assert(out(2L) === (((L + 10).toLong, L.toLong, (L - 4).toLong,
+      suffix.mkString(" "))))
+  }
 }
