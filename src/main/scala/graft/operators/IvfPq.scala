@@ -1,7 +1,9 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.operators.CentroidState.Cent
 
 /** Composed IVF + PQ search — the production 10 B-vector ANN
   * architecture (the FAISS `IVF…,PQ…` index shape): the coarse k-means
@@ -59,6 +61,120 @@ object IvfPq {
     val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe,
         bytesPerRow = m.toLong * codes * 8L + 64L)
       .join(encoded, "cell")
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        aggregate(
+          zip_with(col("codes"), col("tables"), (c, t) => element_at(t, c)),
+          lit(0.0), (acc, x) => acc + x).as("approx_dist"))
+    Dedup.topKPerKey(scored, Seq(qidCol),
+      Seq(col("approx_dist").asc, col("neighbor").asc), k)
+  }
+
+  /** The composed index's ONE corpus projection: coarse routing cell +
+    * PQ codes per row — what [[writeIndex]] materializes and
+    * [[appendIndex]] computes for a delta.
+    */
+  private def encodedRows(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Cent], cb: IndexedSeq[Seq[Cent]], m: Int,
+      dim: Int): DataFrame =
+    vecs.select(col(idCol),
+      ProductQuantizer.codesExpr(col(vecCol), cb, m, dim).as("codes"),
+      CentroidState.nearestCell(col(vecCol), coarse).as("cell"))
+
+  /** Materialize a SELF-CONTAINED composed-index directory — the
+    * 10 B-vector serving layout the class doc promises: `dir/cells`
+    * holds the encoded corpus `(id, codes)` hive-partitioned by coarse
+    * cell (m bytes-scale codes resident, float vectors never stored),
+    * `dir/coarse` and `dir/codebook` hold the two trained quantizers so
+    * index and quantizers version together ([[IvfAnn.writeIndex]]
+    * rationale — separately-versioned quantizers silently lose recall).
+    */
+  def writeIndex(corpus0: DataFrame, idCol: String, vecCol: String,
+      dir: String, clusters: Int, m: Int, dim: Int, codes: Int,
+      coarseIters: Int = 1, pqIters: Int = 1): Unit = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val spark = corpus0.sparkSession
+    val corpus = CentroidState.ensureCached(corpus0)
+    val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
+    val cb = ProductQuantizer.lloyd(corpus, idCol, vecCol, m, dim, codes,
+      pqIters)
+    encodedRows(corpus, idCol, vecCol, coarse, cb, m, dim)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    CentroidState.toDF(spark, coarse).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    ProductQuantizer.toDF(spark, cb).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+  }
+
+  /** Load both quantizers back from the index dir (O(clusters·dim) +
+    * O(codes·dim) driver rows); `m`/`dim` are re-derived from the
+    * persisted codebook shape, so callers carry no sizing state.
+    */
+  private def loadQuantizers(spark: SparkSession,
+      dir: String): (Seq[Cent], IndexedSeq[Seq[Cent]], Int, Int) = {
+    val coarse = CentroidState.collect(spark.read.parquet(s"$dir/coarse"))
+    val cbDf = spark.read.parquet(s"$dir/codebook")
+    val m = cbDf.agg(max(col("m"))).head.getInt(0) + 1
+    val cb = ProductQuantizer.collectCodebook(cbDf, m)
+    (coarse, cb, m, m * cb.head.head.cvec.length)
+  }
+
+  /** O(|delta|) incremental append — the composed index's day-2 story
+    * ([[IvfAnn.appendPartitionedByCell]] plus encoding): each new
+    * vector is routed by the STORED coarse quantizer and encoded with
+    * the STORED codebooks, landing as new files under its cell
+    * directory. No retrain, no rewrite; drift is bounded by retraining
+    * cadence exactly as for plain IVF ([[IvfAnn.driftReport]] applies
+    * unchanged — assignment is the same kernel). Stale tombstones for
+    * re-admitted ids are cleared (the [[graft.sources.Tombstones]]
+    * lifecycle contract).
+    */
+  def appendIndex(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
+    encodedRows(delta, idCol, vecCol, coarse, cb, m, dim)
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    graft.sources.Tombstones.unmark(spark, s"$dir/cells", delta, idCol)
+  }
+
+  /** LOGICAL delete from the composed index — O(|deletes|) markers on
+    * the cell layout; [[searchIndex]] masks them at probe time and the
+    * next [[IvfAnn.compactCells]] over `dir/cells` applies them
+    * physically.
+    */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit =
+    graft.sources.Tombstones.write(spark, s"$dir/cells", ids, idCol)
+
+  /** The index's pending tombstones (None when nothing was deleted). */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    graft.sources.Tombstones.read(spark, s"$dir/cells")
+
+  /** [[search]] against a [[writeIndex]] directory: probed cells prune
+    * the codes READ to their files (partition pruning — I/O tracks
+    * `nProbe / clusters` of the index), scoring is ADC table lookups
+    * over codes only, pending deletes are masked, and the bounded-heap
+    * top-k finishes. The float corpus is never touched — this is the
+    * compressed-serving shape at 10 B vectors.
+    * @return (qid, neighbor, approx_dist)
+    */
+  def searchIndex(spark: SparkSession, dir: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = CentroidState.ensureCached(qcached.select(col(qidCol),
+      explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
+        .as("cell"),
+      ProductQuantizer.tablesExpr(col(qvecCol), cb, m, dim).as("tables")))
+    val wanted = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = graft.sources.Tombstones.filterLive(spark, s"$dir/cells",
+      IvfAnn.readCells(spark, s"$dir/cells", wanted), idCol)
+    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = m.toLong * cb.head.size * 8L + 64L)
+      .join(corpus, "cell")
       .filter(col(qidCol) =!= col(idCol))
       .select(col(qidCol), col(idCol).as("neighbor"),
         aggregate(

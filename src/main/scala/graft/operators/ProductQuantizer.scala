@@ -70,7 +70,7 @@ object ProductQuantizer {
     StructField("m", IntegerType, nullable = false) +:
       CentroidState.schema.fields.toSeq)
 
-  private def toDF(spark: SparkSession, cb: IndexedSeq[Seq[Cent]]): DataFrame =
+  private[operators] def toDF(spark: SparkSession, cb: IndexedSeq[Seq[Cent]]): DataFrame =
     spark.createDataFrame(
       java.util.Arrays.asList(cb.zipWithIndex.flatMap { case (cells, i) =>
         cells.map(c => Row(i, c.cell, c.cvec.toSeq, c.cnorm2))
@@ -81,7 +81,7 @@ object ProductQuantizer {
     * (small by the `codes · dim` contract); `cnorm2` is re-derived the
     * [[CentroidState.collect]] way.
     */
-  private def collectCodebook(codebook: DataFrame, m: Int): IndexedSeq[Seq[Cent]] = {
+  private[operators] def collectCodebook(codebook: DataFrame, m: Int): IndexedSeq[Seq[Cent]] = {
     val byM = codebook
       .select(col("m").cast("int"), col("cell").cast("int"), col("cvec"))
       .collect()

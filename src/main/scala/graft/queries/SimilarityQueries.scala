@@ -1415,10 +1415,153 @@ object SimilarityQueries {
     }
   }
 
+  /** q138 oracle: q85's composed IVF+PQ chain with BOTH quantizers
+    * trained on the BASE slice (`vec_id % 5 <> 0`) while encoding,
+    * assignment, and probing run over the FULL set — exactly the end
+    * state of `writeIndex(base)` + `appendIndex(delta)` (the q107
+    * append-oracle pattern, extended to the PQ leg).
+    */
+  private def ivfPqAppendOracleSql(clusters: Int, nProbe: Int,
+      coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
+      k: Int, nQueries: Int): String = {
+    import Vectors.dotSql
+    val sub = dim / m
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |allv AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, coarseIters, dim, nQueries)},
+      |${pqCtes(m, dim, codes, pqIters, nQueries)},
+      |af_all AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM allv v CROSS JOIN c${coarseIters}n c) t WHERE rk = 1),
+      |probes_all AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT v.vec_id AS qid, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM allv v CROSS JOIN c${coarseIters}n c
+      |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe),
+      |subvecs_all AS (
+      |  SELECT vec_id, s.m AS m,
+      |    list_slice(embedding, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM allv CROSS JOIN range(0, $m) s(m)),
+      |enc_all AS (
+      |  SELECT vec_id, m, cell AS code FROM (
+      |    SELECT v.vec_id, v.m, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.m
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.sv", "c.cvec")}, c.cell) AS rk
+      |    FROM subvecs_all v JOIN p${pqIters}n c ON v.m = c.m) t WHERE rk = 1),
+      |adc_all AS (
+      |  SELECT v.vec_id AS qid, v.m, c.cell,
+      |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
+      |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
+      |  FROM subvecs_all v JOIN p${pqIters}n c ON v.m = c.m
+      |  WHERE v.vec_id < $nQueries),
+      |scored AS (
+      |  SELECT a.qid, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc_all e
+      |  JOIN af_all f ON f.vec_id = e.vec_id
+      |  JOIN probes_all p ON p.cell = f.cell
+      |  JOIN adc_all a ON a.qid = p.qid AND a.m = e.m AND a.cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, e.vec_id)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
+  /** Day-2 maintenance for the composed IVF+PQ index
+    * ([[graft.operators.IvfPq.writeIndex]] /
+    * [[graft.operators.IvfPq.appendIndex]] /
+    * [[graft.operators.IvfPq.searchIndex]]) — the index you'd actually
+    * serve at 10 B vectors gets the same legs plain IVF has (q107):
+    * quantizers train on the BASE corpus only, the encoded corpus
+    * (coarse cell + PQ codes, no floats) is materialized
+    * cell-partitioned, and the remaining 20% arrive later as a delta
+    * routed and encoded by the STORED quantizers — O(|delta|) appends,
+    * zero retrain, zero rewrite. The search then reads ONLY probed
+    * cells' code files and scores by ADC lookups, with queries drawn
+    * from both generations. The oracle re-derives both trainings from
+    * the base slice and encode/assign/probe over the full set, so a
+    * hash-equal row set gates write → append → prune → ADC score
+    * end-to-end.
+    */
+  val ivfPqAppend: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    QuerySpec.sql(
+      "q138_ivfpq_append",
+      ivfPqAppendOracleSql(clusters, nProbe, coarseIters, m, dim, codes,
+        pqIters, k, nQ)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+      val idx = graft.Scratch.fresh("q138") + "/ivfpq"
+      graft.operators.IvfPq.writeIndex(base, "vec_id", "embedding", idx,
+        clusters, m, dim, codes, coarseIters, pqIters)
+      graft.operators.IvfPq.appendIndex(delta, "vec_id", "embedding", idx)
+      val queries = all0.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq.searchIndex(spark, idx, "vec_id",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
+  /** Media near-dup gating through the ANN tier — the embedding-side
+    * media dedup a real curation pipeline runs NEXT TO q122's exact
+    * block-checksum gate: per-asset feature vectors (the deterministic
+    * [[graft.multimodal.Multimodal]] decode stub — swap in a real
+    * encoder, nothing else changes) are indexed by the q58 IVF
+    * quantizer, a bounded probe batch searches its nProbe cells, and
+    * the cosine neighborhood flags near-dup media that differ in bytes
+    * (re-encodes, metadata edits) which checksums can never see. The
+    * oracle rebuilds the features in SQL and replays the unrolled-Lloyd
+    * chain over them, so feature extraction + training + probe + gate
+    * all hash-match.
+    */
+  val mediaAnnGate: QuerySpec = {
+    val assetCte =
+      s"""SELECT doc_id AS vec_id,
+        |    [CAST(CAST(seed * i % 1009 AS DOUBLE) / 1009.0 AS FLOAT) FOR i IN [1, 2, 3, 4]] AS embedding
+        |  FROM (SELECT doc_id, ${graft.functions.Text.charHashSql("text")} AS seed FROM documents) s""".stripMargin
+    QuerySpec.sql(
+      "q139_media_ann",
+      s"""SELECT qid, neighbor, cosine, cosine >= 0.9995 AS near_dup
+        |FROM (${ivfOracleSql(clusters = 8, nProbe = 2, iters = 2, k = 3,
+          dim = 4, nQueries = 10, corpusCte = assetCte)}) t
+        |ORDER BY qid, cosine DESC, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      import graft.multimodal.Multimodal
+      val feats = Multimodal.assets(Tables.load(spark, dir, "documents"))
+        .withColumn("seed", Multimodal.decodeSeed(col("payload")))
+        .select(col("asset_id").as("vec_id"),
+          Multimodal.fakeFeatures(col("seed")).cast("array<float>")
+            .as("embedding"))
+      val queries = feats.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfAnn.search(feats, "vec_id", "embedding",
+          queries, "qid", "qv", k = 3, clusters = 8, nProbe = 2, iters = 2)
+        .select(col("qid"), col("neighbor"),
+          round(col("cosine") + lit(1e-9), 4).as("cosine"))
+        .withColumn("near_dup", col("cosine") >= 0.9995)
+        .orderBy(col("qid"), col("cosine").desc, col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
-    tripletMining, kcenterSelect)
+    tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate)
 }

@@ -79,6 +79,14 @@ object Tombstones {
     * rows at probe time and the next compaction drops them physically
     * — a silent permanent loss (round-8 advice). O(markers), which is
     * bounded by compaction cadence; a no-op when no marker matches.
+    *
+    * Contract: until the next compaction the layout holds the id's OLD
+    * rows and the re-admitted ones side by side. For the index layouts
+    * here rows are a deterministic function of content, so a same-
+    * content readmit yields exact duplicate rows — harmless to the
+    * probe paths (candidate joins are DISTINCT; a search may transiently
+    * repeat a neighbor). Re-ingesting an id with CHANGED content must
+    * compact between the delete and the readmit, or both versions serve.
     */
   def unmark(spark: SparkSession, layoutPath: String, ids: DataFrame,
       idCol: String): Unit =

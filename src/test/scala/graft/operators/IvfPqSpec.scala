@@ -66,6 +66,54 @@ class IvfPqSpec extends SparkTestBase {
       s"same-cluster fraction ${sameCluster.toDouble / out.length}")
   }
 
+  test("appendIndex equals one-shot encoding under the same stored quantizers") {
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val delta = corpus.filter(col("vec_id") % 5 === 0)
+    // incremental: train on base, append delta through the stored state
+    val idxInc = graft.Scratch.fresh("ivfpq_inc") + "/idx"
+    IvfPq.writeIndex(base, "vec_id", "embedding", idxInc,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    IvfPq.appendIndex(delta, "vec_id", "embedding", idxInc)
+    // one-shot reference: same base-trained quantizers (training is
+    // deterministic, so re-deriving them is the same state), whole
+    // corpus encoded in one batch
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding",
+      clusters = 16, iters = 1)
+    val cs = CentroidState.collect(cents)
+    val cb = ProductQuantizer.train(base, "vec_id", "embedding",
+      m = M, dim = Dim, k = 16, iters = 1)
+    val oneShot = ProductQuantizer
+      .encode(corpus, "vec_id", "embedding", cb, M, Dim)
+      .join(IvfAnn.assign(corpus, cents, "vec_id", "embedding"), "vec_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2))).toSet
+    val incremental = spark.read.parquet(s"$idxInc/cells")
+      .select(col("vec_id"), col("codes"), col("cell"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2))).toSet
+    assert(cs.nonEmpty && incremental === oneShot)
+  }
+
+  test("deleteFromIndex masks at search time; readmit clears the marker") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ivfpq_del") + "/idx"
+    IvfPq.writeIndex(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    def neighbors() = IvfPq.searchIndex(spark, idx, "vec_id",
+        queries, "qid", "qv", k = 3, nProbe = 16)
+      .collect().map(_.getLong(1)).toSet
+    val victim = neighbors().head
+    IvfPq.deleteFromIndex(spark, idx, Seq(victim).toDF("vec_id"), "vec_id")
+    assert(!neighbors().contains(victim),
+      s"deleted vector $victim still served")
+    // re-ingesting the victim clears its tombstone and serves again
+    IvfPq.appendIndex(corpus.filter(col("vec_id") === victim),
+      "vec_id", "embedding", idx)
+    assert(IvfPq.tombstones(spark, idx).isEmpty)
+    assert(neighbors().contains(victim),
+      s"re-admitted vector $victim not served")
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
