@@ -56,7 +56,10 @@ class CacheScopeSpec extends SparkTestBase {
     "q134_span_state",     // docs + scrub caches over the maintained state
     "q135_triplet_mining", // embeddings + scored-frame caches
     "q136_kcenter",        // sample cache across the greedy steps
-    "q137_lsh_versioned"   // docs + wave-1 admission caches
+    "q137_lsh_versioned",  // docs + wave-1 admission caches
+    "q138_ivfpq_append",   // embeddings cache + writeIndex/searchIndex caches
+    "q139_media_ann",      // IvfAnn.search corpus + query caches
+    "q140_lsh_bucketed"    // docs + per-doc admission caches (bucketed probe)
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

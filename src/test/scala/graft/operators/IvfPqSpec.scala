@@ -114,6 +114,27 @@ class IvfPqSpec extends SparkTestBase {
       s"re-admitted vector $victim not served")
   }
 
+  test("compactCells over the codes layout applies deletes physically " +
+      "and preserves search") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ivfpq_compact") + "/idx"
+    IvfPq.writeIndex(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    def neighbors() = IvfPq.searchIndex(spark, idx, "vec_id",
+        queries, "qid", "qv", k = 3, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val victim = neighbors().head._2
+    IvfPq.deleteFromIndex(spark, idx, Seq(victim).toDF("vec_id"), "vec_id")
+    val masked = neighbors()
+    // the shared cell-layout compactor works on the codes layout too:
+    // tombstones apply physically, markers clear, results unchanged
+    IvfAnn.compactCells(spark, s"$idx/cells", "vec_id")
+    assert(IvfPq.tombstones(spark, idx).isEmpty)
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") === victim).count() === 0L)
+    assert(neighbors() === masked)
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
