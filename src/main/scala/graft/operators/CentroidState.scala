@@ -87,6 +87,16 @@ private[operators] object CentroidState {
   def nearestCellHof(vec: Column, cents: Seq[Cent]): Column =
     array_min(scoredCells(vec, toLit(cents))).getField("cell")
 
+  /** `map<cell, cvec>` literal — O(clusters·dim) driver state; lets a
+    * residual `v − c(cell)` compute as a pure expression
+    * (`zip_with(vec, element_at(map, cell), _ - _)`). The per-row map
+    * lookup is a linear scan over `clusters` entries — the same
+    * O(clusters·dim) per row the assignment kernel already pays.
+    */
+  def cvecMap(cents: Seq[Cent]): Column =
+    map_from_entries(transform(toLit(cents),
+      c => struct(c.getField("cell"), c.getField("cvec"))))
+
   /** The `nProbe` nearest cell ids, nearest first. Query-side only
     * (`queries · clusters` evaluations), so the expression formulation
     * is kept — it shares `scoredCells` with the [[nearestCellHof]]

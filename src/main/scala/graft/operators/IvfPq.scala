@@ -70,6 +70,64 @@ object IvfPq {
       Seq(col("approx_dist").asc, col("neighbor").asc), k)
   }
 
+  /** Residual-encoded IVF+PQ — the FAISS `IVFx,PQy` default (IVFADC,
+    * Jégou et al., "Product Quantization for Nearest Neighbor Search",
+    * TPAMI 2011): PQ codebooks train on RESIDUALS `v − c(cell)` instead
+    * of whole vectors, so the codes spend their entropy on the
+    * within-cell displacement — the coarse quantizer already explains
+    * the between-cell variance that [[search]]'s global codebooks waste
+    * code range on. The cost structure is the classic IVFADC one: each
+    * query computes one ADC table PER PROBED CELL (its residual differs
+    * by cell), `nProbe·m·codes` doubles per query — still
+    * broadcast-sized; the probe join on `cell` pairs each encoded
+    * corpus row with exactly its own cell's table. Training, encoding,
+    * and search stay deterministic (float residuals, decimal means), so
+    * the whole chain is SQL-replayable (q142's oracle).
+    * @return (qid, neighbor, approx_dist)
+    */
+  def searchResidual(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, clusters: Int, nProbe: Int, m: Int, dim: Int, codes: Int,
+      coarseIters: Int = 1, pqIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val corpus = CentroidState.ensureCached(corpus0)
+    val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
+    val cmap = CentroidState.cvecMap(coarse)
+    def residual(vec: org.apache.spark.sql.Column,
+        cell: org.apache.spark.sql.Column) =
+      zip_with(vec, element_at(cmap, cell), (a, b) => a - b)
+    // residual frame feeds PQ training, encoding, and nothing else —
+    // float-typed so the trained state is bit-replayable in SQL
+    val resid = CentroidState.ensureCached(
+      corpus.select(col(idCol), col(vecCol),
+          CentroidState.nearestCell(col(vecCol), coarse).as("cell"))
+        .select(col(idCol), col("cell"),
+          residual(col(vecCol), col("cell")).as("rv")))
+    val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
+      pqIters)
+    val encoded = resid.select(col(idCol), col("cell"),
+      ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"))
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = qcached
+      .select(col(qidCol), col(qvecCol),
+        explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
+          .as("cell"))
+      .select(col(qidCol), col("cell"),
+        ProductQuantizer
+          .tablesExpr(residual(col(qvecCol), col("cell")), cb, m, dim)
+          .as("tables"))
+    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = m.toLong * codes * 8L + 64L)
+      .join(encoded, "cell")
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        aggregate(
+          zip_with(col("codes"), col("tables"), (c, t) => element_at(t, c)),
+          lit(0.0), (acc, x) => acc + x).as("approx_dist"))
+    Dedup.topKPerKey(scored, Seq(qidCol),
+      Seq(col("approx_dist").asc, col("neighbor").asc), k)
+  }
+
   /** The composed index's ONE corpus projection: coarse routing cell +
     * PQ codes per row — what [[writeIndex]] materializes and
     * [[appendIndex]] computes for a delta.

@@ -55,22 +55,27 @@ object LshIndex {
       path: String): Unit =
     Tables.overwrite(bandRows(corpus, idCol, shCol), path)
 
-  /** Probe the persisted index with a delta batch: distinct
-    * `(deltaId, indexId)` pairs sharing any band bucket. Only the
-    * index rows whose buckets collide ever leave the scan; pending
-    * logical deletes ([[delete]]) are filtered with a broadcast
-    * anti-join against the (compaction-bounded) tombstone set.
+  /** The probe join shared by every serving tier: delta band rows
+    * equi-joined to an index frame on `(band, bkt)`.
     */
-  def candidates(spark: SparkSession, path: String, delta: DataFrame,
-      idCol: String, shCol: String): DataFrame = {
-    val index = graft.sources.Tombstones
-      .filterLive(spark, path, spark.read.parquet(path), idCol)
+  private def probe(index: DataFrame, delta: DataFrame, idCol: String,
+      shCol: String): DataFrame =
     bandRows(delta, idCol, shCol).as("d")
       .join(index.as("c"),
         col("d.band") === col("c.band") && col("d.bkt") === col("c.bkt"))
       .select(col(s"d.$idCol").as("deltaId"), col(s"c.$idCol").as("indexId"))
-      .distinct()
-  }
+
+  /** Probe the persisted index with a delta batch: distinct
+    * `(deltaId, indexId)` pairs sharing any band bucket. Only the
+    * index rows whose buckets collide ever leave the scan; pending
+    * logical deletes ([[delete]]) are filtered with an anti-join
+    * against the (compaction-bounded) tombstone set.
+    */
+  def candidates(spark: SparkSession, path: String, delta: DataFrame,
+      idCol: String, shCol: String): DataFrame =
+    probe(graft.sources.Tombstones
+        .filterLive(spark, path, spark.read.parquet(path), idCol),
+      delta, idCol, shCol).distinct()
 
   /** LOGICAL delete of documents from the index — the shared
     * [[graft.sources.Tombstones]] mechanics: O(|deletes|) append-only
@@ -161,12 +166,44 @@ object LshIndex {
     * bucket layout. Either way the index never moves.
     */
   def candidatesBucketed(spark: SparkSession, table: String,
+      delta: DataFrame, idCol: String, shCol: String): DataFrame =
+    probe(spark.table(table), delta, idCol, shCol).distinct()
+
+  /** [[compactBucketed]] PLUS ingest-tier truncation — the two-tier
+    * (lambda) layout rollover: after this call `table` serves the
+    * compacted bulk and `path` is an EMPTY band-rows dir that receives
+    * subsequent [[append]]s, which [[candidatesHybrid]] probes
+    * alongside the table. Truncation publishes through the crash-safe
+    * swap; pending tombstones were applied physically into the table,
+    * so clearing them with the old path dir is correct.
+    */
+  def compactBucketedAndTruncate(spark: SparkSession, path: String,
+      table: String, buckets: Int, idCol: String): Unit = {
+    compactBucketed(spark, path, table, buckets, idCol)
+    val staged = path + ".__truncate__"
+    spark.read.parquet(path).limit(0).coalesce(1)
+      .write.mode("overwrite").parquet(staged)
+    Tables.publish(spark, staged, path)
+  }
+
+  /** Probe BOTH tiers of a [[compactBucketedAndTruncate]] layout in one
+    * pass — the steady-state serving shape at 100 TB: the bucketed
+    * table side plans exchange-free (the corpus never moves), the
+    * path side holds only band rows appended since the last rollover
+    * (small — broadcasts or shuffles cheaply), and deletes written
+    * AFTER the rollover mask rows in EITHER tier (the path's marker
+    * set applies to both). Admission semantics are identical to the
+    * single-tier [[candidates]] — pinned by the q141 oracle, which is
+    * the sequential-recurrence SQL with no notion of tiers.
+    */
+  def candidatesHybrid(spark: SparkSession, table: String, path: String,
       delta: DataFrame, idCol: String, shCol: String): DataFrame = {
-    val index = spark.table(table)
-    bandRows(delta, idCol, shCol).as("d")
-      .join(index.as("c"),
-        col("d.band") === col("c.band") && col("d.bkt") === col("c.bkt"))
-      .select(col(s"d.$idCol").as("deltaId"), col(s"c.$idCol").as("indexId"))
+    import graft.sources.Tombstones
+    probe(Tombstones.filterLive(spark, path, spark.table(table), idCol),
+        delta, idCol, shCol)
+      .unionByName(probe(
+        Tombstones.filterLive(spark, path, spark.read.parquet(path), idCol),
+        delta, idCol, shCol))
       .distinct()
   }
 }

@@ -680,7 +680,13 @@ object DedupQueries {
     * layers directly on top (one wave per micro-batch via foreachBatch);
     * the semantics under test — state recurrence — are identical.
     */
-  val lshSequential: QuerySpec = {
+  /** The sequential-admission oracle for an arbitrary wave split —
+    * shared by q131 (single-tier index) and q141 (two-tier bucketed +
+    * delta layout): the recurrence idxᵢ = idxᵢ₋₁ ∪ admittedᵢ has no
+    * notion of physical tiers, which is exactly the claim the q141
+    * gate makes.
+    */
+  private def lshSequentialSql(wavesList: Seq[(Int, Int)]): String = {
     def candSql(i: Int, lo: Int, hi: Int) =
       s"""cand$i AS (
         |  SELECT DISTINCT d.doc_id AS did, x.doc_id AS cid
@@ -704,36 +710,71 @@ object DedupQueries {
         |  UNION ALL
         |  SELECT bk.doc_id, band, bkt FROM bk
         |  JOIN agg$i a ON bk.doc_id = a.doc_id WHERE a.n_dups = 0)""".stripMargin
-    val waves = SeqWaves.zipWithIndex
+    val waves = wavesList.zipWithIndex
       .map { case ((lo, hi), i) => candSql(i + 1, lo, hi) }.mkString(",\n")
-    val unions = SeqWaves.indices
+    val unions = wavesList.indices
       .map(i => s"SELECT CAST(${i + 1} AS BIGINT) AS batch, * FROM agg${i + 1}")
       .mkString("\n  UNION ALL ")
+    s"""WITH t AS (
+      |  SELECT doc_id, $tokSql AS toks,
+      |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
+      |  FROM documents),
+      |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, bucket, sh,
+      |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, bucket, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |idx0 AS (SELECT doc_id, band, bkt FROM bk WHERE bucket < 80),
+      |$waves,
+      |adm AS ($unions),
+      |st AS (
+      |  SELECT CAST(${MinHashLSH.Bands} * (
+      |      (SELECT count(*) FROM t WHERE bucket < 80)
+      |      + (SELECT count(*) FROM adm WHERE n_dups = 0)) AS BIGINT)
+      |    AS index_rows_after)
+      |SELECT doc_id, batch, n_candidates, n_dups, n_dups = 0 AS admitted,
+      |  st.index_rows_after
+      |FROM adm CROSS JOIN st
+      |ORDER BY doc_id""".stripMargin
+  }
+
+  /** One arrival wave's admission stats against the probe result
+    * `cand`, MATERIALIZED (lineage-truncated) before returning — a
+    * lazy stats frame re-executed after the index grew would silently
+    * change its answer (q131's read-your-predecessors'-writes
+    * discipline). Shared by q131/q141.
+    */
+  private def waveStats(docs: DataFrame, wave: DataFrame, cand: DataFrame,
+      batch: Int): DataFrame = {
+    val idxSh = docs
+      .join(cand.select(col("indexId").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_semi")
+      .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+    val ver = cand
+      .select(col("deltaId").as("did"), col("indexId").as("cid"))
+      .join(wave.select(col("doc_id").as("did"), col("sh").as("__shd")),
+        "did")
+      .join(idxSh, "cid")
+      .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
+    val stats = wave.select(col("doc_id"))
+      .join(ver.groupBy(col("did").as("doc_id"))
+          .agg(count(lit(1)).as("nc"),
+            sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), lit(batch.toLong).as("batch"),
+        coalesce(col("nc"), lit(0L)).as("n_candidates"),
+        coalesce(col("nd"), lit(0L)).as("n_dups"))
+      .withColumn("admitted", col("n_dups") === 0L)
+      .transform(graft.CacheScope.cacheTruncated)
+    stats.count() // pin the probe's answer BEFORE the index grows
+    stats
+  }
+
+  val lshSequential: QuerySpec = {
     QuerySpec.sql(
-      "q131_lsh_sequential",
-      s"""WITH t AS (
-        |  SELECT doc_id, $tokSql AS toks,
-        |    ((doc_id % 1000003) * 2654435761) % 100 AS bucket
-        |  FROM documents),
-        |shs AS (SELECT doc_id, bucket, $shinglesSql AS sh FROM t),
-        |sig AS (SELECT doc_id, bucket, sh,
-        |  ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
-        |bk AS (
-        |  SELECT doc_id, bucket, b.band,
-        |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
-        |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
-        |idx0 AS (SELECT doc_id, band, bkt FROM bk WHERE bucket < 80),
-        |$waves,
-        |adm AS ($unions),
-        |st AS (
-        |  SELECT CAST(${MinHashLSH.Bands} * (
-        |      (SELECT count(*) FROM t WHERE bucket < 80)
-        |      + (SELECT count(*) FROM adm WHERE n_dups = 0)) AS BIGINT)
-        |    AS index_rows_after)
-        |SELECT doc_id, batch, n_candidates, n_dups, n_dups = 0 AS admitted,
-        |  st.index_rows_after
-        |FROM adm CROSS JOIN st
-        |ORDER BY doc_id""".stripMargin
+      "q131_lsh_sequential", lshSequentialSql(SeqWaves)
     ) { (spark, dir) =>
       import graft.operators.LshIndex
       val docs = Tables.load(spark, dir, "documents")
@@ -746,27 +787,7 @@ object DedupQueries {
       val perWave = SeqWaves.zipWithIndex.map { case ((lo, hi), i) =>
         val wave = docs.filter(col("bucket") >= lo && col("bucket") < hi)
         val cand = LshIndex.candidates(spark, path, wave, "doc_id", "sh")
-        val idxSh = docs
-          .join(cand.select(col("indexId").as("doc_id")).distinct(),
-            Seq("doc_id"), "left_semi")
-          .select(col("doc_id").as("cid"), col("sh").as("__shc"))
-        val ver = cand
-          .select(col("deltaId").as("did"), col("indexId").as("cid"))
-          .join(wave.select(col("doc_id").as("did"), col("sh").as("__shd")),
-            "did")
-          .join(idxSh, "cid")
-          .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
-        val stats = wave.select(col("doc_id"))
-          .join(ver.groupBy(col("did").as("doc_id"))
-              .agg(count(lit(1)).as("nc"),
-                sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
-            Seq("doc_id"), "left")
-          .select(col("doc_id"), lit((i + 1).toLong).as("batch"),
-            coalesce(col("nc"), lit(0L)).as("n_candidates"),
-            coalesce(col("nd"), lit(0L)).as("n_dups"))
-          .withColumn("admitted", col("n_dups") === 0L)
-          .transform(graft.CacheScope.cacheTruncated)
-        stats.count() // pin the probe's answer BEFORE the index grows
+        val stats = waveStats(docs, wave, cand, i + 1)
         LshIndex.append(
           wave.join(stats.filter(col("admitted")).select(col("doc_id")),
             Seq("doc_id"), "left_semi"),
@@ -779,6 +800,60 @@ object DedupQueries {
         .crossJoin(broadcast(after))
         .orderBy(col("doc_id"))
     }
+  }
+
+  /** q141's arrival waves ([lo, hi) bucket ranges, admitted in order). */
+  private val TieredWaves = Seq((80, 90), (90, 100))
+
+  /** Two-tier (lambda) serving for the dedup index
+    * ([[graft.operators.LshIndex.compactBucketedAndTruncate]] +
+    * [[graft.operators.LshIndex.candidatesHybrid]]): the compacted
+    * bulk lives in the `(band, bkt)`-bucketed catalog table — the
+    * exchange-free probe side q140 pins — while the ingest path dir is
+    * truncated to EMPTY and receives each wave's admitted band rows;
+    * every probe spans BOTH tiers. This is the steady-state continuous-
+    * ingest shape at 100 TB: the corpus-sized side never moves, the
+    * delta tier stays rollover-bounded, and periodic
+    * `compactBucketedAndTruncate` folds the delta into the bulk. The
+    * oracle is the q131 sequential recurrence over this wave split —
+    * the recurrence has no notion of tiers, so a hash-equal row set
+    * proves the two-tier layout changes NOTHING about admission
+    * semantics while `index_rows_after` (table + path rows read back
+    * from both tiers) proves the rollover/append bookkeeping.
+    */
+  val lshTieredServing: QuerySpec = QuerySpec.sql(
+    "q141_lsh_tiered", lshSequentialSql(TieredWaves)
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val path = graft.Scratch.fresh("q141") + "/lsh_delta"
+    val table = "q141_lsh_bulk"
+    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+    // rollover: bulk -> bucketed table, ingest tier truncated to empty
+    LshIndex.compactBucketedAndTruncate(spark, path, table,
+      buckets = 16, "doc_id")
+    val perWave = TieredWaves.zipWithIndex.map { case ((lo, hi), i) =>
+      val wave = docs.filter(col("bucket") >= lo && col("bucket") < hi)
+      val cand = LshIndex.candidatesHybrid(spark, table, path, wave,
+        "doc_id", "sh")
+      val stats = waveStats(docs, wave, cand, i + 1)
+      LshIndex.append(
+        wave.join(stats.filter(col("admitted")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "sh", path)
+      stats
+    }
+    // the index is the UNION of both tiers — count rows across them
+    val after = spark.table(table).select(col("doc_id"))
+      .unionByName(spark.read.parquet(path).select(col("doc_id")))
+      .agg(count(lit(1)).as("index_rows_after"))
+    perWave.reduce(_ unionByName _)
+      .crossJoin(broadcast(after))
+      .orderBy(col("doc_id"))
   }
 
   /** The right-to-be-forgotten leg for the dedup index
@@ -1051,5 +1126,5 @@ object DedupQueries {
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
-      lshVersioned, lshBucketedAdmission)
+      lshVersioned, lshBucketedAdmission, lshTieredServing)
 }

@@ -617,7 +617,7 @@ object SimilarityQueries {
     * is already in scope.
     */
   private def pqCtes(m: Int, dim: Int, codes: Int, iters: Int,
-      nQueries: Int): String = {
+      nQueries: Int, src: String = "corpus", vcol: String = "embedding"): String = {
     import Vectors.dotSql
     val sub = dim / m
     def assign(name: String, cents: String, outCol: String) =
@@ -645,11 +645,11 @@ object SimilarityQueries {
     }.mkString(",\n")
     s"""subvecs AS (
       |  SELECT vec_id, s.m AS m,
-      |    list_slice(embedding, s.m * $sub + 1, s.m * $sub + $sub) AS sv
-      |  FROM corpus CROSS JOIN range(0, $m) s(m)),
+      |    list_slice($vcol, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM $src CROSS JOIN range(0, $m) s(m)),
       |seeds AS (
       |  SELECT vec_id, CAST(row_number() OVER (ORDER BY vec_id) AS INT) AS cell
-      |  FROM (SELECT vec_id FROM corpus ORDER BY vec_id LIMIT $codes) z),
+      |  FROM (SELECT vec_id FROM $src ORDER BY vec_id LIMIT $codes) z),
       |p0 AS (
       |  SELECT sv.m, s.cell, sv.sv AS cvec
       |  FROM seeds s JOIN subvecs sv USING (vec_id)),
@@ -1517,6 +1517,90 @@ object SimilarityQueries {
     }
   }
 
+  /** q142 oracle: the residual IVFADC chain — coarse training and
+    * assignment ([[coarseCtes]]), residual vectors under the assigned
+    * cell, PQ training/encoding over the residuals (the parameterized
+    * [[pqCtes]] with `src = rv`), per-(query, probed-cell) residual ADC
+    * tables, and scoring restricted to probed cells with the table
+    * paired by cell.
+    */
+  private def ivfPqResidualOracleSql(clusters: Int, nProbe: Int,
+      coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
+      k: Int, nQueries: Int): String = {
+    import Vectors.dotSql
+    val sub = dim / m
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, coarseIters, dim, nQueries)},
+      |rv AS (
+      |  SELECT f.vec_id, f.cell,
+      |    [CAST(v.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM af f JOIN corpus v USING (vec_id)
+      |  JOIN c${coarseIters}n c ON c.cell = f.cell),
+      |${pqCtes(m, dim, codes, pqIters, nQueries, src = "rv", vcol = "rv")},
+      |qrv AS (
+      |  SELECT p.qid, p.cell,
+      |    [CAST(q.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM probes p JOIN corpus q ON q.vec_id = p.qid
+      |  JOIN c${coarseIters}n c ON c.cell = p.cell),
+      |qsub AS (
+      |  SELECT qid, cell, s.m AS m,
+      |    list_slice(rv, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM qrv CROSS JOIN range(0, $m) s(m)),
+      |adc_res AS (
+      |  SELECT v.qid, v.cell, v.m, c.cell AS code_cell,
+      |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
+      |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
+      |  FROM qsub v JOIN p${pqIters}n c ON v.m = c.m),
+      |scored AS (
+      |  SELECT a.qid, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc e
+      |  JOIN af f ON f.vec_id = e.vec_id
+      |  JOIN adc_res a ON a.cell = f.cell AND a.m = e.m
+      |    AND a.code_cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, e.vec_id)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
+  /** Residual-encoded IVF+PQ
+    * ([[graft.operators.IvfPq.searchResidual]]) — the FAISS `IVFx,PQy`
+    * default (IVFADC): PQ codebooks train on residuals `v − c(cell)`,
+    * spending code entropy on within-cell displacement instead of the
+    * between-cell variance the coarse quantizer already explains; each
+    * query carries one ADC table per probed cell and the probe join on
+    * `cell` pairs every encoded row with exactly its own cell's table.
+    * Same determinism contract as q85, so the oracle replays coarse
+    * training, residual computation, residual-PQ training, encoding,
+    * and per-cell ADC scoring — the full IVFADC chain hash-matched.
+    */
+  val ivfPqResidual: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    QuerySpec.sql(
+      "q142_ivfpq_residual",
+      ivfPqResidualOracleSql(clusters, nProbe, coarseIters, m, dim, codes,
+        pqIters, k, nQ)
+    ) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq
+        .searchResidual(corpus, "vec_id", "embedding", queries, "qid", "qv",
+          k = k, clusters = clusters, nProbe = nProbe, m = m, dim = dim,
+          codes = codes, coarseIters = coarseIters, pqIters = pqIters)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
     * block-checksum gate: per-asset feature vectors (the deterministic
@@ -1563,5 +1647,5 @@ object SimilarityQueries {
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
-    tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate)
+    tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual)
 }

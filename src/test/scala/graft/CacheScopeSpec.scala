@@ -59,7 +59,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q137_lsh_versioned",  // docs + wave-1 admission caches
     "q138_ivfpq_append",   // embeddings cache + writeIndex/searchIndex caches
     "q139_media_ann",      // IvfAnn.search corpus + query caches
-    "q140_lsh_bucketed"    // docs + per-doc admission caches (bucketed probe)
+    "q140_lsh_bucketed",   // docs + per-doc admission caches (bucketed probe)
+    "q141_lsh_tiered",     // docs + per-wave truncated stats caches
+    "q142_ivfpq_residual"  // corpus + residual-frame + query caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -135,6 +135,40 @@ class IvfPqSpec extends SparkTestBase {
     assert(neighbors() === masked)
   }
 
+  test("residual (IVFADC) search keeps same-cluster recall on clustered data") {
+    val k = 5
+    val s = synth(480)
+    val q = s.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val out = IvfPq.searchResidual(s, "vec_id", "embedding", q, "qid", "qv",
+        k = k, clusters = 16, nProbe = 2, m = M, dim = Dim, codes = 16,
+        coarseIters = 2, pqIters = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.length === 8 * k)
+    val sameCluster = out.count { case (qid, nb) => qid % 16 == nb % 16 }
+    assert(sameCluster.toDouble / out.length >= 0.9,
+      s"same-cluster fraction ${sameCluster.toDouble / out.length}")
+  }
+
+  test("residual codes differ from global codes (entropy goes to displacement)") {
+    // sanity that the residual path is not silently the global path:
+    // on clustered data the two encodings disagree for most vectors
+    val s = synth(240)
+    val q = s.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    def dists(f: => org.apache.spark.sql.DataFrame) =
+      f.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val global = dists(IvfPq.search(s, "vec_id", "embedding", q, "qid", "qv",
+      k = 3, clusters = 16, nProbe = 2, m = M, dim = Dim, codes = 16,
+      coarseIters = 2, pqIters = 1))
+    val residual = dists(IvfPq.searchResidual(s, "vec_id", "embedding",
+      q, "qid", "qv", k = 3, clusters = 16, nProbe = 2, m = M, dim = Dim,
+      codes = 16, coarseIters = 2, pqIters = 1))
+    assert(global.nonEmpty && residual.nonEmpty)
+    assert(global !== residual, "residual encoding produced identical " +
+      "ADC distances to global-codebook encoding")
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,

@@ -146,6 +146,45 @@ class LshIndexSpec extends SparkTestBase {
     }
   }
 
+  test("two-tier rollover: truncated ingest path + bucketed bulk serve " +
+      "as one index") {
+    val path = graft.Scratch.fresh("lshindex_tiered") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val table = "lsh_tiered_spec_bulk"
+    try {
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      // ingest tier is empty (schema preserved), bulk holds everything
+      assert(spark.read.parquet(path).count() === 0L)
+      assert(spark.table(table).count() === 2L * MinHashLSH.Bands)
+      def hybrid(probe: org.apache.spark.sql.DataFrame) =
+        LshIndex.candidatesHybrid(spark, table, path, probe, "doc_id", "sh")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val dupOf10 = withSh(Seq(
+        20L -> "shared text body one two three four five six seven"))
+      assert(hybrid(dupOf10).contains((20L, 10L)),
+        "bulk-tier rows must serve after the rollover")
+      // a post-rollover admission lands in the path tier…
+      LshIndex.append(
+        withSh(Seq(30L -> "a wholly new document admitted after rollover")),
+        "doc_id", "sh", path)
+      val dupOf30 = withSh(Seq(
+        40L -> "a wholly new document admitted after rollover"))
+      assert(hybrid(dupOf30).contains((40L, 30L)),
+        "delta-tier rows must serve immediately")
+      // …and a post-rollover delete masks BULK rows too
+      import spark.implicits._
+      LshIndex.delete(spark, path, Seq(10L).toDF("doc_id"), "doc_id")
+      assert(!hybrid(dupOf10).exists(_._2 == 10L),
+        "a delete after the rollover must mask the bulk tier")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("compact coalesces append fragments without changing content") {
     val path = graft.Scratch.fresh("lshindex_compact") + "/idx"
     val docs = (0L until 6L).map(i =>
