@@ -99,10 +99,7 @@ object IvfPq {
     // residual frame feeds PQ training, encoding, and nothing else —
     // float-typed so the trained state is bit-replayable in SQL
     val resid = CentroidState.ensureCached(
-      corpus.select(col(idCol), col(vecCol),
-          CentroidState.nearestCell(col(vecCol), coarse).as("cell"))
-        .select(col(idCol), col("cell"),
-          residual(col(vecCol), col("cell")).as("rv")))
+      residualRows(corpus, idCol, vecCol, coarse))
     val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
       pqIters)
     val encoded = resid.select(col(idCol), col("cell"),
@@ -209,6 +206,120 @@ object IvfPq {
   def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
     graft.sources.Tombstones.read(spark, s"$dir/cells")
 
+  /** Flag file marking a [[writeIndexResidual]] directory: the stored
+    * codes are residual-encoded and MUST be searched with per-cell
+    * residual ADC tables — a global-table search over residual codes
+    * (or vice versa) returns garbage silently, so both search entry
+    * points validate the flag.
+    */
+  private def residualFlag(spark: SparkSession, dir: String) = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_residual_codes")
+    (p, p.getFileSystem(spark.sparkContext.hadoopConfiguration))
+  }
+
+  private def requireEncoding(spark: SparkSession, dir: String,
+      residual: Boolean): Unit = {
+    val (p, fs) = residualFlag(spark, dir)
+    require(fs.exists(p) == residual,
+      if (residual) s"$dir stores GLOBAL-codebook codes — use searchIndex"
+      else s"$dir stores RESIDUAL codes — use searchIndexResidual")
+  }
+
+  /** [[writeIndex]] with RESIDUAL encoding ([[searchResidual]]'s
+    * contract, persisted): codebooks train on `v − c(cell)` and the
+    * stored codes are residuals — the persisted IVFADC index. The
+    * layout carries a `_residual_codes` flag so the search entry
+    * points cannot be mixed up silently.
+    */
+  def writeIndexResidual(corpus0: DataFrame, idCol: String, vecCol: String,
+      dir: String, clusters: Int, m: Int, dim: Int, codes: Int,
+      coarseIters: Int = 1, pqIters: Int = 1): Unit = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    val spark = corpus0.sparkSession
+    val corpus = CentroidState.ensureCached(corpus0)
+    val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
+    val resid = CentroidState.ensureCached(
+      residualRows(corpus, idCol, vecCol, coarse))
+    val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
+      pqIters)
+    resid.select(col(idCol),
+        ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"),
+        col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+    CentroidState.toDF(spark, coarse).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/coarse")
+    ProductQuantizer.toDF(spark, cb).coalesce(1)
+      .write.mode("overwrite").parquet(s"$dir/codebook")
+    val (p, fs) = residualFlag(spark, dir)
+    fs.create(p, true).close()
+  }
+
+  /** `(idCol, cell, rv)` — each vector's assigned cell and float
+    * residual under it.
+    */
+  private def residualRows(vecs: DataFrame, idCol: String, vecCol: String,
+      coarse: Seq[Cent]): DataFrame = {
+    val cmap = CentroidState.cvecMap(coarse)
+    vecs.select(col(idCol), col(vecCol),
+        CentroidState.nearestCell(col(vecCol), coarse).as("cell"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), element_at(cmap, col("cell")),
+          (a, b) => a - b).as("rv"))
+  }
+
+  /** O(|delta|) append to a RESIDUAL index — route by the stored
+    * coarse quantizer, residual-encode with the stored codebooks,
+    * land as new files; stale tombstones for re-admitted ids clear.
+    */
+  def appendIndexResidual(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    requireEncoding(spark, dir, residual = true)
+    val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
+    residualRows(delta, idCol, vecCol, coarse)
+      .select(col(idCol),
+        ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"),
+        col("cell"))
+      .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
+    graft.sources.Tombstones.unmark(spark, s"$dir/cells", delta, idCol)
+  }
+
+  /** [[searchResidual]] against a [[writeIndexResidual]] directory:
+    * per-(query, probed cell) residual ADC tables, partition-pruned
+    * codes read, tombstone masking, bounded-heap top-k.
+    * @return (qid, neighbor, approx_dist)
+    */
+  def searchIndexResidual(spark: SparkSession, dir: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int): DataFrame = {
+    requireEncoding(spark, dir, residual = true)
+    val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
+    val cmap = CentroidState.cvecMap(coarse)
+    val qcached = CentroidState.ensureCached(queries)
+    val probed = CentroidState.ensureCached(qcached
+      .select(col(qidCol), col(qvecCol),
+        explode(CentroidState.nearestCells(col(qvecCol), coarse, nProbe))
+          .as("cell"))
+      .select(col(qidCol), col("cell"),
+        ProductQuantizer.tablesExpr(
+          zip_with(col(qvecCol), element_at(cmap, col("cell")),
+            (a, b) => a - b), cb, m, dim).as("tables")))
+    val wanted = probed.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val corpus = graft.sources.Tombstones.filterLive(spark, s"$dir/cells",
+      IvfAnn.readCells(spark, s"$dir/cells", wanted), idCol)
+    val scored = IvfAnn.probeSide(probed, qcached.count() * nProbe,
+        bytesPerRow = m.toLong * cb.head.size * 8L + 64L)
+      .join(corpus, "cell")
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        aggregate(
+          zip_with(col("codes"), col("tables"), (c, t) => element_at(t, c)),
+          lit(0.0), (acc, x) => acc + x).as("approx_dist"))
+    Dedup.topKPerKey(scored, Seq(qidCol),
+      Seq(col("approx_dist").asc, col("neighbor").asc), k)
+  }
+
   /** [[search]] against a [[writeIndex]] directory: probed cells prune
     * the codes READ to their files (partition pruning — I/O tracks
     * `nProbe / clusters` of the index), scoring is ADC table lookups
@@ -220,6 +331,7 @@ object IvfPq {
   def searchIndex(spark: SparkSession, dir: String, idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, nProbe: Int): DataFrame = {
+    requireEncoding(spark, dir, residual = false)
     val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
     val qcached = CentroidState.ensureCached(queries)
     val probed = CentroidState.ensureCached(qcached.select(col(qidCol),

@@ -802,6 +802,75 @@ object DedupQueries {
     }
   }
 
+  /** q131's order-dependent admission driven by a REAL Structured
+    * Streaming ingest — the q119 pattern for the dedup family, with
+    * the extra constraint q119 didn't have: LSH admission is
+    * arrival-ORDER-dependent (an admitted wave-1 doc must gate wave 2),
+    * so each wave is materialized as ONE file with ascending
+    * modification times — `AvailableNow` + `maxFilesPerTrigger=1`
+    * delivers files oldest-first, making micro-batch order the arrival
+    * order. Each `foreachBatch` runs the full probe → Jaccard-verify →
+    * append admission against the index state its predecessors left,
+    * and materializes its stats BEFORE its append (the q131
+    * discipline, unchanged inside a stream). The oracle is the same
+    * sequential recurrence as q131 — a hash-equal row set proves
+    * micro-batching changed nothing about the state machine. This is
+    * the production shape: continuous dedup-at-ingest as a streaming
+    * job, per-batch cost O(|batch| + collisions).
+    */
+  val lshStreamed: QuerySpec = QuerySpec.sql(
+    "q143_lsh_stream", lshSequentialSql(SeqWaves)
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val root = graft.Scratch.fresh("q143")
+    val path = root + "/lsh_index"
+    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+    // one file per wave, mtimes ascending: micro-batch order = arrival order
+    val wavesDir = root + "/waves"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wavesDir))
+    SeqWaves.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = root + s"/wave_tmp$i"
+      docs.filter(col("bucket") >= lo && col("bucket") < hi)
+        .select(col("doc_id"), col("sh"))
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(_.getName.startsWith("part-")).get
+      val dst = java.nio.file.Paths.get(wavesDir, f"wave$i%04d.parquet")
+      java.nio.file.Files.move(part.toPath, dst)
+      java.nio.file.Files.setLastModifiedTime(dst,
+        java.nio.file.attribute.FileTime.fromMillis(
+          1700000000000L + i * 60000L))
+    }
+    val statsBuf = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+    val q = spark.readStream
+      .schema(spark.read.parquet(s"$wavesDir/wave0000.parquet").schema)
+      .option("maxFilesPerTrigger", 1).parquet(wavesDir)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val cand = LshIndex.candidates(spark, path, batch, "doc_id", "sh")
+        val stats = waveStats(docs, batch, cand, batchId.toInt + 1)
+        LshIndex.append(
+          batch.join(stats.filter(col("admitted")).select(col("doc_id")),
+            Seq("doc_id"), "left_semi"),
+          "doc_id", "sh", path)
+        statsBuf += stats
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val after = spark.read.parquet(path)
+      .agg(count(lit(1)).as("index_rows_after"))
+    statsBuf.reduce(_ unionByName _)
+      .crossJoin(broadcast(after))
+      .orderBy(col("doc_id"))
+  }
+
   /** q141's arrival waves ([lo, hi) bucket ranges, admitted in order). */
   private val TieredWaves = Seq((80, 90), (90, 100))
 
@@ -1126,5 +1195,5 @@ object DedupQueries {
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
-      lshVersioned, lshBucketedAdmission, lshTieredServing)
+      lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed)
 }

@@ -1601,6 +1601,127 @@ object SimilarityQueries {
     }
   }
 
+  /** q144 oracle: the persisted-residual-index end state — coarse and
+    * residual-PQ training on the BASE slice, residual encoding and
+    * probing over the FULL set (q138's base/full split applied to the
+    * q142 residual chain).
+    */
+  private def ivfPqResidualAppendOracleSql(clusters: Int, nProbe: Int,
+      coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
+      k: Int, nQueries: Int): String = {
+    import Vectors.dotSql
+    val sub = dim / m
+    s"""WITH corpus AS (
+      |  SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0),
+      |allv AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbe, coarseIters, dim, nQueries)},
+      |rv AS (
+      |  SELECT f.vec_id, f.cell,
+      |    [CAST(v.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM af f JOIN corpus v USING (vec_id)
+      |  JOIN c${coarseIters}n c ON c.cell = f.cell),
+      |${pqCtes(m, dim, codes, pqIters, nQueries, src = "rv", vcol = "rv")},
+      |af_all AS (
+      |  SELECT vec_id, cell FROM (
+      |    SELECT v.vec_id, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM allv v CROSS JOIN c${coarseIters}n c) t WHERE rk = 1),
+      |probes_all AS (
+      |  SELECT qid, cell FROM (
+      |    SELECT v.vec_id AS qid, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.embedding", "c.cvec")}, c.cell) AS rk
+      |    FROM allv v CROSS JOIN c${coarseIters}n c
+      |    WHERE v.vec_id < $nQueries) t WHERE rk <= $nProbe),
+      |rv_all AS (
+      |  SELECT f.vec_id, f.cell,
+      |    [CAST(v.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM af_all f JOIN allv v USING (vec_id)
+      |  JOIN c${coarseIters}n c ON c.cell = f.cell),
+      |sub_all AS (
+      |  SELECT vec_id, s.m AS m,
+      |    list_slice(rv, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM rv_all CROSS JOIN range(0, $m) s(m)),
+      |enc_all AS (
+      |  SELECT vec_id, m, cell AS code FROM (
+      |    SELECT v.vec_id, v.m, c.cell,
+      |      row_number() OVER (PARTITION BY v.vec_id, v.m
+      |        ORDER BY c.cnorm2 - 2.0 * ${dotSql("v.sv", "c.cvec")}, c.cell) AS rk
+      |    FROM sub_all v JOIN p${pqIters}n c ON v.m = c.m) t WHERE rk = 1),
+      |qrv AS (
+      |  SELECT p.qid, p.cell,
+      |    [CAST(q.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM probes_all p JOIN allv q ON q.vec_id = p.qid
+      |  JOIN c${coarseIters}n c ON c.cell = p.cell),
+      |qsub AS (
+      |  SELECT qid, cell, s.m AS m,
+      |    list_slice(rv, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM qrv CROSS JOIN range(0, $m) s(m)),
+      |adc_res AS (
+      |  SELECT v.qid, v.cell, v.m, c.cell AS code_cell,
+      |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
+      |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
+      |  FROM qsub v JOIN p${pqIters}n c ON v.m = c.m),
+      |scored AS (
+      |  SELECT a.qid, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc_all e
+      |  JOIN af_all f ON f.vec_id = e.vec_id
+      |  JOIN adc_res a ON a.cell = f.cell AND a.m = e.m
+      |    AND a.code_cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, e.vec_id)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
+  /** The persisted RESIDUAL index with O(delta) maintenance — q138's
+    * lifecycle applied to q142's encoding, i.e. the complete production
+    * ANN artifact (a maintained on-disk IVFADC index):
+    * [[graft.operators.IvfPq.writeIndexResidual]] trains both
+    * quantizers on the BASE corpus and persists residual codes
+    * cell-partitioned; [[graft.operators.IvfPq.appendIndexResidual]]
+    * routes and residual-encodes the later delta through the STORED
+    * state; [[graft.operators.IvfPq.searchIndexResidual]] reads only
+    * probed cells' codes and scores with per-cell residual ADC tables.
+    * An `_residual_codes` flag makes the encoding part of the layout
+    * contract — mixing the search entry points fails fast instead of
+    * silently returning garbage. Oracle = the q142 residual chain
+    * under the q138 base/full split.
+    */
+  val ivfPqResidualIndex: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    QuerySpec.sql(
+      "q144_ivfpq_residual_index",
+      ivfPqResidualAppendOracleSql(clusters, nProbe, coarseIters, m, dim,
+        codes, pqIters, k, nQ)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+      val idx = graft.Scratch.fresh("q144") + "/ivfpq_res"
+      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
+        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
+        "embedding", idx)
+      val queries = all0.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq.searchIndexResidual(spark, idx, "vec_id",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
     * block-checksum gate: per-asset feature vectors (the deterministic
@@ -1647,5 +1768,6 @@ object SimilarityQueries {
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
-    tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual)
+    tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
+    ivfPqResidualIndex)
 }

@@ -61,7 +61,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q139_media_ann",      // IvfAnn.search corpus + query caches
     "q140_lsh_bucketed",   // docs + per-doc admission caches (bucketed probe)
     "q141_lsh_tiered",     // docs + per-wave truncated stats caches
-    "q142_ivfpq_residual"  // corpus + residual-frame + query caches
+    "q142_ivfpq_residual", // corpus + residual-frame + query caches
+    "q143_lsh_stream",     // docs + per-micro-batch truncated stats caches
+    "q144_ivfpq_residual_index" // embeddings + residual index/search caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

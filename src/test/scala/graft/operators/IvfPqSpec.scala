@@ -169,6 +169,38 @@ class IvfPqSpec extends SparkTestBase {
       "ADC distances to global-codebook encoding")
   }
 
+  test("persisted residual index reproduces in-memory residual search; " +
+      "mixed entry points fail fast") {
+    val idx = graft.Scratch.fresh("ivfpq_res_idx") + "/idx"
+    IvfPq.writeIndexResidual(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    // training is deterministic, so the persisted path must equal the
+    // in-memory one bit-for-bit (same quantizers, same codes)
+    val persisted = rows(IvfPq.searchIndexResidual(spark, idx, "vec_id",
+      queries, "qid", "qv", k = 3, nProbe = 4))
+    val inMemory = rows(IvfPq.searchResidual(corpus, "vec_id", "embedding",
+      queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
+      m = M, dim = Dim, codes = 16))
+    assert(persisted === inMemory)
+    // encoding is part of the layout contract: the global-codebook
+    // search must refuse a residual index (and vice versa), not return
+    // silently wrong distances
+    intercept[IllegalArgumentException] {
+      IvfPq.searchIndex(spark, idx, "vec_id", queries, "qid", "qv",
+        k = 3, nProbe = 4)
+    }
+    val globalIdx = graft.Scratch.fresh("ivfpq_glob_idx") + "/idx"
+    IvfPq.writeIndex(corpus, "vec_id", "embedding", globalIdx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    intercept[IllegalArgumentException] {
+      IvfPq.searchIndexResidual(spark, globalIdx, "vec_id",
+        queries, "qid", "qv", k = 3, nProbe = 4)
+    }
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
