@@ -186,6 +186,57 @@ object LshIndex {
     Tables.publish(spark, staged, path)
   }
 
+  /** Per-doc shingle arrays minus corpus-wide HOT shingles (document
+    * frequency > `capDf`): boilerplate shingles collapse signature
+    * variance and concentrate docs into few hot buckets (the q23
+    * `MaxShingleDf` rationale applied to the index itself). Docs whose
+    * every shingle is hot drop out — they carry no distinguishing
+    * content to dedup by and would otherwise re-pin the hottest
+    * buckets. One explode + one groupBy + one semi-join + one regroup;
+    * shingle sets are order-free (signatures are min-reductions), so
+    * the regrouped order is immaterial.
+    */
+  def dfCapShingles(corpus: DataFrame, idCol: String, shCol: String,
+      capDf: Long): DataFrame = {
+    val ex = corpus.select(col(idCol), explode(col(shCol)).as("__s"))
+    val keep = ex.groupBy(col("__s"))
+      .agg(countDistinct(col(idCol)).as("df"))
+      .filter(col("df") <= capDf)
+      .select(col("__s"))
+    ex.join(keep, Seq("__s"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(collect_list(col("__s")).as(shCol))
+  }
+
+  /** Skew-GATED index rebuild — the decision leg completing the dedup
+    * index's maintenance loop (q128 MEASURES bucket skew; this ACTS on
+    * it — the [[IvfAnn.retrainIfDrifted]] pattern for the LSH family):
+    * the index's total `candidate_pairs` (Σ s·(s−1)/2 over band
+    * buckets — its exact probe-join cost) is computed from the index
+    * rows alone, one O(index) groupBy with no corpus access. When it
+    * exceeds `pairBudget`, the index rebuilds over [[dfCapShingles]]
+    * shingle sets and swaps in through the crash-safe publish chain;
+    * below budget nothing is touched. The expensive path hides behind
+    * the cheap telemetry — q121's discipline.
+    * @return (candidate_pairs observed, whether a rebuild ran)
+    */
+  def rebucketIfSkewed(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, shCol: String,
+      capDf: Long, pairBudget: Long): (Long, Boolean) = {
+    val pairs = spark.read.parquet(path)
+      .groupBy(col("band"), col("bkt")).agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("(s * (s - 1)) div 2")), lit(0L)))
+      .head.getLong(0)
+    if (pairs <= pairBudget) (pairs, false)
+    else {
+      val staged = path + ".__rebucket__"
+      bandRows(dfCapShingles(corpus, idCol, shCol, capDf), idCol, shCol)
+        .write.mode("overwrite").parquet(staged)
+      Tables.publish(spark, staged, path)
+      (pairs, true)
+    }
+  }
+
   /** Probe BOTH tiers of a [[compactBucketedAndTruncate]] layout in one
     * pass — the steady-state serving shape at 100 TB: the bucketed
     * table side plans exchange-free (the corpus never moves), the

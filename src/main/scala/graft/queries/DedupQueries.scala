@@ -871,6 +871,93 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q145's rebuild gate: shingles in more docs than [[RebucketCapDf]]
+    * drop from the rebuilt index; a rebuild runs when the index's total
+    * candidate pairs exceed [[RebucketPairBudget]] (64 — below the
+    * measured totals at every gate SF, so the gate provably exercises
+    * the rebuild branch; the no-rebuild branch is spec-pinned).
+    */
+  val RebucketCapDf = 5L
+  val RebucketPairBudget = 64L
+
+  /** Skew-gated index REBUILD
+    * ([[graft.operators.LshIndex.rebucketIfSkewed]]) — the decision leg
+    * q128's telemetry exists for, closing the dedup index's maintenance
+    * loop the way q121 closes IVF's: the index's total candidate_pairs
+    * (its exact probe-join cost, read from the index rows alone) trips
+    * the pair budget, the index rebuilds over df-capped shingle sets
+    * (corpus-wide hot shingles are boilerplate — they collapse
+    * signature variance and concentrate docs into few hot buckets; docs
+    * with ONLY hot shingles drop out, carrying no content to dedup by),
+    * and the publish swap makes the rollover crash-safe. The oracle
+    * computes the same signal, replays BOTH the original and the
+    * df-capped chains, and selects per the gate's decision — so the
+    * conditional itself is part of the hash-matched contract. Output:
+    * the q128 skew report over the POST-decision index, plus the
+    * observed pair total and the decision.
+    */
+  val lshRebucket: QuerySpec = QuerySpec.sql(
+    "q145_lsh_rebucket",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |shs AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |sig AS (SELECT doc_id, ${MinHashLSH.signatureSql("sh")} AS sig FROM shs),
+      |bk AS (
+      |  SELECT doc_id, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |sz AS (SELECT band, bkt, CAST(count(*) AS BIGINT) AS s
+      |       FROM bk GROUP BY 1, 2),
+      |flag AS (
+      |  SELECT CAST(coalesce(sum(s * (s - 1) // 2), 0) AS BIGINT) AS before_pairs,
+      |    coalesce(sum(s * (s - 1) // 2), 0) > $RebucketPairBudget AS rebuilt
+      |  FROM sz),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM shs),
+      |keep AS (SELECT s FROM ex GROUP BY s
+      |         HAVING count(DISTINCT doc_id) <= $RebucketCapDf),
+      |shc AS (SELECT doc_id, list(s) AS sh
+      |        FROM ex JOIN keep USING (s) GROUP BY doc_id),
+      |sig2 AS (SELECT doc_id, ${MinHashLSH.signatureSql("sh")} AS sig FROM shc),
+      |bk2 AS (
+      |  SELECT doc_id, b.band,
+      |    array_to_string(sig[b.band * ${MinHashLSH.RowsPerBand} + 1 : (b.band + 1) * ${MinHashLSH.RowsPerBand}], '_') AS bkt
+      |  FROM sig2, (SELECT unnest(range(0, ${MinHashLSH.Bands})) AS band) b),
+      |sz2 AS (SELECT band, bkt, CAST(count(*) AS BIGINT) AS s
+      |        FROM bk2 GROUP BY 1, 2),
+      |post AS (
+      |  SELECT * FROM sz2 WHERE (SELECT rebuilt FROM flag)
+      |  UNION ALL
+      |  SELECT * FROM sz WHERE NOT (SELECT rebuilt FROM flag))
+      |SELECT CAST(band AS BIGINT) AS band,
+      |  CAST(count(*) AS BIGINT) AS n_buckets,
+      |  CAST(sum(s) AS BIGINT) AS n_docs,
+      |  CAST(max(s) AS BIGINT) AS max_bucket,
+      |  CAST(sum(s * (s - 1) // 2) AS BIGINT) AS candidate_pairs,
+      |  flag.before_pairs, flag.rebuilt
+      |FROM post CROSS JOIN flag
+      |GROUP BY band, flag.before_pairs, flag.rebuilt
+      |ORDER BY band""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+      .transform(graft.CacheScope.cache)
+    val path = graft.Scratch.fresh("q145") + "/lsh_index"
+    LshIndex.write(docs, "doc_id", "sh", path)
+    val (beforePairs, rebuilt) = LshIndex.rebucketIfSkewed(spark, path,
+      docs, "doc_id", "sh", RebucketCapDf, RebucketPairBudget)
+    spark.read.parquet(path)
+      .groupBy(col("band"), col("bkt")).agg(count(lit(1)).as("s"))
+      .groupBy(col("band").cast("long").as("band"))
+      .agg(count(lit(1)).as("n_buckets"),
+        sum(col("s")).as("n_docs"),
+        max(col("s")).as("max_bucket"),
+        sum(expr("(s * (s - 1)) div 2")).as("candidate_pairs"))
+      .withColumn("before_pairs", lit(beforePairs))
+      .withColumn("rebuilt", lit(rebuilt))
+      .orderBy(col("band"))
+  }
+
   /** q141's arrival waves ([lo, hi) bucket ranges, admitted in order). */
   private val TieredWaves = Seq((80, 90), (90, 100))
 
@@ -1195,5 +1282,6 @@ object DedupQueries {
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
-      lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed)
+      lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
+      lshRebucket)
 }

@@ -63,7 +63,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q141_lsh_tiered",     // docs + per-wave truncated stats caches
     "q142_ivfpq_residual", // corpus + residual-frame + query caches
     "q143_lsh_stream",     // docs + per-micro-batch truncated stats caches
-    "q144_ivfpq_residual_index" // embeddings + residual index/search caches
+    "q144_ivfpq_residual_index", // embeddings + residual index/search caches
+    "q145_lsh_rebucket"    // docs cache through the gated rebuild
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

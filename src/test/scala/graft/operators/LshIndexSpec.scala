@@ -185,6 +185,40 @@ class LshIndexSpec extends SparkTestBase {
     }
   }
 
+  test("rebucketIfSkewed: below budget nothing moves; above it hot " +
+      "shingles drop and pair cost falls") {
+    // two near-identical docs (one hot collision) + one unique doc
+    val docs = withSh(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "totally different content with its own words here"))
+    val path = graft.Scratch.fresh("lshindex_rebucket") + "/idx"
+    LshIndex.write(docs, "doc_id", "sh", path)
+    val before = spark.read.parquet(path)
+      .collect().map(_.toString).sorted.toSeq
+    // generous budget: the gate must NOT fire and must NOT touch files
+    val (pairs1, rebuilt1) = LshIndex.rebucketIfSkewed(spark, path, docs,
+      "doc_id", "sh", capDf = 1L, pairBudget = 1000L)
+    assert(!rebuilt1 && pairs1 > 0)
+    assert(spark.read.parquet(path)
+      .collect().map(_.toString).sorted.toSeq === before)
+    // zero budget: rebuild fires; docs 1/2's shared shingles have df=2
+    // > capDf=1 so they drop out entirely (all-boilerplate), doc 3's
+    // unique shingles survive
+    val (pairs2, rebuilt2) = LshIndex.rebucketIfSkewed(spark, path, docs,
+      "doc_id", "sh", capDf = 1L, pairBudget = 0L)
+    assert(rebuilt2 && pairs2 === pairs1)
+    val after = spark.read.parquet(path)
+    assert(after.select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(3L))
+    // the rebuilt index's probe cost is below the old one
+    val pairsAfter = after
+      .groupBy(col("band"), col("bkt")).agg(count(lit(1)).as("s"))
+      .agg(coalesce(sum(expr("(s * (s - 1)) div 2")), lit(0L)))
+      .head.getLong(0)
+    assert(pairsAfter < pairs1)
+  }
+
   test("compact coalesces append fragments without changing content") {
     val path = graft.Scratch.fresh("lshindex_compact") + "/idx"
     val docs = (0L until 6L).map(i =>
