@@ -320,6 +320,37 @@ object IvfPq {
       Seq(col("approx_dist").asc, col("neighbor").asc), k)
   }
 
+  /** [[searchIndexResidual]] + EXACT re-rank — the standard production
+    * retrieval config (FAISS index + refinement): the codes-only index
+    * scan prunes the corpus to a `refine·k` shortlist per query, and
+    * ONLY those rows' full float vectors are fetched from
+    * `corpus` (a hash join moving `refine·k·queries` rows — at 10 B
+    * vectors this is the only stage touching float data) and re-scored
+    * with the true squared L2, so quantization error affects which
+    * candidates make the shortlist but never their final order
+    * ([[ProductQuantizer.searchRefined]]'s contract, served from the
+    * persisted residual index).
+    * @return (qid, neighbor, dist2) — exact squared L2
+    */
+  def searchIndexResidualRefined(spark: SparkSession, dir: String,
+      idCol: String, vecCol: String, corpus: DataFrame,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, nProbe: Int, refine: Int = 4): DataFrame = {
+    val shortlist = searchIndexResidual(spark, dir, idCol, queries,
+      qidCol, qvecCol, k = refine * k, nProbe = nProbe)
+    val exact = shortlist
+      .join(corpus.select(col(idCol).as("neighbor"), col(vecCol)),
+        "neighbor")
+      .join(queries.select(col(qidCol), col(qvecCol)), qidCol)
+      .select(col(qidCol), col("neighbor"),
+        (graft.functions.Vectors.dot(col(qvecCol), col(qvecCol))
+          + graft.functions.Vectors.dot(col(vecCol), col(vecCol))
+          - lit(2.0) * graft.functions.Vectors.dot(col(qvecCol), col(vecCol)))
+          .as("dist2"))
+    Dedup.topKPerKey(exact, Seq(qidCol),
+      Seq(col("dist2").asc, col("neighbor").asc), k)
+  }
+
   /** [[search]] against a [[writeIndex]] directory: probed cells prune
     * the codes READ to their files (partition pruning — I/O tracks
     * `nProbe / clusters` of the index), scoring is ADC table lookups

@@ -1608,7 +1608,22 @@ object SimilarityQueries {
     */
   private def ivfPqResidualAppendOracleSql(clusters: Int, nProbe: Int,
       coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
-      k: Int, nQueries: Int): String = {
+      k: Int, nQueries: Int): String =
+    s"""${ivfPqResidualIndexCtes(clusters, nProbe, coarseIters, m, dim,
+        codes, pqIters, nQueries)}
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+
+  /** The q144/q146 shared WITH-chain: base-trained residual index end
+    * state, through the `scored` CTE (per-candidate residual ADC
+    * distances over probed cells).
+    */
+  private def ivfPqResidualIndexCtes(clusters: Int, nProbe: Int,
+      coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
+      nQueries: Int): String = {
     import Vectors.dotSql
     val sub = dim / m
     s"""WITH corpus AS (
@@ -1674,12 +1689,7 @@ object SimilarityQueries {
       |  JOIN adc_res a ON a.cell = f.cell AND a.m = e.m
       |    AND a.code_cell = e.code
       |  WHERE a.qid <> e.vec_id
-      |  GROUP BY a.qid, e.vec_id)
-      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
-      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
-      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
-      |WHERE rk <= $k
-      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+      |  GROUP BY a.qid, e.vec_id)""".stripMargin
   }
 
   /** The persisted RESIDUAL index with O(delta) maintenance — q138's
@@ -1719,6 +1729,63 @@ object SimilarityQueries {
         .select(col("qid"), col("neighbor"),
           round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
         .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
+  /** The production retrieval composition served end-to-end from the
+    * persisted residual index
+    * ([[graft.operators.IvfPq.searchIndexResidualRefined]]): the
+    * codes-only index scan (q144's write → append → probe chain) prunes
+    * to a `refine·k` shortlist per query, and only the shortlist's full
+    * float vectors are fetched and re-scored with the true squared L2 —
+    * at 10 B vectors the only stage touching float data moves
+    * `refine·k·queries` rows. Quantization error affects which
+    * candidates make the shortlist, never their final order. Oracle =
+    * the q144 chain widened to the shortlist, then the exact-distance
+    * re-rank replayed over the full vectors.
+    */
+  val ivfPqResidualRefined: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, refine, nQ) = (8, 64, 16, 1, 3, 4, 10)
+    QuerySpec.sql(
+      "q146_ivfpq_refined",
+      s"""${ivfPqResidualIndexCtes(clusters, nProbe, coarseIters, m, dim,
+          codes, pqIters, nQ)},
+        |shortlist AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+        |  WHERE rk <= ${refine * k}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    ${Vectors.dotSql("q.embedding", "q.embedding")}
+        |      + ${Vectors.dotSql("v.embedding", "v.embedding")}
+        |      - 2.0 * ${Vectors.dotSql("q.embedding", "v.embedding")} AS dist2
+        |  FROM shortlist s
+        |  JOIN allv q ON q.vec_id = s.qid
+        |  JOIN allv v ON v.vec_id = s.neighbor)
+        |SELECT qid, neighbor, round(dist2 + 1e-9, 4) AS dist2
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY dist2, neighbor) AS rk FROM exact) r
+        |WHERE rk <= $k
+        |ORDER BY qid, dist2, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+      val idx = graft.Scratch.fresh("q146") + "/ivfpq_res"
+      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
+        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
+        "embedding", idx)
+      val queries = all0.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq.searchIndexResidualRefined(spark, idx,
+          "vec_id", "embedding", all0, queries, "qid", "qv",
+          k = k, nProbe = nProbe, refine = refine)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist2") + lit(1e-9), 4).as("dist2"))
+        .orderBy(col("qid"), col("dist2"), col("neighbor"))
     }
   }
 
@@ -1769,5 +1836,5 @@ object SimilarityQueries {
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
-    ivfPqResidualIndex)
+    ivfPqResidualIndex, ivfPqResidualRefined)
 }

@@ -64,7 +64,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q142_ivfpq_residual", // corpus + residual-frame + query caches
     "q143_lsh_stream",     // docs + per-micro-batch truncated stats caches
     "q144_ivfpq_residual_index", // embeddings + residual index/search caches
-    "q145_lsh_rebucket"    // docs cache through the gated rebuild
+    "q145_lsh_rebucket",   // docs cache through the gated rebuild
+    "q146_ivfpq_refined"   // embeddings + residual index/search caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -201,6 +201,27 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("refined search over the residual index re-scores with TRUE L2") {
+    val idx = graft.Scratch.fresh("ivfpq_refined") + "/idx"
+    IvfPq.writeIndexResidual(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    val out = IvfPq.searchIndexResidualRefined(spark, idx, "vec_id",
+        "embedding", corpus, queries, "qid", "qv",
+        k = 3, nProbe = 4, refine = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.length === 10 * 3)
+    // final distances are the exact squared L2, not ADC approximations
+    val vecs = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    out.foreach { case (qid, nb, d2) =>
+      val (q, v) = (vecs(qid), vecs(nb))
+      val exact = q.indices.map(i =>
+        (q(i) - v(i)).toDouble * (q(i) - v(i))).sum
+      assert(math.abs(d2 - exact) < 1e-6,
+        s"($qid,$nb): reported $d2, exact $exact")
+    }
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
