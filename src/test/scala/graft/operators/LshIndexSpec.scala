@@ -185,6 +185,37 @@ class LshIndexSpec extends SparkTestBase {
     }
   }
 
+  test("hybrid probe keeps the bulk table exchange-free") {
+    val path = graft.Scratch.fresh("lshindex_hybrid_pin") + "/idx"
+    val docs = (0L until 40L).map(i =>
+      i -> s"document number $i body with distinct words w$i x$i y$i z$i")
+    LshIndex.write(withSh(docs), "doc_id", "sh", path)
+    val table = "lsh_hybrid_pin_bulk"
+    try {
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 8, "doc_id")
+      LshIndex.append(
+        withSh(Seq(50L -> "a post rollover admission with words v50 u50")),
+        "doc_id", "sh", path)
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val delta = withSh(Seq(
+        100L -> "document number 7 body with distinct words w7 x7 y7 z7"))
+      val plan = LshIndex.candidatesHybrid(spark, table, path, delta,
+        "doc_id", "sh").queryExecution.executedPlan.toString
+      // exchanges with the table side co-located: delta into the table's
+      // bucket layout (1), both sides of the path-tier join (2), the
+      // closing distinct (1) = 4. A shuffling table side makes it 5.
+      val exchanges = "Exchange".r.findAllIn(plan).length
+      assert(plan.contains("SortMergeJoin"), s"expected SMJ:\n$plan")
+      assert(exchanges <= 4,
+        s"bulk table side of the hybrid probe must not shuffle " +
+          s"($exchanges exchanges):\n$plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
   test("rebucketIfSkewed: below budget nothing moves; above it hot " +
       "shingles drop and pair cost falls") {
     // two near-identical docs (one hot collision) + one unique doc
