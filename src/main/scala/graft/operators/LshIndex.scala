@@ -55,15 +55,21 @@ object LshIndex {
       path: String): Unit =
     Tables.overwrite(bandRows(corpus, idCol, shCol), path)
 
-  /** The probe join shared by every serving tier: delta band rows
-    * equi-joined to an index frame on `(band, bkt)`.
+  /** The probe join shared by every serving tier: prebuilt delta band
+    * rows equi-joined to an index frame on `(band, bkt)`. Taking the
+    * band rows (not the raw delta) lets a multi-tier probe reuse ONE
+    * signature scan of the delta across tiers ([[candidatesHybrid]]).
     */
-  private def probe(index: DataFrame, delta: DataFrame, idCol: String,
-      shCol: String): DataFrame =
-    bandRows(delta, idCol, shCol).as("d")
+  private def probeBands(dBand: DataFrame, index: DataFrame,
+      idCol: String): DataFrame =
+    dBand.as("d")
       .join(index.as("c"),
         col("d.band") === col("c.band") && col("d.bkt") === col("c.bkt"))
       .select(col(s"d.$idCol").as("deltaId"), col(s"c.$idCol").as("indexId"))
+
+  private def probe(index: DataFrame, delta: DataFrame, idCol: String,
+      shCol: String): DataFrame =
+    probeBands(bandRows(delta, idCol, shCol), index, idCol)
 
   /** Probe the persisted index with a delta batch: distinct
     * `(deltaId, indexId)` pairs sharing any band bucket. Only the
@@ -173,16 +179,55 @@ object LshIndex {
     * (lambda) layout rollover: after this call `table` serves the
     * compacted bulk and `path` is an EMPTY band-rows dir that receives
     * subsequent [[append]]s, which [[candidatesHybrid]] probes
-    * alongside the table. Truncation publishes through the crash-safe
-    * swap; pending tombstones were applied physically into the table,
-    * so clearing them with the old path dir is correct.
+    * alongside the table.
+    *
+    * Rollover N>1 folds BOTH tiers — `table` ∪ `path` — into the new
+    * bulk generation: the table holds everything compacted by earlier
+    * rollovers, and compacting only the ingest tier would OVERWRITE the
+    * bulk with the latest appends, silently un-indexing the whole
+    * compacted corpus (round-9 verdict). Because the new generation
+    * reads from the table it replaces, it materializes under a staged
+    * catalog name and swaps in by rename
+    * ([[graft.layout.Bucketing.writeBucketedBySwap]]). Pending
+    * tombstones apply physically to both tiers; markers that arrive
+    * while the rollover runs are carried into the truncated ingest dir
+    * ([[graft.sources.Tombstones.carryInto]] — the [[compact]]
+    * discipline) so [[candidatesHybrid]] keeps masking them in either
+    * tier. Truncation publishes through the crash-safe swap.
     */
   def compactBucketedAndTruncate(spark: SparkSession, path: String,
-      table: String, buckets: Int, idCol: String): Unit = {
-    compactBucketed(spark, path, table, buckets, idCol)
+      table: String, buckets: Int, idCol: String): Unit =
+    compactBucketedAndTruncate(spark, path, table, buckets, idCol, () => ())
+
+  /** Test seam: `midRollover` runs after the new bulk generation is
+    * materialized (live read done) and before the ingest tier
+    * truncates — the race window the marker snapshot/carry covers.
+    */
+  private[graft] def compactBucketedAndTruncate(spark: SparkSession,
+      path: String, table: String, buckets: Int, idCol: String,
+      midRollover: () => Unit): Unit = {
+    val snap = graft.sources.Tombstones.fileSnapshot(spark, path)
+    val pathRows = spark.read.parquet(path)
+    require(pathRows.columns.contains(idCol),
+      s"id column '$idCol' not in index schema ${pathRows.columns.mkString(",")}")
+    val bulk =
+      if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
+    val all = bulk.fold(pathRows)(_.unionByName(pathRows))
+    // pending tombstones apply physically here — to BOTH tiers
+    val live = graft.sources.Tombstones.filterLive(spark, path, all, idCol)
+    if (bulk.isEmpty)
+      graft.layout.Bucketing
+        .writeBucketedBy(live, table, Seq("band", "bkt"), buckets)
+    else
+      graft.layout.Bucketing
+        .writeBucketedBySwap(live, table, Seq("band", "bkt"), buckets)
+    midRollover()
     val staged = path + ".__truncate__"
-    spark.read.parquet(path).limit(0).coalesce(1)
+    pathRows.limit(0).coalesce(1)
       .write.mode("overwrite").parquet(staged)
+    // deletes that arrived mid-rollover ride into the truncated tier as
+    // markers instead of vanishing with the publish swap
+    graft.sources.Tombstones.carryInto(spark, path, snap, staged)
     Tables.publish(spark, staged, path)
   }
 
@@ -222,7 +267,16 @@ object LshIndex {
     */
   def rebucketIfSkewed(spark: SparkSession, path: String,
       corpus: DataFrame, idCol: String, shCol: String,
-      capDf: Long, pairBudget: Long): (Long, Boolean) = {
+      capDf: Long, pairBudget: Long): (Long, Boolean) =
+    rebucketIfSkewed(spark, path, corpus, idCol, shCol, capDf, pairBudget,
+      () => ())
+
+  /** Test seam: `midRebuild` runs after the rebuilt rows materialize
+    * and before the publish swap — the marker-carry race window.
+    */
+  private[graft] def rebucketIfSkewed(spark: SparkSession, path: String,
+      corpus: DataFrame, idCol: String, shCol: String,
+      capDf: Long, pairBudget: Long, midRebuild: () => Unit): (Long, Boolean) = {
     val pairs = spark.read.parquet(path)
       .groupBy(col("band"), col("bkt")).agg(count(lit(1)).as("s"))
       .agg(coalesce(sum(expr("(s * (s - 1)) div 2")), lit(0L)))
@@ -230,8 +284,18 @@ object LshIndex {
     if (pairs <= pairBudget) (pairs, false)
     else {
       val staged = path + ".__rebucket__"
-      bandRows(dfCapShingles(corpus, idCol, shCol, capDf), idCol, shCol)
+      val snap = graft.sources.Tombstones.fileSnapshot(spark, path)
+      // the rebuild sources band rows from the CALLER's corpus, which
+      // may still hold logically deleted docs — pending markers apply
+      // physically here, or the publish swap would resurrect forgotten
+      // documents and destroy their markers (round-9 advice)
+      graft.sources.Tombstones.filterLive(spark, path,
+          bandRows(dfCapShingles(corpus, idCol, shCol, capDf), idCol, shCol),
+          idCol)
         .write.mode("overwrite").parquet(staged)
+      midRebuild()
+      // deletes that arrived mid-rebuild ride into the new layout
+      graft.sources.Tombstones.carryInto(spark, path, snap, staged)
       Tables.publish(spark, staged, path)
       (pairs, true)
     }
@@ -250,11 +314,17 @@ object LshIndex {
   def candidatesHybrid(spark: SparkSession, table: String, path: String,
       delta: DataFrame, idCol: String, shCol: String): DataFrame = {
     import graft.sources.Tombstones
-    probe(Tombstones.filterLive(spark, path, spark.table(table), idCol),
-        delta, idCol, shCol)
-      .unionByName(probe(
+    // ONE MinHash scan of the delta probes BOTH tiers: the band-rows
+    // frame is cached (registered in CacheScope) and reused — the
+    // delta's signature scan is the dominant per-row admission cost
+    // and used to run once per tier. Unioning the index sides instead
+    // would forfeit the bucketed side's exchange-free plan.
+    val dBand = graft.CacheScope.cache(bandRows(delta, idCol, shCol))
+    probeBands(dBand,
+        Tombstones.filterLive(spark, path, spark.table(table), idCol), idCol)
+      .unionByName(probeBands(dBand,
         Tombstones.filterLive(spark, path, spark.read.parquet(path), idCol),
-        delta, idCol, shCol))
+        idCol))
       .distinct()
   }
 }

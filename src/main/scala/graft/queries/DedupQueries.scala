@@ -988,6 +988,10 @@ object DedupQueries {
       .transform(graft.CacheScope.cache)
     val path = graft.Scratch.fresh("q141") + "/lsh_delta"
     val table = "q141_lsh_bulk"
+    // the rollover folds an EXISTING bulk table into the new generation
+    // (steady-state semantics), so a re-run in the same session must
+    // clear last run's table the way Scratch.fresh clears the path tier
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
     LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
     // rollover: bulk -> bucketed table, ingest tier truncated to empty
     LshIndex.compactBucketedAndTruncate(spark, path, table,

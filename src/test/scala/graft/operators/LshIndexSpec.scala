@@ -185,6 +185,144 @@ class LshIndexSpec extends SparkTestBase {
     }
   }
 
+  test("second rollover folds BOTH tiers into the new bulk generation") {
+    val path = graft.Scratch.fresh("lshindex_rollover2") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val table = "lsh_rollover2_bulk"
+    try {
+      // rollover #1: path holds the whole index (the q141 shape)
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      // an admission wave lands in the truncated ingest tier…
+      LshIndex.append(
+        withSh(Seq(30L -> "a wholly new document admitted after rollover")),
+        "doc_id", "sh", path)
+      // …then rollover #2 — the steady state the API exists for: the
+      // bulk table must come out as tier-1 ∪ tier-2, not just the
+      // ingest-tier rows (round-9 verdict: the old code overwrote the
+      // bulk with only the appends, un-indexing the compacted corpus)
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      assert(spark.read.parquet(path).count() === 0L)
+      assert(spark.table(table).count() === 3L * MinHashLSH.Bands)
+      def hybrid(probe: org.apache.spark.sql.DataFrame) =
+        LshIndex.candidatesHybrid(spark, table, path, probe, "doc_id", "sh")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      // a dup of a TIER-1 doc must still be refused after rollover #2
+      assert(hybrid(withSh(Seq(
+          20L -> "shared text body one two three four five six seven")))
+        .contains((20L, 10L)),
+        "rollover #2 must keep serving docs compacted by rollover #1")
+      // and the wave admitted between the rollovers serves from the bulk
+      assert(hybrid(withSh(Seq(
+          40L -> "a wholly new document admitted after rollover")))
+        .contains((40L, 30L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("a delete landing mid-rollover survives the truncate publish") {
+    val path = graft.Scratch.fresh("lshindex_rollover_race") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val table = "lsh_rollover_race_bulk"
+    import spark.implicits._
+    try {
+      // the delete lands AFTER the live read built the new bulk but
+      // BEFORE the truncate publishes — the exact window where the old
+      // code dropped the marker with the swapped-out directory
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id",
+        () => LshIndex.delete(spark, path, Seq(10L).toDF("doc_id"),
+          "doc_id"))
+      assert(LshIndex.tombstones(spark, path).isDefined,
+        "the mid-rollover marker must be carried into the truncated tier")
+      val cand = LshIndex.candidatesHybrid(spark, table, path,
+          withSh(Seq(
+            20L -> "shared text body one two three four five six seven")),
+          "doc_id", "sh")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(!cand.exists(_._2 == 10L),
+        "a delete written during the rollover must keep masking the bulk")
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+    }
+  }
+
+  test("rebuild applies pending tombstones and carries mid-rebuild deletes") {
+    // docs 1/2 identical (hot pair => pairs > 0 fires the gate), doc 3
+    // unique; capDf=5 keeps every shingle (df <= 2), so the rebuild is
+    // content-preserving except for the deletes under test
+    val docs = withSh(Seq(
+      1L -> "alpha beta gamma delta epsilon zeta eta theta",
+      2L -> "alpha beta gamma delta epsilon zeta eta theta",
+      3L -> "totally different content with its own words here"))
+    val path = graft.Scratch.fresh("lshindex_rebucket_ts") + "/idx"
+    LshIndex.write(docs, "doc_id", "sh", path)
+    import spark.implicits._
+    // doc 2 is forgotten BEFORE the rebuild: the rebuild reads the
+    // caller's corpus (which still contains doc 2), so without the
+    // filterLive the publish would resurrect it and destroy its marker
+    LshIndex.delete(spark, path, Seq(2L).toDF("doc_id"), "doc_id")
+    // doc 3 is forgotten DURING the rebuild: its marker must be carried
+    val (_, rebuilt) = LshIndex.rebucketIfSkewed(spark, path, docs,
+      "doc_id", "sh", capDf = 5L, pairBudget = 0L,
+      () => LshIndex.delete(spark, path, Seq(3L).toDF("doc_id"), "doc_id"))
+    assert(rebuilt)
+    assert(spark.read.parquet(path).select(col("doc_id")).distinct()
+      .collect().map(_.getLong(0)).toSet === Set(1L, 3L),
+      "pre-rebuild delete must be applied physically, not resurrected")
+    assert(LshIndex.tombstones(spark, path).isDefined,
+      "the mid-rebuild marker must survive the publish swap")
+    val cand = LshIndex.candidates(spark, path,
+        withSh(Seq(
+          20L -> "alpha beta gamma delta epsilon zeta eta theta",
+          30L -> "totally different content with its own words here")),
+        "doc_id", "sh")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cand.contains((20L, 1L)))
+    assert(!cand.exists(_._2 == 2L), "forgotten doc 2 must not serve")
+    assert(!cand.exists(_._2 == 3L),
+      "the carried marker must mask doc 3 at probe time")
+  }
+
+  test("hybrid probe computes the delta's band rows ONCE for both tiers") {
+    val path = graft.Scratch.fresh("lshindex_hybrid_once") + "/idx"
+    LshIndex.write(withSh(Seq(
+        10L -> "shared text body one two three four five six seven")),
+      "doc_id", "sh", path)
+    val table = "lsh_hybrid_once_bulk"
+    try {
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      LshIndex.append(
+        withSh(Seq(30L -> "a wholly new document admitted after rollover")),
+        "doc_id", "sh", path)
+      val delta = withSh(Seq(
+        20L -> "shared text body one two three four five six seven"))
+      val cand = LshIndex.candidatesHybrid(spark, table, path, delta,
+        "doc_id", "sh")
+      // both tier probes must read the CACHED band-rows frame — the
+      // delta's MinHash signature scan is the dominant admission cost
+      // and used to run once per tier (round-9 verdict #4)
+      val plan = cand.queryExecution.executedPlan.toString
+      val scans = "InMemoryTableScan".r.findAllIn(plan).length
+      assert(scans >= 2,
+        s"both tiers must probe the cached delta band rows:\n$plan")
+      assert(cand.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        .contains((20L, 10L)))
+    } finally {
+      spark.sql(s"DROP TABLE IF EXISTS $table")
+      graft.CacheScope.releaseAll()
+    }
+  }
+
   test("hybrid probe keeps the bulk table exchange-free") {
     val path = graft.Scratch.fresh("lshindex_hybrid_pin") + "/idx"
     val docs = (0L until 40L).map(i =>
