@@ -466,11 +466,16 @@ object IvfAnn {
     *
     * @return (centroids now governing `path`, whether a retrain ran)
     */
-  def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
-      path: String, tagged: DataFrame, genCol: String, idCol: String,
-      vecCol: String, cents: DataFrame, clusters: Int, iters: Int,
-      tau: Double): (DataFrame, Boolean) = {
-    val rep = driftReport(tagged, genCol, vecCol, cents)
+  /** Corpus-wide drift ratio recombined driver-side from a
+    * [[driftReport]] frame (≤ clusters rows): the count-weighted mean
+    * delta-generation squared distance over the count-weighted mean
+    * base-generation one. None when either generation is missing
+    * entirely (cells missing a generation contribute nothing — the
+    * per-cell null semantics). Shared by the IVF and IVF+PQ retrain
+    * gates ([[retrainIfDrifted]], [[IvfPq.retrainIfDrifted]]).
+    */
+  def globalDriftRatio(report: DataFrame): Option[Double] = {
+    val rep = report
       .select(col("n_base"), col("n_delta"), col("base_d2"),
         col("delta_d2"))
       .collect()
@@ -481,10 +486,16 @@ object IvfAnn {
       if (nb > 0 && !r.isNullAt(2)) { nBase += nb; sumBase += r.getDouble(2) * nb }
       if (nd > 0 && !r.isNullAt(3)) { nDelta += nd; sumDelta += r.getDouble(3) * nd }
     }
-    val ratio =
-      if (nBase > 0 && nDelta > 0 && sumBase > 0)
-        Some((sumDelta / nDelta) / (sumBase / nBase))
-      else None
+    if (nBase > 0 && nDelta > 0 && sumBase > 0)
+      Some((sumDelta / nDelta) / (sumBase / nBase))
+    else None
+  }
+
+  def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      path: String, tagged: DataFrame, genCol: String, idCol: String,
+      vecCol: String, cents: DataFrame, clusters: Int, iters: Int,
+      tau: Double): (DataFrame, Boolean) = {
+    val ratio = globalDriftRatio(driftReport(tagged, genCol, vecCol, cents))
     if (!ratio.exists(_ > tau)) (cents, false)
     else {
       val full = tagged.select(col(idCol), col(vecCol))

@@ -149,6 +149,12 @@ object IvfPq {
       coarseIters: Int = 1, pqIters: Int = 1): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val spark = corpus0.sparkSession
+    // a dir previously written by writeIndexResidual carries the
+    // _residual_codes flag: clear it FIRST, so the worst mid-write
+    // crash state (flagless residual leftovers) fails fast in
+    // searchIndexResidual instead of silently scoring global codes
+    // with residual ADC tables (round-9 advice)
+    locally { val (p, fs) = residualFlag(spark, dir); fs.delete(p, false) }
     val corpus = CentroidState.ensureCached(corpus0)
     val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
     val cb = ProductQuantizer.lloyd(corpus, idCol, vecCol, m, dim, codes,
@@ -187,6 +193,10 @@ object IvfPq {
   def appendIndex(delta: DataFrame, idCol: String, vecCol: String,
       dir: String): Unit = {
     val spark = delta.sparkSession
+    // appending RAW-encoded rows into a residual index would corrupt
+    // every later searchIndexResidual silently — same guard as the
+    // search entry points (round-9 advice)
+    requireEncoding(spark, dir, residual = false)
     val (coarse, cb, m, dim) = loadQuantizers(spark, dir)
     encodedRows(delta, idCol, vecCol, coarse, cb, m, dim)
       .write.mode("append").partitionBy("cell").parquet(s"$dir/cells")
@@ -242,6 +252,12 @@ object IvfPq {
       residualRows(corpus, idCol, vecCol, coarse))
     val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
       pqIters)
+    // flag BEFORE the cells write: a crash mid-write must never leave
+    // residual codes unflagged (searchIndex would accept them and
+    // return garbage silently — the failure the flag exists to stop);
+    // the flagged-but-partial state fails fast instead
+    locally { val (p, fs) = residualFlag(spark, dir)
+      fs.mkdirs(p.getParent); fs.create(p, true).close() }
     resid.select(col(idCol),
         ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"),
         col("cell"))
@@ -250,8 +266,6 @@ object IvfPq {
       .write.mode("overwrite").parquet(s"$dir/coarse")
     ProductQuantizer.toDF(spark, cb).coalesce(1)
       .write.mode("overwrite").parquet(s"$dir/codebook")
-    val (p, fs) = residualFlag(spark, dir)
-    fs.create(p, true).close()
   }
 
   /** `(idCol, cell, rv)` — each vector's assigned cell and float
@@ -383,5 +397,64 @@ object IvfPq {
           lit(0.0), (acc, x) => acc + x).as("approx_dist"))
     Dedup.topKPerKey(scored, Seq(qidCol),
       Seq(col("approx_dist").asc, col("neighbor").asc), k)
+  }
+
+  /** Index-staleness telemetry for the PERSISTED composed index — the
+    * when-to-retrain signal [[IvfAnn.driftReport]] provides for plain
+    * IVF, read against the quantizer stored in `dir/coarse`: routing is
+    * the same nearest-cell kernel for both index families, and it is
+    * routing drift (appended vectors landing far from the cells both
+    * quantizers were trained on) that decays probe recall — the PQ leg
+    * shares the retrain cadence because [[retrainIfDrifted]] rebuilds
+    * both quantizers together. One scan of the tagged corpus; the
+    * report is ≤ clusters rows.
+    */
+  def driftReport(spark: SparkSession, dir: String, tagged: DataFrame,
+      genCol: String, vecCol: String): DataFrame =
+    IvfAnn.driftReport(tagged, genCol, vecCol,
+      spark.read.parquet(s"$dir/coarse"))
+
+  /** Drift-GATED retrain of the persisted composed index — the
+    * decision leg completing IvfPq's maintenance loop to parity with
+    * plain IVF ([[appendIndexResidual]] absorbs, [[IvfAnn.compactCells]]
+    * defragments `dir/cells`, [[driftReport]] measures, THIS acts):
+    * when the corpus-wide drift ratio exceeds `tau`, BOTH quantizers
+    * retrain on the full tagged corpus and the ENTIRE index directory
+    * (cells + coarse + codebook + encoding flag) rebuilds under the
+    * dir's existing encoding — residual or global, read from the
+    * `_residual_codes` flag — into a staged dir published through the
+    * crash-safe swap, so quantizers and codes can never skew and the
+    * layout stays addressable throughout. Below `tau` nothing is
+    * touched. The expensive path (two trainings + a full re-encode)
+    * hides behind the O(corpus-scan) telemetry, exactly like
+    * [[IvfAnn.retrainIfDrifted]].
+    *
+    * @return whether a retrain ran
+    */
+  def retrainIfDrifted(spark: SparkSession, dir: String, tagged: DataFrame,
+      genCol: String, idCol: String, vecCol: String,
+      clusters: Int, m: Int, dim: Int, codes: Int,
+      coarseIters: Int = 1, pqIters: Int = 1, tau: Double): Boolean = {
+    val ratio = IvfAnn.globalDriftRatio(
+      driftReport(spark, dir, tagged, genCol, vecCol))
+    if (!ratio.exists(_ > tau)) false
+    else {
+      val (p, fsF) = residualFlag(spark, dir)
+      val residual = fsF.exists(p)
+      val staged = dir + ".__retrain__"
+      // clear a staged dir a crashed earlier retrain may have left
+      val sp = new org.apache.hadoop.fs.Path(staged)
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(sp, true)
+      val full = tagged.select(col(idCol), col(vecCol))
+      if (residual)
+        writeIndexResidual(full, idCol, vecCol, staged, clusters, m, dim,
+          codes, coarseIters, pqIters)
+      else
+        writeIndex(full, idCol, vecCol, staged, clusters, m, dim, codes,
+          coarseIters, pqIters)
+      graft.sources.Tables.publish(spark, staged, dir)
+      true
+    }
   }
 }

@@ -1526,10 +1526,12 @@ object SimilarityQueries {
     */
   private def ivfPqResidualOracleSql(clusters: Int, nProbe: Int,
       coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
-      k: Int, nQueries: Int): String = {
+      k: Int, nQueries: Int,
+      corpusCte: String = "SELECT vec_id, embedding FROM embeddings")
+      : String = {
     import Vectors.dotSql
     val sub = dim / m
-    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+    s"""WITH corpus AS ($corpusCte),
       |${coarseCtes(clusters, nProbe, coarseIters, dim, nQueries)},
       |rv AS (
       |  SELECT f.vec_id, f.cell,
@@ -1789,6 +1791,130 @@ object SimilarityQueries {
     }
   }
 
+  /** Drift-gated retrain of the PERSISTED residual index
+    * ([[graft.operators.IvfPq.retrainIfDrifted]]) — the composed-index
+    * parity leg: q121's staleness scenario run against q144's artifact.
+    * The residual (IVFADC) index is built on the base corpus; a
+    * +0.5-shifted delta (appended embeddings from a new encoder
+    * checkpoint) lands through [[graft.operators.IvfPq
+    * .appendIndexResidual]] WITHOUT retraining; the drift ratio — read
+    * from the quantizer STORED IN the index (no caller-held state) —
+    * blows through `tau = 3`, so BOTH quantizers retrain on the full
+    * corpus and the whole index directory rebuilds through the staged
+    * publish under its existing residual encoding. The search then runs
+    * over the rebuilt artifact. Oracle = the q142 residual chain over
+    * the post-retrain corpus (base + shifted delta): had the gate NOT
+    * fired, the search would have served stale quantizers and
+    * mismatched. The no-retrain branch is pinned in `IvfPqSpec`.
+    */
+  val ivfPqRetrain: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    QuerySpec.sql(
+      "q147_ivfpq_retrain",
+      ivfPqResidualOracleSql(clusters, nProbe, coarseIters, m, dim, codes,
+        pqIters, k, nQ,
+        corpusCte = """SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings""".stripMargin)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      // the drifted generation: every 5th vector shifted +0.5 per
+      // dimension (float-exact in both engines — q121's scenario)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.5)).cast("float"))
+            .as("embedding"))
+      val idx = graft.Scratch.fresh("q147") + "/ivfpq_res"
+      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
+        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
+        "embedding", idx)
+      val tagged = graft.CacheScope.cache(
+        base.withColumn("gen", lit("base"))
+          .unionByName(delta.withColumn("gen", lit("delta"))))
+      val retrained = graft.operators.IvfPq.retrainIfDrifted(spark, idx,
+        tagged, "gen", "vec_id", "embedding", clusters, m, dim, codes,
+        coarseIters, pqIters, tau = 3.0)
+      // fail loudly if the gate ever stops firing — a silent stale-path
+      // search would surface only as an oracle hash mismatch
+      require(retrained, "drift gate did not fire on a +0.5-shifted delta")
+      val queries = tagged.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq.searchIndexResidual(spark, idx, "vec_id",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
+  /** Versioned serving of the composed residual index — q124's MVCC
+    * contract extended to the IvfPq artifact: each build commits a FULL
+    * index version (codes + both quantizers + the encoding flag travel
+    * together, so a reader can never mix one version's quantizers with
+    * another's codes) through
+    * [[graft.sources.Snapshots.commit]], and the v0 search runs AFTER
+    * the v1 publish — a reader pinned to a version keeps serving
+    * identical results while the next version lands. Oracle = two
+    * residual chains, one per version's corpus slice, unioned with the
+    * version tag.
+    */
+  val ivfPqVersioned: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    val baseCte =
+      "SELECT vec_id, embedding FROM embeddings WHERE vec_id % 5 <> 0"
+    QuerySpec.sql(
+      "q148_ivfpq_versioned",
+      s"""SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS version, t0.* FROM (
+        |${ivfPqResidualOracleSql(clusters, nProbe, coarseIters, m, dim,
+            codes, pqIters, k, nQ, corpusCte = baseCte)}
+        |  ) t0
+        |  UNION ALL
+        |  SELECT CAST(1 AS BIGINT) AS version, t1.* FROM (
+        |${ivfPqResidualOracleSql(clusters, nProbe, coarseIters, m, dim,
+            codes, pqIters, k, nQ)}
+        |  ) t1) u
+        |ORDER BY version, qid, approx_dist, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      import graft.sources.Snapshots
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val root = graft.Scratch.fresh("q148") + "/ivfpq_versions"
+      def writeV(corpus: org.apache.spark.sql.DataFrame) =
+        Snapshots.commit(spark, root)(d =>
+          graft.operators.IvfPq.writeIndexResidual(corpus, "vec_id",
+            "embedding", d, clusters, m, dim, codes, coarseIters, pqIters))
+      val v0 = writeV(base)
+      val v1 = writeV(all0)
+      def searchV(v: Long, corpus: org.apache.spark.sql.DataFrame) =
+        graft.operators.IvfPq.searchIndexResidual(spark,
+            Snapshots.versionPath(root, v), "vec_id",
+            corpus.filter(col("vec_id") < nQ)
+              .select(col("vec_id").as("qid"), col("embedding").as("qv")),
+            "qid", "qv", k = k, nProbe = nProbe)
+          .withColumn("version", lit(v))
+      // the v0 search runs AFTER the v1 publish — the pinned reader
+      // must be undisturbed by the newer commit
+      val s1 = searchV(v1, all0)
+      val s0 = searchV(v0, base)
+      s0.unionByName(s1)
+        .select(col("version"), col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("version"), col("qid"), col("approx_dist"),
+          col("neighbor"))
+    }
+  }
+
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
     * block-checksum gate: per-asset feature vectors (the deterministic
@@ -1836,5 +1962,5 @@ object SimilarityQueries {
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
-    ivfPqResidualIndex, ivfPqResidualRefined)
+    ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned)
 }

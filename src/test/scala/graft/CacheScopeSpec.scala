@@ -65,7 +65,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q143_lsh_stream",     // docs + per-micro-batch truncated stats caches
     "q144_ivfpq_residual_index", // embeddings + residual index/search caches
     "q145_lsh_rebucket",   // docs cache through the gated rebuild
-    "q146_ivfpq_refined"   // embeddings + residual index/search caches
+    "q146_ivfpq_refined",  // embeddings + residual index/search caches
+    "q147_ivfpq_retrain",  // embeddings + tagged caches through the gate
+    "q148_ivfpq_versioned" // embeddings cache (two-version build)
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -222,6 +222,109 @@ class IvfPqSpec extends SparkTestBase {
     }
   }
 
+  test("overwriting a residual dir with writeIndex clears the stale flag") {
+    val idx = graft.Scratch.fresh("ivfpq_flagswap") + "/idx"
+    IvfPq.writeIndexResidual(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    // rebuild the SAME dir with global codebooks: the leftover
+    // _residual_codes flag must not survive — it would make searchIndex
+    // reject a valid index and searchIndexResidual silently accept
+    // global codes (round-9 advice)
+    IvfPq.writeIndex(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    assert(IvfPq.searchIndex(spark, idx, "vec_id", queries, "qid", "qv",
+      k = 3, nProbe = 4).count() === 30L)
+    intercept[IllegalArgumentException] {
+      IvfPq.searchIndexResidual(spark, idx, "vec_id", queries, "qid", "qv",
+        k = 3, nProbe = 4)
+    }
+  }
+
+  test("appendIndex refuses a residual index (encoding guard)") {
+    val idx = graft.Scratch.fresh("ivfpq_appguard") + "/idx"
+    IvfPq.writeIndexResidual(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    // raw-encoded rows appended into a residual layout would corrupt
+    // every later residual search silently — the append must fail fast
+    intercept[IllegalArgumentException] {
+      IvfPq.appendIndex(corpus.filter(col("vec_id") < 5),
+        "vec_id", "embedding", idx)
+    }
+  }
+
+  test("residual index: delete -> compactCells -> search keeps masking " +
+      "and the encoding flag survives") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ivfpq_res_compact") + "/idx"
+    IvfPq.writeIndexResidual(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    def neighbors() = IvfPq.searchIndexResidual(spark, idx, "vec_id",
+        queries, "qid", "qv", k = 3, nProbe = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    val victim = neighbors().head._2
+    IvfPq.deleteFromIndex(spark, idx, Seq(victim).toDF("vec_id"), "vec_id")
+    val masked = neighbors()
+    // the shared cell compactor operates on the codes schema; the
+    // _residual_codes flag lives OUTSIDE dir/cells, so the publish swap
+    // of the cell layout must leave the encoding contract intact
+    IvfAnn.compactCells(spark, s"$idx/cells", "vec_id")
+    assert(IvfPq.tombstones(spark, idx).isEmpty)
+    assert(spark.read.parquet(s"$idx/cells")
+      .filter(col("vec_id") === victim).count() === 0L)
+    assert(neighbors() === masked)
+    intercept[IllegalArgumentException] {
+      IvfPq.searchIndex(spark, idx, "vec_id", queries, "qid", "qv",
+        k = 3, nProbe = 4)
+    }
+  }
+
+  test("retrainIfDrifted: un-drifted delta leaves the index untouched; " +
+      "a shifted delta rebuilds it under the same encoding") {
+    val all = corpus.select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % 5 =!= 0)
+    val sameDist = all.filter(col("vec_id") % 5 === 0)
+    val idx = graft.Scratch.fresh("ivfpq_retrain") + "/idx"
+    IvfPq.writeIndexResidual(base, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    IvfPq.appendIndexResidual(sameDist, "vec_id", "embedding", idx)
+    def tag(d: org.apache.spark.sql.DataFrame, g: String) =
+      d.withColumn("gen", lit(g))
+    // same-distribution delta: ratio ~ 1 — below tau nothing moves
+    val before = spark.read.parquet(s"$idx/cells")
+      .collect().map(_.toString).sorted.toSeq
+    assert(!IvfPq.retrainIfDrifted(spark, idx,
+      tag(base, "base").unionByName(tag(sameDist, "delta")),
+      "gen", "vec_id", "embedding", clusters = 16, m = M, dim = Dim,
+      codes = 16, tau = 3.0))
+    assert(spark.read.parquet(s"$idx/cells")
+      .collect().map(_.toString).sorted.toSeq === before,
+      "no-retrain branch must not touch the layout")
+    // +0.5-shifted delta: the gate fires, the dir rebuilds residual
+    val shifted = sameDist.select(col("vec_id"),
+      transform(col("embedding"),
+        x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    val idx2 = graft.Scratch.fresh("ivfpq_retrain2") + "/idx"
+    IvfPq.writeIndexResidual(base, "vec_id", "embedding", idx2,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    IvfPq.appendIndexResidual(shifted, "vec_id", "embedding", idx2)
+    assert(IvfPq.retrainIfDrifted(spark, idx2,
+      tag(base, "base").unionByName(tag(shifted, "delta")),
+      "gen", "vec_id", "embedding", clusters = 16, m = M, dim = Dim,
+      codes = 16, tau = 3.0))
+    // the rebuilt artifact equals a from-scratch residual index over
+    // the post-drift corpus (training is deterministic), and it kept
+    // its residual encoding through the staged publish
+    val fromScratch = graft.Scratch.fresh("ivfpq_retrain_ref") + "/idx"
+    IvfPq.writeIndexResidual(base.unionByName(shifted), "vec_id",
+      "embedding", fromScratch, clusters = 16, m = M, dim = Dim, codes = 16)
+    def rows(dir: String) = IvfPq.searchIndexResidual(spark, dir, "vec_id",
+        queries, "qid", "qv", k = 3, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1),
+        math.rint(r.getDouble(2) * 1e6) / 1e6)).toSet
+    assert(rows(idx2) === rows(fromScratch))
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
