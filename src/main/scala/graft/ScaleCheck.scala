@@ -1,0 +1,160 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Text
+import graft.operators.{IvfAnn, IvfPq, LshIndex, MinHashLSH}
+
+/** Empirical scale audit of the three persisted-index families (dev
+  * tool, round-10 verdict item 7): synthesize an N× corpus from the
+  * sf tables (deterministic copies — shingle hashes remixed per copy so
+  * replicas are UNRELATED documents, embeddings shifted by a per-copy
+  * epsilon so they are distinct vectors), then measure, via the
+  * [[Metrics]] stage listener, the shuffle bytes of each family's
+  * steady-state PROBE leg with the probe/delta size held FIXED:
+  *
+  *  - LSH admission (q125 shape): candidates + Jaccard verify for a
+  *    fixed ~500-doc delta against a 1× vs N× persisted band index;
+  *  - IVF search (q104 shape): a fixed 10-query batch against a 1× vs
+  *    N× cell-partitioned layout;
+  *  - IVF+PQ residual search (q144 shape): the same batch against a
+  *    1× vs N× persisted residual-codes index.
+  *
+  * The SCALING.md claim under test: probe-leg SHUFFLE bytes track the
+  * delta/probe size (and collision density), not the corpus size —
+  * corpus growth may only show up as (partition-pruned) input bytes.
+  * Usage: runMain graft.ScaleCheck [sfDir] [scales: 1,10]
+  */
+object ScaleCheck {
+
+  /** N unrelated copies of the shingled documents: copy 0 is the
+    * original; copy k>0 remixes every shingle hash (odd-multiplier LCG
+    * step keyed by k), so cross-copy Jaccard is ~0 and collision
+    * density stays realistic instead of exploding quadratically the
+    * way verbatim replicas would.
+    */
+  private def scaledDocs(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    (0 until n).map { k =>
+      if (k == 0) base
+      else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        transform(col("sh"),
+          h => h * lit(2654435761L) + lit(k.toLong * 1000003L)).as("sh"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** N distinct copies of the embeddings: copy k shifts every component
+    * by k·1e-3 (float-exact), so replicas are near — realistic — but
+    * not identical vectors.
+    */
+  private def scaledVecs(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    (0 until n).map { k =>
+      if (k == 0) base
+      else base.select((col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(k * 1e-3)).cast("float"))
+          .as("embedding"))
+    }.reduce(_ unionByName _)
+  }
+
+  private def jline(family: String, scale: Int, corpusRows: Long,
+      m: PlanMetrics): Unit =
+    println(s"""{"scalecheck":"$family","scale":$scale""" +
+      s""","corpus_rows":$corpusRows""" +
+      f""","wall_sec":${m.wallSec}%.2f,"input_mb":${m.inputBytes / 1e6}%.2f""" +
+      f""","shuffle_write_mb":${m.shuffleWriteBytes / 1e6}%.3f""" +
+      f""","shuffle_read_mb":${m.shuffleReadBytes / 1e6}%.3f""" +
+      f""","spill_mb":${m.spilledBytes / 1e6}%.1f}""")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val scales = args.lift(1).getOrElse("1,10")
+      .split(",").map(_.trim.toInt).toSeq
+    val spark = Sessions.local("graft-scalecheck")
+
+    scales.foreach { n =>
+      // ---- LSH admission: fixed delta (copy-0 docs with id%10==7) ----
+      // filter-based split (the q125 shape): an exceptAll here would
+      // shuffle the whole corpus inside the measured lineage
+      val docs = CacheScope.cache(scaledDocs(spark, sfDir, n))
+      val isDelta = col("doc_id") < 10000000L && col("doc_id") % 10 === 7
+      val delta = docs.filter(isDelta)
+      val corpus = docs.filter(!isDelta)
+      val lshPath = Scratch.fresh(s"scalecheck_lsh_$n") + "/idx"
+      LshIndex.write(corpus, "doc_id", "sh", lshPath)
+      val corpusRows = corpus.count()
+      def admission(cand: DataFrame): Unit = {
+        // Jaccard-verify against only the collided corpus docs — the
+        // q125 leg, including its broadcast of the bounded collided-id
+        // set (the un-hinted semi-join was THE corpus-growing shuffle
+        // this tool originally caught)
+        val idxSh = corpus.join(
+            broadcast(cand.select(col("indexId").as("doc_id")).distinct()),
+            Seq("doc_id"), "left_semi")
+          .select(col("doc_id").as("cid"), col("sh").as("__shc"))
+        cand.join(delta.select(col("doc_id").as("deltaId"),
+            col("sh").as("__shd")), "deltaId")
+          .join(idxSh, col("indexId") === col("cid"))
+          .select(MinHashLSH.jaccard(col("__shd"), col("__shc")).as("j"))
+          .filter(col("j") >= 0.6).count()
+        ()
+      }
+      // ingest-tier (plain-path) probe: the index side shuffles for the
+      // sort-merge join — the cost that GROWS with the corpus and the
+      // reason the steady state rolls over to the bucketed layout
+      val mLsh = Metrics.measure(spark) {
+        admission(LshIndex.candidates(spark, lshPath, delta, "doc_id", "sh"))
+      }
+      jline("lsh_admission_plain", n, corpusRows, mLsh)
+      // bucketed steady-state probe (q140 shape): the index side scans
+      // pre-clustered — only the delta (and the verify legs) shuffle
+      val lshTable = s"scalecheck_lsh_bulk_$n"
+      LshIndex.compactBucketed(spark, lshPath, lshTable, buckets = 16,
+        "doc_id")
+      val mLshB = Metrics.measure(spark) {
+        admission(LshIndex.candidatesBucketed(spark, lshTable, delta,
+          "doc_id", "sh"))
+      }
+      jline("lsh_admission_bucketed", n, corpusRows, mLshB)
+      spark.sql(s"DROP TABLE IF EXISTS `$lshTable`")
+      CacheScope.releaseAll()
+
+      // ---- IVF search: fixed 10-query batch ----
+      val vecs = CacheScope.cache(scaledVecs(spark, sfDir, n))
+      val vecRows = vecs.count()
+      val cents = IvfAnn.centroids(vecs, "vec_id", "embedding",
+        clusters = 16, iters = 1)
+      val ivfPath = Scratch.fresh(s"scalecheck_ivf_$n") + "/cells"
+      IvfAnn.writePartitionedByCell(vecs, "vec_id", "embedding", cents,
+        ivfPath)
+      val queries = vecs.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val mIvf = Metrics.measure(spark) {
+        IvfAnn.searchPartitioned(spark, ivfPath, cents, "vec_id",
+          "embedding", queries, "qid", "qv", k = 3, nProbe = 4).count()
+        ()
+      }
+      jline("ivf_search", n, vecRows, mIvf)
+
+      // ---- IVF+PQ residual index search: same fixed batch ----
+      val pqDir = Scratch.fresh(s"scalecheck_ivfpq_$n") + "/idx"
+      IvfPq.writeIndexResidual(vecs, "vec_id", "embedding", pqDir,
+        clusters = 16, m = 8, dim = 64, codes = 16)
+      val mPq = Metrics.measure(spark) {
+        IvfPq.searchIndexResidual(spark, pqDir, "vec_id",
+          queries, "qid", "qv", k = 3, nProbe = 4).count()
+        ()
+      }
+      jline("ivfpq_residual_search", n, vecRows, mPq)
+      CacheScope.releaseAll()
+    }
+    spark.stop()
+  }
+}

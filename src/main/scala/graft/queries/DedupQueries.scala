@@ -514,9 +514,15 @@ object DedupQueries {
     val path = graft.Scratch.fresh(tag) + "/lsh_index"
     LshIndex.write(corpus, "doc_id", "sh", path)
     val cand = probe(path, delta)
-    // verify against only the collided corpus docs (left-semi prune)
+    // verify against only the collided corpus docs (left-semi prune);
+    // the collided-id set is bounded by the probe contract (distinct
+    // index docs sharing a bucket with the bounded delta), so it
+    // BROADCASTS — without the hint the semi-join plans as SMJ and
+    // re-shuffles the whole corpus every admission batch (measured in
+    // graft.ScaleCheck: the corpus-side shuffle, not the probe, was
+    // the only admission cost growing with corpus size)
     val corpusSh = corpus
-      .join(cand.select(col("indexId").as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col("indexId").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("cid"), col("sh").as("__shc"))
     val deltaSh = delta.select(col("doc_id").as("did"), col("sh").as("__shd"))
@@ -748,8 +754,10 @@ object DedupQueries {
     */
   private def waveStats(docs: DataFrame, wave: DataFrame, cand: DataFrame,
       batch: Int): DataFrame = {
+    // collided ids broadcast (bounded by the wave's collisions) — the
+    // corpus-side semi-join must never re-shuffle the doc set per wave
     val idxSh = docs
-      .join(cand.select(col("indexId").as("doc_id")).distinct(),
+      .join(broadcast(cand.select(col("indexId").as("doc_id")).distinct()),
         Seq("doc_id"), "left_semi")
       .select(col("doc_id").as("cid"), col("sh").as("__shc"))
     val ver = cand
@@ -1089,8 +1097,9 @@ object DedupQueries {
       "doc_id")
     def admission(phase: String) = {
       val cand = LshIndex.candidates(spark, path, delta, "doc_id", "sh")
+      // collided ids broadcast — see lshAdmissionRun
       val corpusSh = corpus
-        .join(cand.select(col("indexId").as("doc_id")).distinct(),
+        .join(broadcast(cand.select(col("indexId").as("doc_id")).distinct()),
           Seq("doc_id"), "left_semi")
         .select(col("doc_id").as("cid"), col("sh").as("__shc"))
       val ver = cand
@@ -1238,8 +1247,9 @@ object DedupQueries {
       val table = graft.Scratch.fresh("q137") + "/lsh_index"
       def admissionAt(path: String, wave: org.apache.spark.sql.DataFrame) = {
         val cand = LshIndex.candidates(spark, path, wave, "doc_id", "sh")
+        // collided ids broadcast — see lshAdmissionRun
         val idxSh = docs
-          .join(cand.select(col("indexId").as("doc_id")).distinct(),
+          .join(broadcast(cand.select(col("indexId").as("doc_id")).distinct()),
             Seq("doc_id"), "left_semi")
           .select(col("doc_id").as("cid"), col("sh").as("__shc"))
         val ver = cand
