@@ -170,6 +170,13 @@ object LshIndex {
     * streamed, zero exchange), and a LARGE backfill delta degrades to a
     * sort-merge join where only the DELTA shuffles into the index's
     * bucket layout. Either way the index never moves.
+    *
+    * Delete contract: the table is a COMPACTED generation — pending
+    * markers were applied physically when it was built, and this probe
+    * has no marker dir to consult, so deletes written AFTER the
+    * compaction are NOT masked here. Immediate masking goes through
+    * [[candidatesHybrid]] (the path tier's markers mask both tiers) or
+    * a re-run of [[compactBucketed]].
     */
   def candidatesBucketed(spark: SparkSession, table: String,
       delta: DataFrame, idCol: String, shCol: String): DataFrame =

@@ -1024,6 +1024,64 @@ object DedupQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** CONTINUOUS rollover under sequential admission — the q141 two-tier
+    * layout driven through its FULL steady-state cycle: the q131
+    * three-wave recurrence runs with a
+    * [[graft.operators.LshIndex.compactBucketedAndTruncate]] rollover
+    * BETWEEN every wave, so rollovers #2 and #3 exercise the N>1 fold
+    * (`table ∪ path` → new bulk generation, staged catalog rename).
+    * This is the gate for the round-9 verdict's lifecycle defect: with
+    * a rollover that compacts only the ingest tier, rollover #2 wipes
+    * the corpus and wave-1 admissions from the bulk — wave-2/3 docs
+    * then probe an empty index, admission decisions flip, and
+    * `index_rows_after` (read back across both tiers) collapses, so
+    * the tier-blind sequential-recurrence oracle hash-mismatches. A
+    * green row proves the fold preserves every prior generation while
+    * each wave's admissions keep gating its successors.
+    */
+  val lshRolloverCycle: QuerySpec = QuerySpec.sql(
+    "q149_lsh_rollover_cycle", lshSequentialSql(SeqWaves)
+  ) { (spark, dir) =>
+    import graft.operators.LshIndex
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
+        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      .transform(graft.CacheScope.cache)
+    val path = graft.Scratch.fresh("q149") + "/lsh_delta"
+    val table = "q149_lsh_bulk"
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+    // rollover #1: the whole corpus folds into the bucketed bulk
+    LshIndex.compactBucketedAndTruncate(spark, path, table,
+      buckets = 16, "doc_id")
+    val perWave = SeqWaves.zipWithIndex.map { case ((lo, hi), i) =>
+      val wave = docs.filter(col("bucket") >= lo && col("bucket") < hi)
+      val cand = LshIndex.candidatesHybrid(spark, table, path, wave,
+        "doc_id", "sh")
+      val stats = waveStats(docs, wave, cand, i + 1)
+      LshIndex.append(
+        wave.join(stats.filter(col("admitted")).select(col("doc_id")),
+          Seq("doc_id"), "left_semi"),
+        "doc_id", "sh", path)
+      // rollover between waves: the admitted band rows fold from the
+      // ingest tier into the bulk — rollovers #2/#3 are the
+      // steady-state N>1 case the API exists for (no rollover after
+      // the last wave: its rows serve from the ingest tier, which the
+      // final two-tier count reads back anyway)
+      if (i < SeqWaves.length - 1)
+        LshIndex.compactBucketedAndTruncate(spark, path, table,
+          buckets = 16, "doc_id")
+      stats
+    }
+    val after = spark.table(table).select(col("doc_id"))
+      .unionByName(spark.read.parquet(path).select(col("doc_id")))
+      .agg(count(lit(1)).as("index_rows_after"))
+    perWave.reduce(_ unionByName _)
+      .crossJoin(broadcast(after))
+      .orderBy(col("doc_id"))
+  }
+
   /** The right-to-be-forgotten leg for the dedup index
     * ([[graft.operators.LshIndex.delete]]): a slice of the corpus
     * (every `doc_id % 13 = 7`) is forgotten via O(|deletes|)
@@ -1297,5 +1355,5 @@ object DedupQueries {
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
-      lshRebucket)
+      lshRebucket, lshRolloverCycle)
 }
