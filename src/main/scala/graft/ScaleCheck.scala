@@ -65,13 +65,13 @@ object ScaleCheck {
   }
 
   private def jline(family: String, scale: Int, corpusRows: Long,
-      m: PlanMetrics): Unit =
+      m: PlanMetrics, extra: String = ""): Unit =
     println(s"""{"scalecheck":"$family","scale":$scale""" +
       s""","corpus_rows":$corpusRows""" +
       f""","wall_sec":${m.wallSec}%.2f,"input_mb":${m.inputBytes / 1e6}%.2f""" +
       f""","shuffle_write_mb":${m.shuffleWriteBytes / 1e6}%.3f""" +
       f""","shuffle_read_mb":${m.shuffleReadBytes / 1e6}%.3f""" +
-      f""","spill_mb":${m.spilledBytes / 1e6}%.1f}""")
+      f""","spill_mb":${m.spilledBytes / 1e6}%.1f$extra}""")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -106,13 +106,20 @@ object ScaleCheck {
           .filter(col("j") >= 0.6).count()
         ()
       }
-      // ingest-tier (plain-path) probe: the index side shuffles for the
-      // sort-merge join — the cost that GROWS with the corpus and the
-      // reason the steady state rolls over to the bucketed layout
+      // the claim is "shuffle tracks COLLISIONS, not corpus" — so report
+      // the collision counts the shuffle should track (computed outside
+      // the measured block; the measured run re-executes the probe)
+      val candFrame = LshIndex.candidates(spark, lshPath, delta,
+        "doc_id", "sh")
+      val candPairs = candFrame.count()
+      val collidedDocs = candFrame.select(col("indexId")).distinct().count()
+      val collisions =
+        s""","cand_pairs":$candPairs,"collided_docs":$collidedDocs"""
+      // ingest-tier (plain-path) probe
       val mLsh = Metrics.measure(spark) {
         admission(LshIndex.candidates(spark, lshPath, delta, "doc_id", "sh"))
       }
-      jline("lsh_admission_plain", n, corpusRows, mLsh)
+      jline("lsh_admission_plain", n, corpusRows, mLsh, collisions)
       // bucketed steady-state probe (q140 shape): the index side scans
       // pre-clustered — only the delta (and the verify legs) shuffle
       val lshTable = s"scalecheck_lsh_bulk_$n"
@@ -122,7 +129,7 @@ object ScaleCheck {
         admission(LshIndex.candidatesBucketed(spark, lshTable, delta,
           "doc_id", "sh"))
       }
-      jline("lsh_admission_bucketed", n, corpusRows, mLshB)
+      jline("lsh_admission_bucketed", n, corpusRows, mLshB, collisions)
       spark.sql(s"DROP TABLE IF EXISTS `$lshTable`")
       CacheScope.releaseAll()
 

@@ -1915,6 +1915,62 @@ object SimilarityQueries {
     }
   }
 
+  /** STREAMED maintenance of the persisted residual index — the q119
+    * pattern for the IvfPq family, completing the streamed-ingest leg
+    * every index family now has (q119 plain IVF, q143 LSH dedup, THIS
+    * for IVF+PQ): the delta generation arrives as three AvailableNow
+    * micro-batches (`maxFilesPerTrigger=1`) and each `foreachBatch`
+    * routes and residual-encodes its rows through the STORED quantizers
+    * ([[graft.operators.IvfPq.appendIndexResidual]]) — per-micro-batch
+    * O(batch) appends, encoding guard included, never a rewrite or
+    * retrain. Appends commute (each lands new code files under its
+    * cells), so the index's end state is identical however the delta
+    * was sliced, and the SAME oracle as q144 gates the streamed path: a
+    * hash-equal search proves micro-batching changed nothing about the
+    * persisted IVFADC artifact.
+    */
+  val ivfPqStreamAppend: QuerySpec = {
+    val (clusters, nProbe, coarseIters) = (16, 4, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    QuerySpec.sql(
+      "q150_ivfpq_stream",
+      ivfPqResidualAppendOracleSql(clusters, nProbe, coarseIters, m, dim,
+        codes, pqIters, k, nQ)
+    ) { (spark, dir) =>
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val root = graft.Scratch.fresh("q150")
+      val idx = root + "/ivfpq_res"
+      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
+        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      // re-materialize the delta as 3 files so AvailableNow +
+      // maxFilesPerTrigger=1 yields three REAL micro-batches
+      val deltaDir = root + "/delta"
+      all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"), col("embedding"))
+        .repartition(3).write.mode("overwrite").parquet(deltaDir)
+      val q = spark.readStream
+        .schema(spark.read.parquet(deltaDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          graft.operators.IvfPq.appendIndexResidual(batch, "vec_id",
+            "embedding", idx)
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      val queries = all0.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.IvfPq.searchIndexResidual(spark, idx, "vec_id",
+          queries, "qid", "qv", k = k, nProbe = nProbe)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
     * block-checksum gate: per-asset feature vectors (the deterministic
@@ -1962,5 +2018,6 @@ object SimilarityQueries {
     ivfRecall, ivfAnnPartitioned, ivfAppend, ivfStreamAppend,
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
-    ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned)
+    ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
+    ivfPqStreamAppend)
 }

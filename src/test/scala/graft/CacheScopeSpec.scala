@@ -68,7 +68,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q146_ivfpq_refined",  // embeddings + residual index/search caches
     "q147_ivfpq_retrain",  // embeddings + tagged caches through the gate
     "q148_ivfpq_versioned", // embeddings cache (two-version build)
-    "q149_lsh_rollover_cycle" // docs + per-wave stats + hybrid band caches
+    "q149_lsh_rollover_cycle", // docs + per-wave stats + hybrid band caches
+    "q150_ivfpq_stream"    // embeddings cache + streamed append/search
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
