@@ -399,6 +399,94 @@ object IvfPq {
       Seq(col("approx_dist").asc, col("neighbor").asc), k)
   }
 
+  /** nProbe-vs-recall calibration for the residual-encoded composed
+    * search — [[IvfAnn.recallSweep]]'s instrument for IVFADC: on the
+    * bounded query sample, recall@k of the residual-ADC search against
+    * EXACT squared-L2 ground truth, one row per probe budget. Unlike
+    * plain IVF's sweep the number folds BOTH loss sources — true
+    * neighbours in unprobed cells AND quantization error reordering
+    * the shortlist — which is what you must know before fixing
+    * `nProbe` (and validating `m`/`codes`) for a full-corpus run.
+    * Trains ONCE, scores the candidate join ONCE at `max(nProbes)`
+    * cells with each candidate tagged by its cell's probe rank, and
+    * reads every sweep point off that frame; ground truth is the
+    * broadcast-sample brute-force pass (bounded `queries · corpus`
+    * pairs, never corpus²).
+    *
+    * @return one row per nProbe: (n_probe, n_truth, hits, recall)
+    */
+  def recallSweepResidual(corpus0: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, clusters: Int, nProbes: Seq[Int],
+      m: Int, dim: Int, codes: Int,
+      coarseIters: Int = 1, pqIters: Int = 1): DataFrame = {
+    require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
+    import graft.functions.Vectors
+    val spark = corpus0.sparkSession
+    val corpus = CentroidState.ensureCached(corpus0)
+    val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
+    val cmap = CentroidState.cvecMap(coarse)
+    val resid = CentroidState.ensureCached(
+      residualRows(corpus, idCol, vecCol, coarse))
+    val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
+      pqIters)
+    val encoded = resid.select(col(idCol), col("cell"),
+      ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"))
+    val queries = CentroidState.ensureCached(
+      corpus.filter(col(idCol) < nQueries)
+        .select(col(idCol).as("__qid"), col(vecCol).as("__qv")))
+    // exact squared-L2 ground truth over the bounded sample
+    val d2 = Vectors.dot(col("__qv"), col("__qv")) +
+      Vectors.dot(col(vecCol), col(vecCol)) -
+      lit(2.0) * Vectors.dot(col("__qv"), col(vecCol))
+    val bf = broadcast(queries).join(corpus, col("__qid") =!= col(idCol))
+      .select(col("__qid").as("qid"), col(idCol).as("neighbor"),
+        d2.as("d2"))
+    val gt = Dedup.topKPerKey(bf, Seq("qid"),
+        Seq(col("d2").asc, col("neighbor").asc), k)
+      .select(col("qid"), col("neighbor"))
+      .transform(graft.CacheScope.cache)
+    // one candidate join at the WIDEST sweep point; probe_rank lets
+    // every narrower nProbe reuse it as a filter (q89's shape, with
+    // per-(query, probed-cell) residual ADC tables)
+    val maxProbe = nProbes.max
+    val probed = queries
+      .select(col("__qid"), col("__qv"),
+        posexplode(CentroidState.nearestCells(col("__qv"), coarse, maxProbe))
+          .as(Seq("__pos", "cell")))
+      .select(col("__qid"), (col("__pos") + 1).as("probe_rank"), col("cell"),
+        ProductQuantizer.tablesExpr(
+          zip_with(col("__qv"), element_at(cmap, col("cell")),
+            (a, b) => a - b), cb, m, dim).as("tables"))
+    val cand = IvfAnn.probeSide(probed, queries.count() * maxProbe,
+        bytesPerRow = m.toLong * codes * 8L + 64L)
+      .join(encoded, "cell")
+      .filter(col("__qid") =!= col(idCol))
+      .select(col("__qid").as("qid"), col("probe_rank"),
+        col(idCol).as("neighbor"),
+        aggregate(
+          zip_with(col("codes"), col("tables"), (c, t) => element_at(t, c)),
+          lit(0.0), (acc, x) => acc + x).as("approx_dist"))
+    val sweepDf = spark.createDataFrame(nProbes.map(Tuple1(_)))
+      .toDF("n_probe")
+    val hits = Dedup.topKPerKey(
+        cand.crossJoin(broadcast(sweepDf))
+          .filter(col("probe_rank") <= col("n_probe")),
+        Seq("n_probe", "qid"),
+        Seq(col("approx_dist").asc, col("neighbor").asc), k)
+      .join(broadcast(gt), Seq("qid", "neighbor"))
+      .groupBy(col("n_probe")).agg(count(lit(1)).as("hits"))
+    // hits is ≤ |nProbes| rows — broadcast it as the BUILD side (left
+    // outer can only build right); a zero-hit sweep point must report
+    sweepDf
+      .join(broadcast(hits), Seq("n_probe"), "left")
+      .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
+      .select(col("n_probe"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth") + lit(1e-9), 4)
+          .as("recall"))
+      .orderBy(col("n_probe"))
+  }
+
   /** Index-staleness telemetry for the PERSISTED composed index — the
     * when-to-retrain signal [[IvfAnn.driftReport]] provides for plain
     * IVF, read against the quantizer stored in `dir/coarse`: routing is

@@ -1971,6 +1971,110 @@ object SimilarityQueries {
     }
   }
 
+  /** q151 oracle: the q142 residual chain with `probe_rank` threaded
+    * through the query-side residual/ADC CTEs, an exact squared-L2
+    * ground-truth top-k, and the q89 sweep/hits/recall tail.
+    */
+  private def ivfPqRecallOracleSql(clusters: Int, nProbes: Seq[Int],
+      coarseIters: Int, m: Int, dim: Int, codes: Int, pqIters: Int,
+      k: Int, nQueries: Int): String = {
+    import Vectors.dotSql
+    val sub = dim / m
+    s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |${coarseCtes(clusters, nProbes.max, coarseIters, dim, nQueries)},
+      |rv AS (
+      |  SELECT f.vec_id, f.cell,
+      |    [CAST(v.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM af f JOIN corpus v USING (vec_id)
+      |  JOIN c${coarseIters}n c ON c.cell = f.cell),
+      |${pqCtes(m, dim, codes, pqIters, nQueries, src = "rv", vcol = "rv")},
+      |gt AS (
+      |  SELECT qid, neighbor FROM (
+      |    SELECT q.vec_id AS qid, v.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${dotSql("q.embedding", "q.embedding")}
+      |          + ${dotSql("v.embedding", "v.embedding")}
+      |          - 2.0 * ${dotSql("q.embedding", "v.embedding")}, v.vec_id) AS rk
+      |    FROM corpus q JOIN corpus v
+      |      ON q.vec_id < $nQueries AND v.vec_id <> q.vec_id) t
+      |  WHERE rk <= $k),
+      |qrv AS (
+      |  SELECT p.qid, p.cell, p.probe_rank,
+      |    [CAST(q.embedding[i] - c.cvec[i] AS FLOAT)
+      |     FOR i IN generate_series(1, $dim)] AS rv
+      |  FROM probes p JOIN corpus q ON q.vec_id = p.qid
+      |  JOIN c${coarseIters}n c ON c.cell = p.cell),
+      |qsub AS (
+      |  SELECT qid, cell, probe_rank, s.m AS m,
+      |    list_slice(rv, s.m * $sub + 1, s.m * $sub + $sub) AS sv
+      |  FROM qrv CROSS JOIN range(0, $m) s(m)),
+      |adc_res AS (
+      |  SELECT v.qid, v.cell, v.probe_rank, v.m, c.cell AS code_cell,
+      |    ${dotSql("v.sv", "v.sv")} + c.cnorm2
+      |      - 2.0 * ${dotSql("v.sv", "c.cvec")} AS d
+      |  FROM qsub v JOIN p${pqIters}n c ON v.m = c.m),
+      |scored AS (
+      |  SELECT a.qid, a.probe_rank, e.vec_id AS neighbor,
+      |    list_sum(list(a.d ORDER BY a.m)) AS approx_dist
+      |  FROM enc e
+      |  JOIN af f ON f.vec_id = e.vec_id
+      |  JOIN adc_res a ON a.cell = f.cell AND a.m = e.m
+      |    AND a.code_cell = e.code
+      |  WHERE a.qid <> e.vec_id
+      |  GROUP BY a.qid, a.probe_rank, e.vec_id),
+      |sweep(n_probe) AS (VALUES ${nProbes.map(p => s"($p)").mkString(", ")}),
+      |ivf AS (
+      |  SELECT n_probe, qid, neighbor FROM (
+      |    SELECT s.n_probe, c.qid, c.neighbor,
+      |      row_number() OVER (PARTITION BY s.n_probe, c.qid
+      |        ORDER BY c.approx_dist, c.neighbor) AS rk
+      |    FROM sweep s JOIN scored c ON c.probe_rank <= s.n_probe) t
+      |  WHERE rk <= $k),
+      |hits AS (
+      |  SELECT i.n_probe, count(*) AS hits
+      |  FROM ivf i JOIN gt g ON g.qid = i.qid AND g.neighbor = i.neighbor
+      |  GROUP BY i.n_probe),
+      |tot AS (SELECT count(*) AS n_truth FROM gt)
+      |SELECT s.n_probe, CAST(n_truth AS BIGINT) AS n_truth,
+      |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+      |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / n_truth + 1e-9, 4)
+      |    AS recall
+      |FROM sweep s CROSS JOIN tot
+      |LEFT JOIN hits h ON h.n_probe = s.n_probe
+      |ORDER BY s.n_probe""".stripMargin
+  }
+
+  /** The q89 calibration instrument for the COMPOSED residual index
+    * ([[graft.operators.IvfPq.recallSweepResidual]]): recall@k of the
+    * residual-ADC search against exact squared-L2 ground truth, per
+    * probe budget, on the bounded query sample. Plain IVF's sweep
+    * (q89) isolates cell-pruning loss; this one folds in quantization
+    * error too — a candidate can sit in a probed cell and still fall
+    * out of the top-k because its ADC distance reordered — which is
+    * the number that actually picks `nProbe` (and validates
+    * `m`/`codes`) for an IVFADC deployment. Trains once, scores one
+    * candidate join at the widest probe, reads every sweep point off
+    * that frame; the oracle replays the full residual chain with
+    * probe_rank threaded through and the same sweep tail as q89.
+    */
+  val ivfPqRecall: QuerySpec = {
+    val (clusters, coarseIters) = (16, 1)
+    val (m, dim, codes, pqIters, k, nQ) = (8, 64, 16, 1, 3, 10)
+    val nProbes = Seq(1, 2, 4)
+    QuerySpec.sql(
+      "q151_ivfpq_recall",
+      ivfPqRecallOracleSql(clusters, nProbes, coarseIters, m, dim, codes,
+        pqIters, k, nQ)
+    ) { (spark, dir) =>
+      graft.operators.IvfPq.recallSweepResidual(
+        Tables.load(spark, dir, "embeddings"), "vec_id", "embedding",
+        nQueries = nQ, k = k, clusters = clusters, nProbes = nProbes,
+        m = m, dim = dim, codes = codes, coarseIters = coarseIters,
+        pqIters = pqIters)
+    }
+  }
+
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
     * block-checksum gate: per-asset feature vectors (the deterministic
@@ -2019,5 +2123,5 @@ object SimilarityQueries {
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
-    ivfPqStreamAppend)
+    ivfPqStreamAppend, ivfPqRecall)
 }

@@ -69,7 +69,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q147_ivfpq_retrain",  // embeddings + tagged caches through the gate
     "q148_ivfpq_versioned", // embeddings cache (two-version build)
     "q149_lsh_rollover_cycle", // docs + per-wave stats + hybrid band caches
-    "q150_ivfpq_stream"    // embeddings cache + streamed append/search
+    "q150_ivfpq_stream",   // embeddings cache + streamed append/search
+    "q151_ivfpq_recall"    // corpus/residual/query/ground-truth caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -325,6 +325,23 @@ class IvfPqSpec extends SparkTestBase {
     assert(rows(idx2) === rows(fromScratch))
   }
 
+  test("recallSweepResidual: recall is monotone in nProbe, bounded by truth") {
+    val s = synth(480)
+    val rows = IvfPq.recallSweepResidual(s, "vec_id", "embedding",
+        nQueries = 8, k = 3, clusters = 16, nProbes = Seq(1, 4, 16),
+        m = M, dim = Dim, codes = 16, coarseIters = 2)
+      .collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq === Seq(1, 4, 16))
+    assert(rows.forall(_._2 === 24L)) // 8 queries x k=3 ground truth
+    assert(rows.forall(r => r._3 <= r._2))
+    // widening the probe budget can only add candidates — recall is
+    // non-decreasing, and probing EVERY cell leaves only quantization
+    // error, which on well-separated clusters keeps most of the top-k
+    assert(rows.map(_._4).sliding(2).forall(p => p(0) <= p(1)))
+    assert(rows.last._4 >= 0.5, s"full-probe recall ${rows.last._4}")
+  }
+
   test("composed search is deterministic across runs") {
     def run() = IvfPq.search(corpus, "vec_id", "embedding",
         queries, "qid", "qv", k = 3, clusters = 16, nProbe = 4,
