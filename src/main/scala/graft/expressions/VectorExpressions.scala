@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graftglue.ColumnGlue
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expressions for the hot scalar kernels
@@ -151,6 +151,14 @@ object NativeKernels {
 
   def vocabHits(tokens: Column, vocab: Seq[String]): Column =
     ColumnGlue.toColumn(VocabHits(ColumnGlue.toExpression(tokens), vocab))
+
+  def sqEncode(vec: Column, lo: Seq[Double], range: Seq[Double]): Column =
+    ColumnGlue.toColumn(SqEncode(ColumnGlue.toExpression(vec), lo, range))
+
+  def sqL2Distance(query: Column, codes: Column, lo: Seq[Double],
+      range: Seq[Double]): Column =
+    ColumnGlue.toColumn(SqL2Distance(ColumnGlue.toExpression(query),
+      ColumnGlue.toExpression(codes), lo, range))
 }
 
 /** Full k-component MinHash signature in one pass over the shingle-hash
@@ -392,4 +400,153 @@ case class VocabHits(child: Expression, vocab: Seq[String])
 
   protected override def withNewChildInternal(newChild: Expression): VocabHits =
     copy(child = newChild)
+}
+
+/** SQ8 scalar-quantization encode: per-dimension 8-bit code
+  * `clamp(round(((x − lo_i) · 255) / (hi_i − lo_i)), 0, 255)` against
+  * trained corpus ranges ([[graft.operators.ScalarQuantizer]]). The
+  * arithmetic ORDER is part of the contract — subtract, multiply by 255,
+  * divide by the precomputed `range_i = hi_i − lo_i`, round half-up,
+  * clamp — because the DuckDB oracle replays exactly that expression and
+  * the persisted codes must be bit-stable across engines. A degenerate
+  * dimension (`range_i = 0`) encodes to 0. Out-of-range inputs (vectors
+  * APPENDED after training) saturate at 0/255 via the clamp.
+  */
+case class SqEncode(child: Expression, lo: Seq[Double], range: Seq[Double])
+    extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) =>
+      if (lo.length == range.length) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"sq_encode stats disagree: ${lo.length} lo vs ${range.length} range")
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"sq_encode requires array<float>, got $t")
+  }
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "sq_encode"
+  // dimension mismatch with the trained stats nulls the row (the
+  // DotProduct length contract); so does a null element
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(input: Any): Any = {
+    val out = SqEncode.compute(input.asInstanceOf[ArrayData],
+      lo.toArray, range.toArray)
+    if (out == null) null
+    else new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo.toArray, "double[]")
+    val rgRef = ctx.addReferenceObj("sqRange", range.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val arr = ctx.freshName("codes")
+      s"""
+         |int[] $arr = graft.expressions.SqEncode.compute($c, $loRef, $rgRef);
+         |if ($arr == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  new org.apache.spark.sql.catalyst.util.GenericArrayData($arr); }
+       """.stripMargin
+    })
+  }
+
+  protected override def withNewChildInternal(newChild: Expression): SqEncode =
+    copy(child = newChild)
+}
+
+object SqEncode {
+  /** Exact half-up rounding of a non-negative double WITHOUT the
+    * `floor(t + 0.5)` trick (whose fp addition misrounds values like
+    * 0.49999999999999994): for |t| < 2^52 the fractional part `t − ⌊t⌋`
+    * is exact, so the comparison is too — matching both Spark's
+    * BigDecimal HALF_UP `round()` and DuckDB's half-away `round()` on
+    * every non-negative double in the code domain.
+    */
+  def roundHalfUp(t: Double): Double = {
+    val f = math.floor(t)
+    if (t - f >= 0.5) f + 1.0 else f
+  }
+
+  def compute(xs: ArrayData, lo: Array[Double],
+      range: Array[Double]): Array[Int] = {
+    val n = xs.numElements()
+    if (n != lo.length) return null
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val r = range(i)
+      out(i) =
+        if (r <= 0.0) 0
+        else {
+          val t = roundHalfUp(((xs.getFloat(i).toDouble - lo(i)) * 255.0) / r)
+          if (t < 0.0) 0 else if (t > 255.0) 255 else t.toInt
+        }
+      i += 1
+    }
+    out
+  }
+}
+
+/** Asymmetric SQ8 L2 distance: squared L2 between a FLOAT query and the
+  * DECODED reconstruction of an [[SqEncode]] code row —
+  * `Σ_i (q_i − (lo_i + (c_i · range_i) / 255))²`, left-to-right, all
+  * double — fused decode+distance so the per-pair hot loop touches only
+  * the 1-byte-per-dimension codes, never a materialized float
+  * reconstruction. Bit-identical to the DuckDB oracle's
+  * `list_sum(list_transform(...))` over the decoded list.
+  */
+case class SqL2Distance(left: Expression, right: Expression,
+    lo: Seq[Double], range: Seq[Double]) extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _), ArrayType(IntegerType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sq_l2_distance requires (array<float>, array<int>), got $l and $r")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "sq_l2_distance"
+  override def nullable: Boolean = true
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    SqL2Distance.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData],
+      lo.toArray, range.toArray)
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val loRef = ctx.addReferenceObj("sqLo", lo.toArray, "double[]")
+    val rgRef = ctx.addReferenceObj("sqRange", range.toArray, "double[]")
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val d = ctx.freshName("d")
+      s"""
+         |Double $d = graft.expressions.SqL2Distance.compute(
+         |  $a, $b, $loRef, $rgRef);
+         |if ($d == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = $d.doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  protected override def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): SqL2Distance =
+    copy(left = newLeft, right = newRight)
+}
+
+object SqL2Distance {
+  def compute(q: ArrayData, codes: ArrayData, lo: Array[Double],
+      range: Array[Double]): java.lang.Double = {
+    val n = q.numElements()
+    if (n != codes.numElements() || n != lo.length) return null
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (q.isNullAt(i) || codes.isNullAt(i)) return null
+      val xhat = lo(i) + (codes.getInt(i).toDouble * range(i)) / 255.0
+      val d = q.getFloat(i).toDouble - xhat
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
 }

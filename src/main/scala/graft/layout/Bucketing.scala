@@ -70,9 +70,47 @@ object Bucketing {
     val spark = df.sparkSession
     requireUnqualified(table)
     val staged = table + "__staged"
+    val old = table + "__old"
     writeBucketedBy(df, staged, keys, buckets)
-    dropWithLocation(spark, table)
+    // three-step rename, not drop-then-rename: the current generation
+    // survives under `__old` until the staged one is in place, so a
+    // crash anywhere in the chain leaves either `table` or a COMPLETE
+    // `__staged` addressable — never neither ([[graft.sources.Tables]]
+    // publish discipline brought to catalog tables; drop-then-rename
+    // had a window where the bulk tier simply did not exist and a
+    // subsequent rollover would silently rebuild it from the ingest
+    // tier alone). [[recoverSwap]] promotes the staged generation when
+    // a crash lands in the middle window.
+    dropWithLocation(spark, old)
+    if (spark.catalog.tableExists(table))
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `$old`")
+    else dropWithLocation(spark, table) // clear a dead JVM's leftover dir
     spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    dropWithLocation(spark, old)
+  }
+
+  /** Recover a [[writeBucketedBySwap]] interrupted between its renames:
+    * staging always COMPLETES before any rename starts, so if `table`
+    * is missing while its `__staged` replacement exists, the staged
+    * generation is whole and is promoted; a leftover `__old` generation
+    * is superseded either way and is dropped. Idempotent and cheap (two
+    * catalog lookups when nothing is wrong) — swap writers and readers
+    * of the table call it first.
+    */
+  def recoverSwap(spark: SparkSession, table: String): Unit = {
+    requireUnqualified(table)
+    val staged = table + "__staged"
+    val old = table + "__old"
+    if (!spark.catalog.tableExists(table) &&
+        spark.catalog.tableExists(staged))
+      spark.sql(s"ALTER TABLE `$staged` RENAME TO `$table`")
+    // unreachable from the swap's own crash states (staging completes
+    // before any rename) but mirrors Tables.publish's recovery: never
+    // drop the only surviving generation
+    if (!spark.catalog.tableExists(table) && spark.catalog.tableExists(old))
+      spark.sql(s"ALTER TABLE `$old` RENAME TO `$table`")
+    if (spark.catalog.tableExists(table))
+      dropWithLocation(spark, old)
   }
 
   /** Join two same-bucketed catalog tables on their bucket key. */

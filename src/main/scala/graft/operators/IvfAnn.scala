@@ -445,27 +445,6 @@ object IvfAnn {
           round(col("delta_d2") / col("base_d2") + lit(1e-9), 4)))
   }
 
-  /** Drift-GATED retrain — the decision leg that closes the maintenance
-    * loop ([[appendPartitionedByCell]] absorbs, [[compactCells]]
-    * defragments, [[driftReport]] measures, THIS acts): compute the
-    * corpus-wide drift ratio from the per-cell report, and when it
-    * exceeds `tau`, retrain the quantizer on the FULL tagged corpus and
-    * rewrite the cell layout at `path` through the same crash-safe
-    * staged-publish swap as [[compactCells]] (the layout stays
-    * addressable — old or new, never neither). Below `tau` nothing is
-    * touched and the existing centroids come back.
-    *
-    * The global ratio is the count-weighted mean delta-generation
-    * squared distance over the count-weighted mean base-generation one
-    * — recombined driver-side from the ≤`clusters`-row report (cells
-    * missing a generation contribute nothing, matching the per-cell
-    * null semantics). Retraining costs what [[centroids]] +
-    * [[writePartitionedByCell]] cost — `iters` corpus scans and one
-    * partitioned rewrite — which is exactly why it hides behind the
-    * ratio gate instead of running on every append.
-    *
-    * @return (centroids now governing `path`, whether a retrain ran)
-    */
   /** Corpus-wide drift ratio recombined driver-side from a
     * [[driftReport]] frame (≤ clusters rows): the count-weighted mean
     * delta-generation squared distance over the count-weighted mean
@@ -491,20 +470,60 @@ object IvfAnn {
     else None
   }
 
+  /** Drift-GATED retrain — the decision leg that closes the maintenance
+    * loop ([[appendPartitionedByCell]] absorbs, [[compactCells]]
+    * defragments, [[driftReport]] measures, THIS acts): compute the
+    * corpus-wide drift ratio from the per-cell report, and when it
+    * exceeds `tau`, retrain the quantizer on the full LIVE tagged
+    * corpus and rewrite the cell layout at `path` through the same
+    * crash-safe staged-publish swap as [[compactCells]] (the layout
+    * stays addressable — old or new, never neither). Below `tau`
+    * nothing is touched and the existing centroids come back.
+    *
+    * The rebuild sources vectors from the CALLER's corpus, which may
+    * still hold logically deleted ids — pending tombstones apply
+    * physically before training and re-encode ([[deleteFromCells]]
+    * markers must neither shape the retrained centroids nor be
+    * resurrected into the new layout), and markers that arrive while
+    * the retrain runs are carried into the staged layout — the
+    * [[compactCells]] snapshot/carry discipline.
+    *
+    * Retraining costs what [[centroids]] + [[writePartitionedByCell]]
+    * cost — `iters` corpus scans and one partitioned rewrite — which is
+    * exactly why it hides behind the ratio gate instead of running on
+    * every append.
+    *
+    * @return (centroids now governing `path`, whether a retrain ran)
+    */
   def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
       path: String, tagged: DataFrame, genCol: String, idCol: String,
       vecCol: String, cents: DataFrame, clusters: Int, iters: Int,
-      tau: Double): (DataFrame, Boolean) = {
+      tau: Double): (DataFrame, Boolean) =
+    retrainIfDrifted(spark, path, tagged, genCol, idCol, vecCol, cents,
+      clusters, iters, tau, () => ())
+
+  /** Test seam: `midRetrain` runs after the rebuilt layout materializes
+    * and before the publish swap — the marker-carry race window.
+    */
+  private[graft] def retrainIfDrifted(spark: org.apache.spark.sql.SparkSession,
+      path: String, tagged: DataFrame, genCol: String, idCol: String,
+      vecCol: String, cents: DataFrame, clusters: Int, iters: Int,
+      tau: Double, midRetrain: () => Unit): (DataFrame, Boolean) = {
     val ratio = globalDriftRatio(driftReport(tagged, genCol, vecCol, cents))
     if (!ratio.exists(_ > tau)) (cents, false)
     else {
-      val full = tagged.select(col(idCol), col(vecCol))
+      val snap = graft.sources.Tombstones.fileSnapshot(spark, path)
+      val full = graft.sources.Tombstones.filterLive(spark, path,
+        tagged.select(col(idCol), col(vecCol)), idCol)
       val retrained = centroids(full, idCol, vecCol, clusters, iters)
       val cs = CentroidState.collect(retrained)
       val staged = path + ".__retrain__"
       full.select(col(idCol), col(vecCol),
           CentroidState.nearestCell(col(vecCol), cs).as("cell"))
         .write.mode("overwrite").partitionBy("cell").parquet(staged)
+      midRetrain()
+      // deletes that arrived mid-retrain ride into the new layout
+      graft.sources.Tombstones.carryInto(spark, path, snap, staged)
       graft.sources.Tables.publish(spark, staged, path)
       (retrained, true)
     }

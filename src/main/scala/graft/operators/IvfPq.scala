@@ -149,22 +149,33 @@ object IvfPq {
       coarseIters: Int = 1, pqIters: Int = 1): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val spark = corpus0.sparkSession
-    // a dir previously written by writeIndexResidual carries the
-    // _residual_codes flag: clear it FIRST, so the worst mid-write
-    // crash state (flagless residual leftovers) fails fast in
-    // searchIndexResidual instead of silently scoring global codes
-    // with residual ADC tables (round-9 advice)
-    locally { val (p, fs) = residualFlag(spark, dir); fs.delete(p, false) }
+    // build under a staged sibling and swap in whole: overwriting a dir
+    // IN PLACE that previously held the OPPOSITE encoding had crash
+    // states where stale residual codes survived flagless (searchIndex
+    // silently accepted them) — with the staged publish, an interrupted
+    // (re)write leaves the previous index — flag, quantizers, and codes
+    // consistent with each other — fully addressable, never a
+    // half-overwritten mix of encodings (round-10 review)
+    val staged = dir + ".__write__"
+    // a crashed earlier staged write may have left the dir — flagged,
+    // even — which would poison this global build: clear it first
+    clearDir(spark, staged)
     val corpus = CentroidState.ensureCached(corpus0)
     val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
     val cb = ProductQuantizer.lloyd(corpus, idCol, vecCol, m, dim, codes,
       pqIters)
     encodedRows(corpus, idCol, vecCol, coarse, cb, m, dim)
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$staged/cells")
     CentroidState.toDF(spark, coarse).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/coarse")
+      .write.mode("overwrite").parquet(s"$staged/coarse")
     ProductQuantizer.toDF(spark, cb).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+      .write.mode("overwrite").parquet(s"$staged/codebook")
+    graft.sources.Tables.publish(spark, staged, dir)
+  }
+
+  private def clearDir(spark: SparkSession, d: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(d)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
   }
 
   /** Load both quantizers back from the index dir (O(clusters·dim) +
@@ -246,26 +257,33 @@ object IvfPq {
       coarseIters: Int = 1, pqIters: Int = 1): Unit = {
     require(dim % m == 0, s"dim $dim must split evenly into $m subspaces")
     val spark = corpus0.sparkSession
+    // staged build + whole-dir publish swap — the [[writeIndex]]
+    // crash-consistency rationale; the flag travels with the staged dir
+    // so a published index is ALWAYS flag-consistent with its codes,
+    // even when this write replaces a global-coded index
+    val staged = dir + ".__write__"
+    clearDir(spark, staged)
     val corpus = CentroidState.ensureCached(corpus0)
     val coarse = IvfAnn.lloyd(corpus, idCol, vecCol, clusters, coarseIters)
     val resid = CentroidState.ensureCached(
       residualRows(corpus, idCol, vecCol, coarse))
     val cb = ProductQuantizer.lloyd(resid, idCol, "rv", m, dim, codes,
       pqIters)
-    // flag BEFORE the cells write: a crash mid-write must never leave
-    // residual codes unflagged (searchIndex would accept them and
-    // return garbage silently — the failure the flag exists to stop);
-    // the flagged-but-partial state fails fast instead
-    locally { val (p, fs) = residualFlag(spark, dir)
+    // flag BEFORE the cells write: no staged state — and therefore no
+    // published state — ever holds residual codes unflagged (searchIndex
+    // would accept them and return garbage silently — the failure the
+    // flag exists to stop)
+    locally { val (p, fs) = residualFlag(spark, staged)
       fs.mkdirs(p.getParent); fs.create(p, true).close() }
     resid.select(col(idCol),
         ProductQuantizer.codesExpr(col("rv"), cb, m, dim).as("codes"),
         col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(s"$dir/cells")
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$staged/cells")
     CentroidState.toDF(spark, coarse).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/coarse")
+      .write.mode("overwrite").parquet(s"$staged/coarse")
     ProductQuantizer.toDF(spark, cb).coalesce(1)
-      .write.mode("overwrite").parquet(s"$dir/codebook")
+      .write.mode("overwrite").parquet(s"$staged/codebook")
+    graft.sources.Tables.publish(spark, staged, dir)
   }
 
   /** `(idCol, cell, rv)` — each vector's assigned cell and float
@@ -507,7 +525,10 @@ object IvfPq {
     * plain IVF ([[appendIndexResidual]] absorbs, [[IvfAnn.compactCells]]
     * defragments `dir/cells`, [[driftReport]] measures, THIS acts):
     * when the corpus-wide drift ratio exceeds `tau`, BOTH quantizers
-    * retrain on the full tagged corpus and the ENTIRE index directory
+    * retrain on the full LIVE tagged corpus (pending tombstones apply
+    * physically first; mid-retrain markers are carried into the staged
+    * layout — [[IvfAnn.compactCells]]' discipline) and the ENTIRE
+    * index directory
     * (cells + coarse + codebook + encoding flag) rebuilds under the
     * dir's existing encoding — residual or global, read from the
     * `_residual_codes` flag — into a staged dir published through the
@@ -522,7 +543,18 @@ object IvfPq {
   def retrainIfDrifted(spark: SparkSession, dir: String, tagged: DataFrame,
       genCol: String, idCol: String, vecCol: String,
       clusters: Int, m: Int, dim: Int, codes: Int,
-      coarseIters: Int = 1, pqIters: Int = 1, tau: Double): Boolean = {
+      coarseIters: Int = 1, pqIters: Int = 1, tau: Double): Boolean =
+    retrainIfDrifted(spark, dir, tagged, genCol, idCol, vecCol, clusters,
+      m, dim, codes, coarseIters, pqIters, tau, () => ())
+
+  /** Test seam: `midRetrain` runs after the staged index materializes
+    * and before the publish swap — the marker-carry race window.
+    */
+  private[graft] def retrainIfDrifted(spark: SparkSession, dir: String,
+      tagged: DataFrame, genCol: String, idCol: String, vecCol: String,
+      clusters: Int, m: Int, dim: Int, codes: Int,
+      coarseIters: Int, pqIters: Int, tau: Double,
+      midRetrain: () => Unit): Boolean = {
     val ratio = IvfAnn.globalDriftRatio(
       driftReport(spark, dir, tagged, genCol, vecCol))
     if (!ratio.exists(_ > tau)) false
@@ -534,13 +566,24 @@ object IvfPq {
       val sp = new org.apache.hadoop.fs.Path(staged)
       sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .delete(sp, true)
-      val full = tagged.select(col(idCol), col(vecCol))
+      // the rebuild sources vectors from the CALLER's corpus, which may
+      // still hold logically deleted ids — pending markers apply
+      // physically BEFORE training and re-encode (deleted vectors must
+      // neither shape the quantizers nor be resurrected into the new
+      // cells), and markers that arrive while the retrain runs are
+      // carried into the staged cell layout — compactCells' discipline
+      val snap = graft.sources.Tombstones.fileSnapshot(spark, s"$dir/cells")
+      val full = graft.sources.Tombstones.filterLive(spark, s"$dir/cells",
+        tagged.select(col(idCol), col(vecCol)), idCol)
       if (residual)
         writeIndexResidual(full, idCol, vecCol, staged, clusters, m, dim,
           codes, coarseIters, pqIters)
       else
         writeIndex(full, idCol, vecCol, staged, clusters, m, dim, codes,
           coarseIters, pqIters)
+      midRetrain()
+      graft.sources.Tombstones.carryInto(spark, s"$dir/cells", snap,
+        s"$staged/cells")
       graft.sources.Tables.publish(spark, staged, dir)
       true
     }

@@ -179,8 +179,10 @@ object LshIndex {
     * a re-run of [[compactBucketed]].
     */
   def candidatesBucketed(spark: SparkSession, table: String,
-      delta: DataFrame, idCol: String, shCol: String): DataFrame =
+      delta: DataFrame, idCol: String, shCol: String): DataFrame = {
+    graft.layout.Bucketing.recoverSwap(spark, table)
     probe(spark.table(table), delta, idCol, shCol).distinct()
+  }
 
   /** [[compactBucketed]] PLUS ingest-tier truncation — the two-tier
     * (lambda) layout rollover: after this call `table` serves the
@@ -201,6 +203,16 @@ object LshIndex {
     * ([[graft.sources.Tombstones.carryInto]] — the [[compact]]
     * discipline) so [[candidatesHybrid]] keeps masking them in either
     * tier. Truncation publishes through the crash-safe swap.
+    *
+    * Crash/retry contract: a rollover interrupted mid-swap is recovered
+    * by [[graft.layout.Bucketing.recoverSwap]] (called here before the
+    * bulk-exists check — without it a retry would take the empty-bulk
+    * branch and rebuild the table from the ingest tier alone). A retry
+    * after a crash BETWEEN the swap and the truncate re-folds rows the
+    * staged generation already absorbed, leaving exact-duplicate band
+    * rows in the bulk — harmless by design: probes close with
+    * `distinct()` and the index already tolerates full-row duplicates
+    * from same-content re-admission ([[append]] after [[delete]]).
     */
   def compactBucketedAndTruncate(spark: SparkSession, path: String,
       table: String, buckets: Int, idCol: String): Unit =
@@ -217,6 +229,11 @@ object LshIndex {
     val pathRows = spark.read.parquet(path)
     require(pathRows.columns.contains(idCol),
       s"id column '$idCol' not in index schema ${pathRows.columns.mkString(",")}")
+    // a crashed earlier swap may have left the bulk under its staged
+    // name — promote it BEFORE the exists check, or this rollover would
+    // take the empty-bulk branch and rebuild the table from the ingest
+    // tier alone, silently un-indexing the compacted corpus
+    graft.layout.Bucketing.recoverSwap(spark, table)
     val bulk =
       if (spark.catalog.tableExists(table)) Some(spark.table(table)) else None
     val all = bulk.fold(pathRows)(_.unionByName(pathRows))
@@ -326,6 +343,7 @@ object LshIndex {
     // delta's signature scan is the dominant per-row admission cost
     // and used to run once per tier. Unioning the index sides instead
     // would forfeit the bucketed side's exchange-free plan.
+    graft.layout.Bucketing.recoverSwap(spark, table)
     val dBand = graft.CacheScope.cache(bandRows(delta, idCol, shCol))
     probeBands(dBand,
         Tombstones.filterLive(spark, path, spark.table(table), idCol), idCol)

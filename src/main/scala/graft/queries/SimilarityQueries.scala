@@ -2116,6 +2116,130 @@ object SimilarityQueries {
     }
   }
 
+  /** DuckDB oracle for [[graft.operators.ScalarQuantizer]] — per-
+    * dimension float min/max (`stats`, trained on `statsSrc` so the
+    * index queries can train on the BASE generation only), encode→decode
+    * fused per vector (`dec` — the exact arithmetic ORDER the codegen
+    * kernel uses: subtract, ·255, divide by the double `hi − lo`,
+    * half-up round, clamp, then `lo + (code · (hi − lo)) / 255`), and
+    * the asymmetric distance as a left-fold `list_sum` — bit-identical
+    * to [[graft.expressions.SqL2Distance]]. `excludeIds` mirrors
+    * tombstone masking.
+    */
+  private def sqOracleSql(dim: Int, k: Int, nQueries: Int,
+      corpusCte: String = "SELECT vec_id, embedding FROM embeddings",
+      statsSrc: String = "corpus",
+      excludeIds: Seq[Long] = Nil): String = {
+    val excl = if (excludeIds.isEmpty) ""
+      else s" AND d.vec_id NOT IN (${excludeIds.mkString(",")})"
+    s"""WITH corpus AS ($corpusCte),
+      |stats AS (
+      |  SELECT i.i AS pos, min(embedding[i.i]) AS lo,
+      |    max(embedding[i.i]) AS hi
+      |  FROM $statsSrc CROSS JOIN range(1, ${dim + 1}) i(i)
+      |  GROUP BY i.i),
+      |dec AS (
+      |  SELECT c.vec_id,
+      |    list(CAST(s.lo AS DOUBLE)
+      |      + (CASE WHEN s.hi > s.lo THEN GREATEST(0.0, LEAST(255.0,
+      |           round(((CAST(c.embedding[s.pos] AS DOUBLE)
+      |                   - CAST(s.lo AS DOUBLE)) * 255.0)
+      |             / (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE)))))
+      |         ELSE 0.0 END
+      |         * (CAST(s.hi AS DOUBLE) - CAST(s.lo AS DOUBLE))) / 255.0
+      |      ORDER BY s.pos) AS xhat
+      |  FROM corpus c CROSS JOIN stats s
+      |  GROUP BY c.vec_id),
+      |scored AS (
+      |  SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+      |    list_sum(list_transform(range(1, ${dim + 1}),
+      |      i -> (CAST(q.embedding[i] AS DOUBLE) - d.xhat[i])
+      |         * (CAST(q.embedding[i] AS DOUBLE) - d.xhat[i])))
+      |      AS approx_dist
+      |  FROM dec d CROSS JOIN corpus q
+      |  WHERE q.vec_id < $nQueries AND q.vec_id <> d.vec_id$excl)
+      |SELECT qid, neighbor, round(approx_dist + 1e-9, 4) AS approx_dist
+      |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+      |        ORDER BY approx_dist, neighbor) AS rk FROM scored) r
+      |WHERE rk <= $k
+      |ORDER BY qid, approx_dist, neighbor""".stripMargin
+  }
+
+  /** SQ8 compressed-brute-force search
+    * ([[graft.operators.ScalarQuantizer.search]]) — the third
+    * quantization tier beside PQ (q83) and IVFADC (q142): one min/max
+    * scan trains per-dimension 8-bit ranges, every corpus vector is
+    * scored against every query through the fused decode+distance
+    * codegen kernel (near-exact recall, 4× less I/O than the float
+    * corpus), top-k per query. Oracle replays the identical encode/
+    * decode/fold arithmetic in SQL.
+    */
+  val sqSearch: QuerySpec = {
+    val (k, nQ, dim) = (3, 10, 64)
+    QuerySpec.sql("q152_sq_search", sqOracleSql(dim, k, nQ)) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.ScalarQuantizer.search(corpus, "vec_id", "embedding",
+          queries, "qid", "qv", k = k)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
+  /** Persisted SQ8 index lifecycle in one gate
+    * ([[graft.operators.ScalarQuantizer.writeIndex]]/`appendIndex`/
+    * `deleteFromIndex`/`searchIndex`): the index trains and writes on
+    * the BASE generation, a +0.5-shifted delta (new-encoder appends)
+    * encodes through the STORED stats — shifted dimensions exceed the
+    * trained range, so the clamp saturates them at code 255 in BOTH
+    * engines — one id is forgotten via a tombstone marker, and the
+    * search serves codes-only with the marker masked. Oracle: stats
+    * over the base slice, decode over the full corpus, deleted id
+    * excluded.
+    */
+  val sqIndex: QuerySpec = {
+    val (k, nQ, dim) = (3, 10, 64)
+    QuerySpec.sql(
+      "q153_sq_index",
+      sqOracleSql(dim, k, nQ,
+        corpusCte = """SELECT vec_id,
+          |    CASE WHEN vec_id % 5 = 0
+          |      THEN list_transform(embedding,
+          |             x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL))
+          |      ELSE embedding END AS embedding
+          |  FROM embeddings""".stripMargin,
+        statsSrc = "(SELECT * FROM corpus WHERE vec_id % 5 <> 0)",
+        excludeIds = Seq(3L))
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.5)).cast("float"))
+            .as("embedding"))
+      val idx = graft.Scratch.fresh("q153") + "/sq"
+      graft.operators.ScalarQuantizer.writeIndex(base, "vec_id",
+        "embedding", idx)
+      graft.operators.ScalarQuantizer.appendIndex(delta, "vec_id",
+        "embedding", idx)
+      graft.operators.ScalarQuantizer.deleteFromIndex(spark, idx,
+        Seq(3L).toDF("vec_id"), "vec_id")
+      val queries = base.unionByName(delta).filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.ScalarQuantizer.searchIndex(spark, idx, "vec_id",
+          queries, "qid", "qv", k = k)
+        .select(col("qid"), col("neighbor"),
+          round(col("approx_dist") + lit(1e-9), 4).as("approx_dist"))
+        .orderBy(col("qid"), col("approx_dist"), col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2123,5 +2247,5 @@ object SimilarityQueries {
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
-    ivfPqStreamAppend, ivfPqRecall)
+    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex)
 }

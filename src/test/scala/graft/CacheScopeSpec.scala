@@ -70,7 +70,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q148_ivfpq_versioned", // embeddings cache (two-version build)
     "q149_lsh_rollover_cycle", // docs + per-wave stats + hybrid band caches
     "q150_ivfpq_stream",   // embeddings cache + streamed append/search
-    "q151_ivfpq_recall"    // corpus/residual/query/ground-truth caches
+    "q151_ivfpq_recall",   // corpus/residual/query/ground-truth caches
+    "q152_sq_search",      // corpus cache through train + encode + score
+    "q153_sq_index"        // embeddings cache through the index lifecycle
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -137,6 +137,95 @@ class KernelEquivalenceSpec extends SparkTestBase {
         |     shiftleft(1L, i), 0L))""".stripMargin).as("b")))
   }
 
+  // --- SQ8 kernels: the HOF references replay the exact arithmetic
+  // ORDER of SqEncode/SqL2Distance (subtract, ·255, divide by the
+  // double range, HALF_UP round, clamp; left fold for the distance) —
+  // the same order the DuckDB oracle uses.
+
+  private def sqStats = {
+    val s = graft.operators.ScalarQuantizer.train(
+      embs.select(col("embedding")), "embedding")
+    (s.lo, s.range)
+  }
+
+  private def encodeHof(vec: org.apache.spark.sql.Column, lo: Seq[Double],
+      rg: Seq[Double]): org.apache.spark.sql.Column = {
+    val loA = array(lo.map(lit): _*)
+    val rgA = array(rg.map(lit): _*)
+    transform(vec, (x, i) => {
+      val l = element_at(loA, i + 1)
+      val r = element_at(rgA, i + 1)
+      when(r <= 0.0, lit(0)).otherwise(
+        greatest(lit(0.0), least(lit(255.0),
+          round(((x.cast("double") - l) * lit(255.0)) / r))).cast("int"))
+    })
+  }
+
+  private def distHof(q: org.apache.spark.sql.Column,
+      codes: org.apache.spark.sql.Column, lo: Seq[Double],
+      rg: Seq[Double]): org.apache.spark.sql.Column = {
+    val loA = array(lo.map(lit): _*)
+    val rgA = array(rg.map(lit): _*)
+    aggregate(sequence(lit(0), lit(lo.length - 1)), lit(0.0), (acc, i) => {
+      val xhat = element_at(loA, i + 1) +
+        (element_at(codes, i + 1).cast("double") * element_at(rgA, i + 1)) /
+          lit(255.0)
+      val d = element_at(q, i + 1).cast("double") - xhat
+      acc + d * d
+    })
+  }
+
+  test("SqEncode == HOF encode on every embedding (incl. out-of-range)") {
+    val (lo, rg) = sqStats
+    // in-range corpus rows AND a +0.5-shifted copy (every dimension past
+    // its trained hi — the clamp/saturation path)
+    val shifted = embs.select(transform(col("embedding"),
+      x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    Seq(embs.select(col("embedding")), shifted).foreach { df =>
+      assertNoDiff(df.select(
+        NativeKernels.sqEncode(col("embedding"), lo, rg).as("a"),
+        encodeHof(col("embedding"), lo, rg).as("b")))
+    }
+  }
+
+  test("SqEncode degenerate dimension encodes to 0 in both paths") {
+    import spark.implicits._
+    val df = Seq(Array(1.5f, -2.0f)).toDF("v")
+    val lo = Seq(1.5, -3.0); val rg = Seq(0.0, 2.0)
+    assertNoDiff(df.select(NativeKernels.sqEncode(col("v"), lo, rg).as("a"),
+      encodeHof(col("v"), lo, rg).as("b")))
+    val codes = df.select(NativeKernels.sqEncode(col("v"), lo, rg))
+      .head.getSeq[Int](0)
+    assert(codes.head === 0)
+  }
+
+  test("SqL2Distance == HOF fused decode+distance on embedding pair sample") {
+    val (lo, rg) = sqStats
+    val enc = embs.select(col("vec_id"),
+      NativeKernels.sqEncode(col("embedding"), lo, rg).as("codes"))
+    val pairs = embs.select(col("vec_id"), col("embedding")).as("x")
+      .join(enc.as("y"), col("x.vec_id") % 17 === col("y.vec_id") % 17)
+    assertNoDiff(pairs.select(
+      NativeKernels.sqL2Distance(col("x.embedding"), col("y.codes"),
+        lo, rg).as("a"),
+      distHof(col("x.embedding"), col("y.codes"), lo, rg).as("b")))
+  }
+
+  test("SQ kernels null on dimension mismatch and null elements") {
+    import spark.implicits._
+    val lo = Seq(0.0, 0.0); val rg = Seq(1.0, 1.0)
+    val mism = Seq(Array(1.0f, 2.0f, 3.0f)).toDF("v")
+    assert(mism.select(NativeKernels.sqEncode(col("v"), lo, rg))
+      .head.isNullAt(0), "dim mismatch with trained stats must null the row")
+    val nullEl = Seq(Tuple1(Array[java.lang.Float](1.0f, null)))
+      .toDF("v")
+    assert(nullEl.select(NativeKernels.sqEncode(col("v"), lo, rg))
+      .head.isNullAt(0))
+    val d = Seq((Array(1.0f, 2.0f), Array(1, 2, 3))).toDF("q", "c")
+    assert(d.select(NativeKernels.sqL2Distance(col("q"), col("c"), lo, rg))
+      .head.isNullAt(0))
+  }
+
   test("kernels survive null inputs") {
     import spark.implicits._
     val df = Seq(Option.empty[String]).toDF("s")

@@ -239,6 +239,52 @@ class IvfCellLayoutSpec extends SparkTestBase {
    }
   }
 
+  test("retrainIfDrifted applies pending deletes and carries mid-retrain " +
+      "markers") {
+   withTempDir("graft_ivf_retrain_ts") { root =>
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .select(col("vec_id"), col("embedding"))
+    val base = emb.filter(col("vec_id") % 5 =!= 0)
+    val delta = emb.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    val cents = IvfAnn.centroids(base, "vec_id", "embedding", clusters = 8,
+      iters = 1)
+    val layout = s"$root/layout"
+    IvfAnn.writePartitionedByCell(base, "vec_id", "embedding", cents, layout)
+    IvfAnn.appendPartitionedByCell(delta, "vec_id", "embedding", cents, layout)
+    // vec 1 is forgotten BEFORE the retrain: the rebuild reads the
+    // caller's corpus (which still contains it), so without filterLive
+    // the publish would resurrect it and destroy its marker
+    IvfAnn.deleteFromCells(spark, layout, Seq(1L).toDF("vec_id"), "vec_id")
+    val tagged = base.withColumn("gen", lit("base"))
+      .unionByName(delta.withColumn("gen", lit("delta")))
+    // vec 2 is forgotten DURING the retrain: its marker must be carried
+    val (outCents, retrained) = IvfAnn.retrainIfDrifted(spark, layout,
+      tagged, "gen", "vec_id", "embedding", cents, clusters = 8,
+      iters = 1, tau = 3.0,
+      () => IvfAnn.deleteFromCells(spark, layout,
+        Seq(2L).toDF("vec_id"), "vec_id"))
+    assert(retrained)
+    val ids = spark.read.parquet(layout).select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L),
+      "pre-retrain delete must be applied physically, not resurrected")
+    assert(IvfAnn.tombstones(spark, layout).isDefined,
+      "the mid-retrain marker must survive the publish swap")
+    val queries = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val served = IvfAnn.searchPartitioned(spark, layout, outCents,
+        "vec_id", "embedding", queries, "qid", "qv", k = 5, nProbe = 8)
+      .collect().map(_.getLong(1)).toSet
+    assert(!served.contains(1L) && !served.contains(2L),
+      "forgotten vectors must not serve after the retrain")
+    graft.CacheScope.releaseAll()
+   }
+  }
+
   test("tombstoned deletes are invisible to search and applied by compaction") {
    withTempDir("graft_ivf_delete") { root =>
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")

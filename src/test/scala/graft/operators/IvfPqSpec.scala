@@ -325,6 +325,66 @@ class IvfPqSpec extends SparkTestBase {
     assert(rows(idx2) === rows(fromScratch))
   }
 
+  test("retrainIfDrifted applies pending deletes and carries mid-retrain " +
+      "markers") {
+    import spark.implicits._
+    val all = corpus.select(col("vec_id"), col("embedding"))
+    val base = all.filter(col("vec_id") % 5 =!= 0)
+    val shifted = all.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    val idx = graft.Scratch.fresh("ivfpq_retrain_ts") + "/idx"
+    IvfPq.writeIndexResidual(base, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    IvfPq.appendIndexResidual(shifted, "vec_id", "embedding", idx)
+    // vec 1 is forgotten BEFORE the retrain: the rebuild reads the
+    // caller's corpus (which still contains it), so without filterLive
+    // the publish would resurrect it and destroy its marker
+    IvfPq.deleteFromIndex(spark, idx, Seq(1L).toDF("vec_id"), "vec_id")
+    val tagged = base.withColumn("gen", lit("base"))
+      .unionByName(shifted.withColumn("gen", lit("delta")))
+    // vec 2 is forgotten DURING the retrain: its marker must be carried
+    assert(IvfPq.retrainIfDrifted(spark, idx, tagged, "gen", "vec_id",
+      "embedding", clusters = 16, m = M, dim = Dim, codes = 16,
+      coarseIters = 1, pqIters = 1, tau = 3.0,
+      () => IvfPq.deleteFromIndex(spark, idx,
+        Seq(2L).toDF("vec_id"), "vec_id")))
+    val ids = spark.read.parquet(s"$idx/cells").select(col("vec_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(1L),
+      "pre-retrain delete must be applied physically, not resurrected")
+    assert(IvfPq.tombstones(spark, idx).isDefined,
+      "the mid-retrain marker must survive the publish swap")
+    val served = IvfPq.searchIndexResidual(spark, idx, "vec_id",
+        queries, "qid", "qv", k = 5, nProbe = 16)
+      .collect().map(_.getLong(1)).toSet
+    assert(!served.contains(1L) && !served.contains(2L),
+      "forgotten vectors must not serve after the retrain")
+  }
+
+  test("a crashed write's leftover staged dir cannot poison the next " +
+      "writeIndex (flag travels with the staged publish)") {
+    val idx = graft.Scratch.fresh("ivfpq_stagedcrash") + "/idx"
+    // a writeIndexResidual that died mid-build leaves a FLAGGED staged
+    // dir behind; the next global build must clear it rather than
+    // inherit the flag into its published layout
+    val staged = new org.apache.hadoop.fs.Path(
+      s"$idx.__write__/_residual_codes")
+    val fs = staged.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(staged.getParent); fs.create(staged, true).close()
+    IvfPq.writeIndex(corpus, "vec_id", "embedding", idx,
+      clusters = 16, m = M, dim = Dim, codes = 16)
+    assert(IvfPq.searchIndex(spark, idx, "vec_id", queries, "qid", "qv",
+      k = 3, nProbe = 4).count() === 30L)
+    intercept[IllegalArgumentException] {
+      IvfPq.searchIndexResidual(spark, idx, "vec_id", queries, "qid", "qv",
+        k = 3, nProbe = 4)
+    }
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx.__write__")),
+      "the publish must consume the staged dir")
+  }
+
   test("recallSweepResidual: recall is monotone in nProbe, bounded by truth") {
     val s = synth(480)
     val rows = IvfPq.recallSweepResidual(s, "vec_id", "embedding",

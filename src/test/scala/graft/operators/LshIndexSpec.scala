@@ -225,6 +225,51 @@ class LshIndexSpec extends SparkTestBase {
     }
   }
 
+  test("a rollover retry after a swap crash recovers the staged bulk " +
+      "instead of rebuilding it from the ingest tier") {
+    val path = graft.Scratch.fresh("lshindex_swapcrash") + "/idx"
+    val corpus = withSh(Seq(
+      10L -> "shared text body one two three four five six seven",
+      11L -> "unrelated corpus document about entirely other things here"))
+    LshIndex.write(corpus, "doc_id", "sh", path)
+    val table = "lsh_swapcrash_bulk"
+    try {
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      LshIndex.append(
+        withSh(Seq(30L -> "a wholly new document admitted after rollover")),
+        "doc_id", "sh", path)
+      // simulate rollover #2 crashing in the swap's middle window: the
+      // fold (bulk ∪ wave) is fully staged and the old bulk has been
+      // renamed away — `table` does not exist. The pre-fix retry saw
+      // tableExists=false, took the empty-bulk branch, and rebuilt the
+      // bulk from the ingest tier alone — un-indexing docs 10/11.
+      val fold = spark.table(table).unionByName(spark.read.parquet(path))
+      graft.layout.Bucketing.writeBucketedBy(fold, table + "__staged",
+        Seq("band", "bkt"), 4)
+      spark.sql(s"ALTER TABLE `$table` RENAME TO `${table}__old`")
+      assert(!spark.catalog.tableExists(table))
+      // the retry must recover the staged generation before deciding
+      LshIndex.compactBucketedAndTruncate(spark, path, table,
+        buckets = 4, "doc_id")
+      assert(spark.read.parquet(path).count() === 0L)
+      def hybrid(probe: org.apache.spark.sql.DataFrame) =
+        LshIndex.candidatesHybrid(spark, table, path, probe, "doc_id", "sh")
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(hybrid(withSh(Seq(
+          20L -> "shared text body one two three four five six seven")))
+        .contains((20L, 10L)),
+        "tier-1 docs must survive a crash-interrupted rollover")
+      assert(hybrid(withSh(Seq(
+          40L -> "a wholly new document admitted after rollover")))
+        .contains((40L, 30L)),
+        "the staged wave must survive the recovery")
+    } finally {
+      Seq(table, table + "__staged", table + "__old")
+        .foreach(n => spark.sql(s"DROP TABLE IF EXISTS `$n`"))
+    }
+  }
+
   test("a delete landing mid-rollover survives the truncate publish") {
     val path = graft.Scratch.fresh("lshindex_rollover_race") + "/idx"
     val corpus = withSh(Seq(
