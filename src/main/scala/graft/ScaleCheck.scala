@@ -160,6 +160,30 @@ object ScaleCheck {
         ()
       }
       jline("ivfpq_residual_search", n, vecRows, mPq)
+
+      // ---- SQ8 persisted-index search: same fixed batch ----
+      // brute tier by design: input bytes grow with the corpus (that's
+      // the full codes scan, 4× less than floats) but the SHUFFLE must
+      // stay bounded by partitions·k·|queries| top-k partials
+      val sqDir = Scratch.fresh(s"scalecheck_sq_$n") + "/idx"
+      graft.operators.ScalarQuantizer.writeIndex(vecs, "vec_id",
+        "embedding", sqDir)
+      val mSq = Metrics.measure(spark) {
+        graft.operators.ScalarQuantizer.searchIndex(spark, sqDir, "vec_id",
+          queries, "qid", "qv", k = 3).count()
+        ()
+      }
+      jline("sq_index_search", n, vecRows, mSq)
+
+      // ---- binary Hamming prefilter + exact re-rank (q155 shape) ----
+      // the packed scan is 64× smaller than floats; only the bounded
+      // shortlist (k·refine per query) touches the float corpus
+      val mBq = Metrics.measure(spark) {
+        graft.operators.BinaryQuantizer.searchRefined(vecs, "vec_id",
+          "embedding", queries, "qid", "qv", k = 3, refine = 4).count()
+        ()
+      }
+      jline("bq_refined_search", n, vecRows, mBq)
       CacheScope.releaseAll()
     }
     spark.stop()

@@ -1,0 +1,136 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** 1-bit binary quantization — the coarsest rung of the quantization
+  * ladder (float32 → SQ8 [[ScalarQuantizer]] → PQ [[ProductQuantizer]] /
+  * IVFADC [[IvfPq]] → THIS): each dimension collapses to a single bit
+  * (`x_i > mid_i`, `mid_i` the corpus midrange `(lo_i + hi_i) / 2` —
+  * order-independent and bit-stable across engines, unlike a mean),
+  * packed 64 bits to a long, and similarity becomes Hamming distance —
+  * `bit_count(xor)` per word, integer arithmetic with NO float-stability
+  * surface at all.
+  *
+  * The 100 TB shape: 64× smaller than the float corpus (one long per
+  * 64 dims), the per-pair kernel is one XOR+POPCNT per word, and recall
+  * at the top is weak enough that binary is the PREFILTER tier — scan
+  * the packed corpus for a `refine·k` Hamming shortlist, then fetch only
+  * the shortlist's float vectors for the exact re-rank
+  * ([[searchRefined]], the [[IvfPq.searchIndexResidualRefined]] shape).
+  * Everything here composes from builtin codegen functions (`zip_with`,
+  * `bit_count`, `aggregate`) — no custom kernel needed because the hot
+  * loop is one word wide per 64 dimensions.
+  */
+object BinaryQuantizer {
+
+  /** Per-dimension midrange thresholds from one [[ScalarQuantizer.train]]
+    * min/max scan: `(lo_i + hi_i) / 2`, with `hi_i = lo_i + range_i`
+    * (exact — a difference of two floats is always representable in
+    * double, so re-adding recovers the max bit-for-bit).
+    */
+  def mids(stats: ScalarQuantizer.Stats): IndexedSeq[Double] =
+    stats.lo.indices.map { i =>
+      (stats.lo(i) + (stats.lo(i) + stats.range(i))) / 2.0
+    }
+
+  /** Pack `vec` against the thresholds: `ceil(dim/64)` longs, bit `i`
+    * of word `w` set iff `vec[64w+i] > mid[64w+i]`. Bit 63's power is
+    * `Long.MinValue` (the two's-complement value of `1L << 63`) and the
+    * fold adds it LAST within its word, so the running sum never leaves
+    * the long range — safe under ANSI overflow checks in both engines.
+    */
+  def packed(vec: Column, mids: Seq[Double]): Column = {
+    val midA = array(mids.map(lit): _*)
+    val pwA = array((0 until 64).map(i =>
+      lit(if (i == 63) Long.MinValue else 1L << i)): _*)
+    val nWords = (mids.length + 63) / 64
+    array((0 until nWords).map { w =>
+      val bits = math.min(64, mids.length - w * 64)
+      aggregate(sequence(lit(0), lit(bits - 1)), lit(0L), (acc, i) =>
+        acc + when(element_at(vec, lit(w * 64 + 1) + i).cast("double")
+            > element_at(midA, lit(w * 64 + 1) + i),
+          element_at(pwA, i + lit(1))).otherwise(lit(0L)))
+    }: _*)
+  }
+
+  /** Hamming distance between two packed code arrays: per-word
+    * XOR+POPCNT, integer sum — builtins end to end.
+    */
+  def hamming(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => bit_count(x.bitwiseXOR(y))),
+      lit(0), (acc, h) => acc + h)
+
+  /** Brute Hamming top-k: train midranges in one min/max scan, pack the
+    * corpus (8 bytes per 64 dims resident — the floats are read once to
+    * encode and never rescored), score every pair against the
+    * byte-bounded broadcast probe side, keep k per query.
+    * Ties break on neighbor id so the answer is total-ordered.
+    * @return (qidCol, neighbor, hamming)
+    */
+  def search(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val corpus = CentroidState.ensureCached(corpus0)
+    val mid = mids(ScalarQuantizer.train(corpus, vecCol))
+    val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k)
+  }
+
+  /** (qidCol, neighbor, hamming) — the packed-codes scan. The pair
+    * frame carries only ids and one packed word per 64 dims; the query
+    * FLOATS never ride through the crossJoin (they re-attach to the
+    * k-row-per-query shortlist when a re-rank needs them).
+    */
+  private def scoreHamming(codes: DataFrame, mid: Seq[Double], idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val q = queries.select(col(qidCol), packed(col(qvecCol), mid).as("qw"))
+    val probe = IvfAnn.probeSide(q, q.count(),
+      bytesPerRow = 16L + 8L * ((mid.length + 63) / 64))
+    val scored = codes.crossJoin(probe)
+      .filter(col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        hamming(col("qw"), col("bw")).as("hamming"))
+    Dedup.topKPerKey(scored, Seq(qidCol),
+      Seq(col("hamming").asc, col("neighbor").asc), k)
+  }
+
+  /** Binary-prefilter + exact re-rank: Hamming shortlist of `refine·k`
+    * per query from the packed scan, then ONLY the shortlist rows fetch
+    * their float vectors — the shortlist (nQ·refine·k rows, a contract
+    * bound) rides to the corpus under the family's byte-bounded
+    * broadcast rule, so the float corpus is equi-join-probed in place,
+    * never shuffled, and only shortlist ids leave the scan. Distances
+    * in the output are exact squared L2.
+    * @return (qidCol, neighbor, dist)
+    */
+  def searchRefined(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, refine: Int): DataFrame = {
+    val corpus = CentroidState.ensureCached(corpus0)
+    val mid = mids(ScalarQuantizer.train(corpus, vecCol))
+    val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+    val shortIds = graft.CacheScope.cache(scoreHamming(codes, mid, idCol,
+      queries, qidCol, qvecCol, k * refine))
+    // the shortlist is k·refine rows per query by contract — re-attach
+    // each query's float vector to it (byte-bounded broadcast join),
+    // THEN probe the float corpus
+    val qf = queries.select(col(qidCol), col(qvecCol))
+    val shortlist = shortIds.join(
+      IvfAnn.probeSide(qf, qf.count(), bytesPerRow = 16L + 4L * mid.length),
+      qidCol)
+    val probe = IvfAnn.probeSide(shortlist, shortIds.count(),
+      bytesPerRow = 24L + 4L * mid.length)
+    val exact = probe
+      .join(corpus.select(col(idCol).as("neighbor"),
+        col(vecCol).as("__nv")), "neighbor")
+      .select(col(qidCol), col("neighbor"),
+        aggregate(zip_with(col(qvecCol), col("__nv"),
+            (a, b) => (a.cast("double") - b.cast("double"))
+              * (a.cast("double") - b.cast("double"))),
+          lit(0.0), (acc, x) => acc + x).as("dist"))
+    Dedup.topKPerKey(exact, Seq(qidCol),
+      Seq(col("dist").asc, col("neighbor").asc), k)
+  }
+}

@@ -2240,6 +2240,106 @@ object SimilarityQueries {
     }
   }
 
+  /** DuckDB oracle CTEs for [[graft.operators.BinaryQuantizer]]:
+    * midrange thresholds from the same min/max scan SQ8 uses
+    * (order-independent, bit-stable — a mean would depend on summation
+    * order), bit-pack 64 dims per BIGINT word (bit 63's power is the
+    * two's-complement MinValue literal so neither engine hits
+    * shift/overflow checks; the HUGEINT sum casts back exactly), Hamming
+    * via `bit_count(xor(...))` summed per word — integer end to end.
+    */
+  private def bqPackedCtes(dim: Int, nQueries: Int): String =
+    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+      |stats AS (
+      |  SELECT i.i AS pos,
+      |    (CAST(min(embedding[i.i]) AS DOUBLE)
+      |     + CAST(max(embedding[i.i]) AS DOUBLE)) / 2.0 AS mid
+      |  FROM corpus CROSS JOIN range(1, ${dim + 1}) i(i)
+      |  GROUP BY i.i),
+      |packed AS (
+      |  SELECT c.vec_id, (s.pos - 1) // 64 AS wd,
+      |    CAST(sum(CASE WHEN CAST(c.embedding[s.pos] AS DOUBLE) > s.mid
+      |      THEN CASE WHEN s.pos % 64 = 0 THEN -9223372036854775808
+      |           ELSE (CAST(1 AS BIGINT) << ((s.pos - 1) % 64)) END
+      |      ELSE 0 END) AS BIGINT) AS w
+      |  FROM corpus c CROSS JOIN stats s
+      |  GROUP BY c.vec_id, (s.pos - 1) // 64),
+      |ham AS (
+      |  SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+      |    CAST(sum(bit_count(xor(q.w, d.w))) AS INTEGER) AS hamming
+      |  FROM packed d JOIN packed q
+      |    ON q.wd = d.wd AND q.vec_id < $nQueries AND d.vec_id <> q.vec_id
+      |  GROUP BY q.vec_id, d.vec_id)""".stripMargin
+
+  /** 1-bit binary-quantized Hamming top-k
+    * ([[graft.operators.BinaryQuantizer.search]]) — the coarsest rung of
+    * the quantization ladder (q27 float brute → q152 SQ8 → q83 PQ /
+    * q142 IVFADC → this): 64× less resident data than float32 and a
+    * one-XOR+POPCNT-per-word kernel, composed entirely from builtin
+    * codegen functions. Integer distances, so the oracle has no float
+    * surface at all.
+    */
+  val bqSearch: QuerySpec = {
+    val (k, nQ, dim) = (3, 10, 64)
+    QuerySpec.sql("q154_bq_search",
+      s"""WITH ${bqPackedCtes(dim, nQ)}
+        |SELECT qid, neighbor, hamming
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY hamming, neighbor) AS rk FROM ham) r
+        |WHERE rk <= $k
+        |ORDER BY qid, hamming, neighbor""".stripMargin) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.BinaryQuantizer.search(corpus, "vec_id", "embedding",
+          queries, "qid", "qv", k = k)
+        .orderBy(col("qid"), col("hamming"), col("neighbor"))
+    }
+  }
+
+  /** Binary prefilter + exact re-rank
+    * ([[graft.operators.BinaryQuantizer.searchRefined]]) — the
+    * packed-codes scan shortlists `refine·k` per query, only the
+    * shortlist rows fetch their float vectors, and the served distances
+    * are EXACT squared L2 (the q146 refine shape at the cheapest tier).
+    */
+  val bqRefined: QuerySpec = {
+    val (k, refine, nQ, dim) = (3, 4, 10, 64)
+    QuerySpec.sql("q155_bq_refined",
+      s"""WITH ${bqPackedCtes(dim, nQ)},
+        |shortlist AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY hamming, neighbor) AS rk FROM ham) r
+        |  WHERE rk <= ${k * refine}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    list_sum(list_transform(range(1, ${dim + 1}),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM shortlist s
+        |  JOIN corpus q ON q.vec_id = s.qid
+        |  JOIN corpus d ON d.vec_id = s.neighbor)
+        |SELECT qid, neighbor, round(dist + 1e-9, 4) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY dist, neighbor) AS rk FROM exact) r
+        |WHERE rk <= $k
+        |ORDER BY qid, dist, neighbor""".stripMargin) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.BinaryQuantizer.searchRefined(corpus, "vec_id",
+          "embedding", queries, "qid", "qv", k = k, refine = refine)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist") + lit(1e-9), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2247,5 +2347,5 @@ object SimilarityQueries {
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
-    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex)
+    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined)
 }

@@ -72,7 +72,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q150_ivfpq_stream",   // embeddings cache + streamed append/search
     "q151_ivfpq_recall",   // corpus/residual/query/ground-truth caches
     "q152_sq_search",      // corpus cache through train + encode + score
-    "q153_sq_index"        // embeddings cache through the index lifecycle
+    "q153_sq_index",       // embeddings cache through the index lifecycle
+    "q154_bq_search",      // corpus cache through midrange train + pack
+    "q155_bq_refined"      // corpus + Hamming-shortlist caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

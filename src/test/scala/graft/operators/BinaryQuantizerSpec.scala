@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+class BinaryQuantizerSpec extends SparkTestBase {
+
+  private def corpus = graft.sources.Tables.load(spark, sfDir, "embeddings")
+    .select(col("vec_id"), col("embedding"))
+  private def queries = corpus.filter(col("vec_id") < 10)
+    .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+
+  /** Driver-side reference: midranges, packing, and Hamming over the
+    * collected corpus — independent arithmetic (BigInt bit ops, no
+    * engine code) to pin the builtin-composed columns.
+    */
+  private def reference(dim: Int) = {
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).sortBy(_._1)
+    val mid = (0 until dim).map { i =>
+      val xs = rows.map(_._2(i))
+      (xs.min.toDouble + xs.max.toDouble) / 2.0
+    }
+    val packed = rows.map { case (id, v) =>
+      val words = new Array[Long]((dim + 63) / 64)
+      (0 until dim).foreach { i =>
+        if (v(i).toDouble > mid(i)) words(i / 64) |= 1L << (i % 64)
+      }
+      id -> words.toSeq
+    }.toMap
+    (rows, mid, packed)
+  }
+
+  test("packed matches the driver-side bit reference on every embedding") {
+    val dim = 64
+    val (_, mid, expected) = reference(dim)
+    val got = corpus
+      .select(col("vec_id"), BinaryQuantizer.packed(col("embedding"), mid)
+        .as("bw"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got === expected)
+    // the sign bit path is actually exercised (bit 63 set somewhere)
+    assert(expected.values.exists(_.exists(_ < 0L)),
+      "fixture never sets bit 63 — the MinValue power path is untested")
+  }
+
+  test("multi-word packing and hamming agree with the reference on a " +
+      "ragged 96-dim synthetic") {
+    val dim = 96
+    val synth = spark.range(64).select(col("id").as("vec_id"),
+      transform(sequence(lit(1), lit(dim)),
+        d => (pmod(col("id") * lit(37) + d * lit(11), lit(101)) / lit(50.0)
+          - lit(1.0)).cast("float")).as("v"))
+    val rows = synth.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val mid = (0 until dim).map { i =>
+      val xs = rows.map(_._2(i))
+      (xs.min.toDouble + xs.max.toDouble) / 2.0
+    }
+    def pack(v: Array[Float]): Seq[Long] = {
+      val w = new Array[Long]((dim + 63) / 64)
+      (0 until dim).foreach(i =>
+        if (v(i).toDouble > mid(i)) w(i / 64) |= 1L << (i % 64))
+      w.toSeq
+    }
+    val got = synth
+      .select(col("vec_id"), BinaryQuantizer.packed(col("v"), mid).as("bw"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    rows.foreach { case (id, v) =>
+      assert(got(id) === pack(v), s"vec $id packs wrong")
+      assert(got(id).length === 2)
+    }
+    // hamming column == popcount reference on a pair sample
+    val withCodes = synth.select(col("vec_id"),
+      BinaryQuantizer.packed(col("v"), mid).as("bw"))
+    val hams = withCodes.as("a").join(withCodes.as("b"),
+        col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id"), col("b.vec_id"),
+        BinaryQuantizer.hamming(col("a.bw"), col("b.bw")).as("h"))
+      .collect()
+    val pk = rows.map { case (id, v) => id -> pack(v) }.toMap
+    hams.foreach { r =>
+      val expect = pk(r.getLong(0)).zip(pk(r.getLong(1)))
+        .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum
+      assert(r.getInt(2) === expect)
+    }
+  }
+
+  test("search returns the reference Hamming top-k per query") {
+    val k = 3
+    val (_, _, pk) = reference(64)
+    val expected = (0L until 10L).flatMap { q =>
+      pk.keys.filter(_ != q).toSeq
+        .map(d => (pk(q).zip(pk(d))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum, d))
+        .sorted.take(k).map { case (h, d) => (q, d, h) }
+    }.toSet
+    val got = BinaryQuantizer.search(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(got === expected)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("searchRefined serves EXACT distances over the Hamming shortlist") {
+    val (k, refine) = (3, 4)
+    val (rows, _, pk) = reference(64)
+    val vecs = rows.toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    val expected = (0L until 10L).flatMap { q =>
+      val short = pk.keys.filter(_ != q).toSeq
+        .map(d => (pk(q).zip(pk(d))
+          .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum, d))
+        .sorted.take(k * refine).map(_._2)
+      short.map(d => (l2(vecs(q), vecs(d)), d))
+        .sorted.take(k).map { case (dist, d) => (q, d, dist) }
+    }.toSet
+    val got = BinaryQuantizer.searchRefined(corpus, "vec_id", "embedding",
+        queries, "qid", "qv", k = k, refine = refine)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got === expected)
+    graft.CacheScope.releaseAll()
+  }
+}
