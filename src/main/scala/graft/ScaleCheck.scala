@@ -19,7 +19,13 @@ import graft.operators.{IvfAnn, IvfPq, LshIndex, MinHashLSH}
   *  - IVF search (q104 shape): a fixed 10-query batch against a 1× vs
   *    N× cell-partitioned layout;
   *  - IVF+PQ residual search (q144 shape): the same batch against a
-  *    1× vs N× persisted residual-codes index.
+  *    1× vs N× persisted residual-codes index;
+  *  - SimHash Hamming-ball admission (q156 shape): the fixed delta
+  *    against a 1× vs N× band-row index, verify inline;
+  *  - SQ8 index search (q153 shape) and binary prefilter + exact
+  *    re-rank (q155 shape): the fixed batch against the compressed
+  *    brute tiers, whose scans grow with the corpus BY DESIGN while
+  *    their shuffles stay at the top-k-partials floor.
   *
   * The SCALING.md claim under test: probe-leg SHUFFLE bytes track the
   * delta/probe size (and collision density), not the corpus size —
@@ -131,6 +137,19 @@ object ScaleCheck {
       }
       jline("lsh_admission_bucketed", n, corpusRows, mLshB, collisions)
       spark.sql(s"DROP TABLE IF EXISTS `$lshTable`")
+
+      // ---- SimHash Hamming-ball admission (q156 shape) ----
+      // band rows are 3 per doc regardless of document size; the probe
+      // is an exact-match band join, so shuffle must track the fixed
+      // delta + its collisions, never the index
+      val shPath = Scratch.fresh(s"scalecheck_simhash_$n") + "/idx"
+      graft.operators.SimHashIndex.write(corpus, "doc_id", "sh", shPath)
+      val mSh = Metrics.measure(spark) {
+        graft.operators.SimHashIndex.candidates(spark, shPath, delta,
+          "doc_id", "sh").count()
+        ()
+      }
+      jline("simhash_admission", n, corpusRows, mSh)
       CacheScope.releaseAll()
 
       // ---- IVF search: fixed 10-query batch ----

@@ -1350,10 +1350,74 @@ object DedupQueries {
     }
   }
 
+
+  /** Persisted SimHash Hamming-ball index lifecycle
+    * ([[graft.operators.SimHashIndex]]) — q25's banded fingerprint
+    * self-join turned into a MAINTAINED index, the Hamming-space
+    * counterpart of the q125 LSH admission family: the base corpus
+    * writes 3 band rows per doc, a delta probes by exact-match band
+    * join (pigeonhole guarantees every pair within Hamming 2 is found),
+    * collided pairs verify INLINE via `bit_count(xor)` of the
+    * fingerprints the band rows carry, and the lowest collided corpus
+    * doc is forgotten mid-query — its pairs must vanish from the probe
+    * immediately. Oracle: the q25 CTE chain split base/delta, with the
+    * forget leg replayed as `index_id <> min(index_id)` (the q145
+    * compute-the-signal-in-a-CTE trick).
+    */
+  val simhashIndex: QuerySpec = QuerySpec.sql(
+    "q156_simhash_index",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |hs AS (SELECT doc_id, list_transform(toks, s -> (${charHashSql("s")} * 2654435761) % 4294967296) AS hs FROM t),
+      |sim AS (
+      |  SELECT doc_id, CAST(list_sum(
+      |    [CASE WHEN list_sum([CASE WHEN (h // (1::BIGINT << i)) % 2 = 1 THEN 1 ELSE -1 END FOR h IN hs]) > 0
+      |          THEN (1::BIGINT << i) ELSE 0::BIGINT END FOR i IN range(0, 32)]) AS BIGINT) AS simhash
+      |  FROM hs),
+      |bands AS (
+      |  SELECT doc_id, simhash, b.j,
+      |    CASE b.j WHEN 0 THEN simhash % 2048
+      |             WHEN 1 THEN (simhash // 2048) % 2048
+      |             ELSE simhash // 4194304 END AS band_val
+      |  FROM sim, (SELECT unnest(range(0, 3)) AS j) b),
+      |coll AS (
+      |  SELECT d.doc_id AS delta_id, c.doc_id AS index_id,
+      |    CAST(bit_count(xor(d.simhash, c.simhash)) AS INTEGER) AS hamming
+      |  FROM bands d JOIN bands c ON d.j = c.j AND d.band_val = c.band_val
+      |    AND d.doc_id % 10 = 7 AND c.doc_id % 10 <> 7
+      |  WHERE bit_count(xor(d.simhash, c.simhash)) <= 2
+      |  GROUP BY 1, 2, 3)
+      |SELECT delta_id, index_id, hamming FROM coll
+      |WHERE index_id <> COALESCE((SELECT min(index_id) FROM coll), -1)
+      |ORDER BY delta_id, index_id""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        transform(Text.tokens(col("text")),
+          s => (Text.charHash(s) * lit(2654435761L)) % lit(4294967296L))
+          .as("hs")))
+    val base = docs.filter(col("doc_id") % 10 =!= 7)
+    val delta = docs.filter(col("doc_id") % 10 === 7)
+    val idx = graft.Scratch.fresh("q156") + "/idx"
+    graft.operators.SimHashIndex.write(base, "doc_id", "hs", idx)
+    // right-to-be-forgotten leg: the lowest collided corpus doc is
+    // deleted AFTER serving once; its pairs must vanish immediately
+    val minId = graft.operators.SimHashIndex
+      .candidates(spark, idx, delta, "doc_id", "hs")
+      .agg(min(col("indexId"))).head()
+    if (!minId.isNullAt(0))
+      graft.operators.SimHashIndex.delete(spark, idx,
+        Seq(minId.getLong(0)).toDF("doc_id"), "doc_id")
+    graft.operators.SimHashIndex.candidates(spark, idx, delta, "doc_id", "hs")
+      .select(col("deltaId").as("delta_id"), col("indexId").as("index_id"),
+        col("hamming"))
+      .orderBy(col("delta_id"), col("index_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
-      lshRebucket, lshRolloverCycle)
+      lshRebucket, lshRolloverCycle, simhashIndex)
 }

@@ -74,7 +74,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q152_sq_search",      // corpus cache through train + encode + score
     "q153_sq_index",       // embeddings cache through the index lifecycle
     "q154_bq_search",      // corpus cache through midrange train + pack
-    "q155_bq_refined"      // corpus + Hamming-shortlist caches
+    "q155_bq_refined",     // corpus + Hamming-shortlist caches
+    "q156_simhash_index"   // hashed-docs cache through write + 2 probes
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
