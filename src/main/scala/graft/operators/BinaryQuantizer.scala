@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** 1-bit binary quantization — the coarsest rung of the quantization
@@ -113,17 +113,26 @@ object BinaryQuantizer {
     val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
     val shortIds = graft.CacheScope.cache(scoreHamming(codes, mid, idCol,
       queries, qidCol, qvecCol, k * refine))
-    // the shortlist is k·refine rows per query by contract — re-attach
-    // each query's float vector to it (byte-bounded broadcast join),
-    // THEN probe the float corpus
+    rerank(shortIds, corpus, idCol, vecCol, queries, qidCol, qvecCol,
+      mid.length, k)
+  }
+
+  /** Exact squared-L2 re-rank of a Hamming shortlist: re-attach each
+    * query's float vector (byte-bounded broadcast join), then ONLY the
+    * shortlist rows probe `primary` — the float store is
+    * equi-join-probed in place, never shuffled.
+    */
+  private def rerank(shortIds: DataFrame, primary: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, dim: Int, k: Int): DataFrame = {
     val qf = queries.select(col(qidCol), col(qvecCol))
     val shortlist = shortIds.join(
-      IvfAnn.probeSide(qf, qf.count(), bytesPerRow = 16L + 4L * mid.length),
+      IvfAnn.probeSide(qf, qf.count(), bytesPerRow = 16L + 4L * dim),
       qidCol)
     val probe = IvfAnn.probeSide(shortlist, shortIds.count(),
-      bytesPerRow = 24L + 4L * mid.length)
+      bytesPerRow = 24L + 4L * dim)
     val exact = probe
-      .join(corpus.select(col(idCol).as("neighbor"),
+      .join(primary.select(col(idCol).as("neighbor"),
         col(vecCol).as("__nv")), "neighbor")
       .select(col(qidCol), col("neighbor"),
         aggregate(zip_with(col(qvecCol), col("__nv"),
@@ -133,4 +142,94 @@ object BinaryQuantizer {
     Dedup.topKPerKey(exact, Seq(qidCol),
       Seq(col("dist").asc, col("neighbor").asc), k)
   }
+
+  /** Persist the binary index: `dir/codes` holds `(idCol, bw)` packed
+    * words, `dir/mids` the midrange thresholds — thresholds version
+    * WITH the codes (the [[ScalarQuantizer.writeIndex]] rationale:
+    * separately-versioned thresholds silently decode garbage), and the
+    * whole dir lands through the staged publish swap. The index stores
+    * NO floats: it is the 64×-compressed prefilter tier; exact re-rank
+    * fetches the shortlist's vectors from the caller's primary store
+    * ([[searchIndexRefined]]).
+    */
+  def writeIndex(corpus0: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = corpus0.sparkSession
+    val staged = dir + ".__write__"
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(sp, true)
+    val corpus = CentroidState.ensureCached(corpus0)
+    val mid = mids(ScalarQuantizer.train(corpus, vecCol))
+    corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+      .write.mode("overwrite").parquet(s"$staged/codes")
+    midsToDF(spark, mid).coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/mids")
+    graft.sources.Tables.publish(spark, staged, dir)
+  }
+
+  /** O(|delta|) append: new vectors pack through the STORED thresholds
+    * (no retrain, no rewrite — a drifted dimension's bit saturates to
+    * whichever side of the frozen midrange it falls on) and land as new
+    * files; stale tombstones for readmitted ids are cleared.
+    */
+  def appendIndex(delta: DataFrame, idCol: String, vecCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    val mid = loadMids(spark, dir)
+    delta.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+      .write.mode("append").parquet(s"$dir/codes")
+    graft.sources.Tombstones.unmark(spark, s"$dir/codes", delta, idCol)
+  }
+
+  /** Hamming top-k served codes-only from the persisted index (floats
+    * untouched), pending tombstones masked at probe time.
+    * @return (qidCol, neighbor, hamming)
+    */
+  def searchIndex(spark: SparkSession, dir: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val mid = loadMids(spark, dir)
+    val codes = graft.sources.Tombstones.filterLive(spark, s"$dir/codes",
+      spark.read.parquet(s"$dir/codes"), idCol)
+    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k)
+  }
+
+  /** Index-served prefilter + exact re-rank: the codes-only scan
+    * shortlists `refine·k` per query, then ONLY the shortlist ids fetch
+    * their float vectors from `primary` — the caller's primary store,
+    * NOT the index, which holds no floats (the 64×-compressed tier's
+    * realistic split at 100 TB). Distances in the output are exact.
+    * @return (qidCol, neighbor, dist)
+    */
+  def searchIndexRefined(spark: SparkSession, dir: String,
+      primary: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, refine: Int): DataFrame = {
+    val dim = loadMids(spark, dir).length
+    val shortIds = graft.CacheScope.cache(
+      searchIndex(spark, dir, idCol, queries, qidCol, qvecCol, k * refine))
+    rerank(shortIds, primary, idCol, vecCol, queries, qidCol, qvecCol,
+      dim, k)
+  }
+
+  /** LOGICAL delete — O(|deletes|) markers masked by [[searchIndex]]. */
+  def deleteFromIndex(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit =
+    graft.sources.Tombstones.write(spark, s"$dir/codes", ids, idCol)
+
+  /** The index's pending tombstones (None when nothing was deleted). */
+  def tombstones(spark: SparkSession, dir: String): Option[DataFrame] =
+    graft.sources.Tombstones.read(spark, s"$dir/codes")
+
+  private def midsToDF(spark: SparkSession, mid: Seq[Double]): DataFrame = {
+    import spark.implicits._
+    mid.zipWithIndex.map { case (m, i) => (i, m) }.toDF("pos", "mid")
+  }
+
+  private def loadMids(spark: SparkSession,
+      dir: String): IndexedSeq[Double] =
+    spark.read.parquet(s"$dir/mids")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2).toIndexedSeq
 }

@@ -2248,13 +2248,18 @@ object SimilarityQueries {
     * shift/overflow checks; the HUGEINT sum casts back exactly), Hamming
     * via `bit_count(xor(...))` summed per word — integer end to end.
     */
-  private def bqPackedCtes(dim: Int, nQueries: Int): String =
-    s"""corpus AS (SELECT vec_id, embedding FROM embeddings),
+  private def bqPackedCtes(dim: Int, nQueries: Int,
+      corpusCte: String = "SELECT vec_id, embedding FROM embeddings",
+      statsSrc: String = "corpus",
+      excludeIds: Seq[Long] = Nil): String = {
+    val excl = if (excludeIds.isEmpty) ""
+      else s" AND d.vec_id NOT IN (${excludeIds.mkString(",")})"
+    s"""corpus AS ($corpusCte),
       |stats AS (
       |  SELECT i.i AS pos,
       |    (CAST(min(embedding[i.i]) AS DOUBLE)
       |     + CAST(max(embedding[i.i]) AS DOUBLE)) / 2.0 AS mid
-      |  FROM corpus CROSS JOIN range(1, ${dim + 1}) i(i)
+      |  FROM $statsSrc CROSS JOIN range(1, ${dim + 1}) i(i)
       |  GROUP BY i.i),
       |packed AS (
       |  SELECT c.vec_id, (s.pos - 1) // 64 AS wd,
@@ -2268,8 +2273,10 @@ object SimilarityQueries {
       |  SELECT q.vec_id AS qid, d.vec_id AS neighbor,
       |    CAST(sum(bit_count(xor(q.w, d.w))) AS INTEGER) AS hamming
       |  FROM packed d JOIN packed q
-      |    ON q.wd = d.wd AND q.vec_id < $nQueries AND d.vec_id <> q.vec_id
+      |    ON q.wd = d.wd AND q.vec_id < $nQueries
+      |      AND d.vec_id <> q.vec_id$excl
       |  GROUP BY q.vec_id, d.vec_id)""".stripMargin
+  }
 
   /** 1-bit binary-quantized Hamming top-k
     * ([[graft.operators.BinaryQuantizer.search]]) — the coarsest rung of
@@ -2340,6 +2347,80 @@ object SimilarityQueries {
     }
   }
 
+  /** Persisted binary-index lifecycle
+    * ([[graft.operators.BinaryQuantizer.writeIndex]]/`appendIndex`/
+    * `deleteFromIndex`/`searchIndexRefined`): thresholds train on the
+    * BASE generation and version with the codes, a +0.5-shifted delta
+    * packs through the STORED midranges (drifted dims saturate to the
+    * frozen threshold's far side in BOTH engines), one id is forgotten
+    * via a tombstone, and serving is codes-only prefilter + exact
+    * re-rank whose floats come from the PRIMARY store — the index holds
+    * no vectors (the 64×-compressed tier's realistic split). Oracle:
+    * mids over the base slice, pack the full shifted corpus, deleted id
+    * excluded, exact re-rank over the same corpus CTE.
+    */
+  val bqIndex: QuerySpec = {
+    val (k, refine, nQ, dim) = (3, 4, 10, 64)
+    QuerySpec.sql(
+      "q157_bq_index",
+      s"""WITH ${bqPackedCtes(dim, nQ,
+          corpusCte = """SELECT vec_id,
+            |    CASE WHEN vec_id % 5 = 0
+            |      THEN list_transform(embedding,
+            |             x -> CAST(CAST(x AS DOUBLE) + 0.5 AS REAL))
+            |      ELSE embedding END AS embedding
+            |  FROM embeddings""".stripMargin,
+          statsSrc = "(SELECT * FROM corpus WHERE vec_id % 5 <> 0)",
+          excludeIds = Seq(3L))},
+        |shortlist AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY hamming, neighbor) AS rk FROM ham) r
+        |  WHERE rk <= ${k * refine}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    list_sum(list_transform(range(1, ${dim + 1}),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM shortlist s
+        |  JOIN corpus q ON q.vec_id = s.qid
+        |  JOIN corpus d ON d.vec_id = s.neighbor)
+        |SELECT qid, neighbor, round(dist + 1e-9, 4) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY dist, neighbor) AS rk FROM exact) r
+        |WHERE rk <= $k
+        |ORDER BY qid, dist, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val delta = all0.filter(col("vec_id") % 5 === 0)
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => (x.cast("double") + lit(0.5)).cast("float"))
+            .as("embedding"))
+      val idx = graft.Scratch.fresh("q157") + "/bq"
+      graft.operators.BinaryQuantizer.writeIndex(base, "vec_id",
+        "embedding", idx)
+      graft.operators.BinaryQuantizer.appendIndex(delta, "vec_id",
+        "embedding", idx)
+      graft.operators.BinaryQuantizer.deleteFromIndex(spark, idx,
+        Seq(3L).toDF("vec_id"), "vec_id")
+      val primary = base.unionByName(delta)
+      val queries = primary.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.BinaryQuantizer.searchIndexRefined(spark, idx,
+          primary, "vec_id", "embedding", queries, "qid", "qv",
+          k = k, refine = refine)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist") + lit(1e-9), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2347,5 +2428,5 @@ object SimilarityQueries {
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
-    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined)
+    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined, bqIndex)
 }

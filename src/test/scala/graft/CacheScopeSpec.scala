@@ -75,7 +75,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q153_sq_index",       // embeddings cache through the index lifecycle
     "q154_bq_search",      // corpus cache through midrange train + pack
     "q155_bq_refined",     // corpus + Hamming-shortlist caches
-    "q156_simhash_index"   // hashed-docs cache through write + 2 probes
+    "q156_simhash_index",  // hashed-docs cache through write + 2 probes
+    "q157_bq_index"        // embeddings + codes-shortlist caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -128,4 +128,90 @@ class BinaryQuantizerSpec extends SparkTestBase {
     assert(got === expected)
     graft.CacheScope.releaseAll()
   }
+
+  test("index lifecycle: stored-mid appends, deletes mask, serving is " +
+      "codes-only prefilter + exact re-rank from the primary store") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("bq_lifecycle") + "/idx"
+    val base = corpus.filter(col("vec_id") % 5 =!= 0)
+    val shifted = corpus.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => (x.cast("double") + lit(0.5)).cast("float")).as("embedding"))
+    BinaryQuantizer.writeIndex(base, "vec_id", "embedding", idx)
+
+    // fresh index serves exactly what in-memory search over the same
+    // corpus serves (thresholds version WITH the codes)
+    val fromIdx = BinaryQuantizer.searchIndex(spark, idx, "vec_id",
+        queries, "qid", "qv", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val direct = BinaryQuantizer.search(base, "vec_id", "embedding",
+        queries, "qid", "qv", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(fromIdx === direct)
+
+    // O(delta) append packs through the STORED midranges — verify the
+    // appended words against a driver-side reference through the same
+    // frozen thresholds
+    BinaryQuantizer.appendIndex(shifted, "vec_id", "embedding", idx)
+    val mid = spark.read.parquet(s"$idx/mids")
+      .collect().map(r => (r.getInt(0), r.getDouble(1)))
+      .sortBy(_._1).map(_._2)
+    val shiftedRows = shifted.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    val got = spark.read.parquet(s"$idx/codes")
+      .filter(col("vec_id") % 5 === 0)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(got.keySet === shiftedRows.keySet)
+    got.foreach { case (id, words) =>
+      val v = shiftedRows(id)
+      val expect = new Array[Long]((v.length + 63) / 64)
+      v.indices.foreach(i =>
+        if (v(i).toDouble > mid(i)) expect(i / 64) |= 1L << (i % 64))
+      assert(words === expect.toSeq, s"vec $id packs wrong through stored mids")
+    }
+
+    // forget leg + re-rank exactness: the shortlist is codes-only, the
+    // floats come from the PRIMARY store, distances are exact L2
+    BinaryQuantizer.deleteFromIndex(spark, idx, Seq(3L).toDF("vec_id"),
+      "vec_id")
+    assert(BinaryQuantizer.tombstones(spark, idx).isDefined)
+    val primary = base.unionByName(shifted)
+    val served = BinaryQuantizer.searchIndexRefined(spark, idx, primary,
+        "vec_id", "embedding", queries, "qid", "qv", k = 3, refine = 4)
+      .collect()
+    assert(!served.map(_.getLong(1)).contains(3L),
+      "forgotten id must not serve")
+    val vecs = primary.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    // query vectors come from the QUERIES frame (unshifted corpus rows),
+    // not the primary store — qids divisible by 5 differ between the two
+    val qvecs = queries.collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray)).toMap
+    served.foreach { r =>
+      val (q, d) = (qvecs(r.getLong(0)), vecs(r.getLong(1)))
+      var acc = 0.0; var i = 0
+      while (i < q.length) {
+        val x = q(i).toDouble - d(i).toDouble; acc += x * x; i += 1
+      }
+      assert(r.getDouble(2) === acc, "served distance must be exact L2")
+    }
+    graft.CacheScope.releaseAll()
+  }
+
+  test("a crashed write's leftover staged dir cannot poison the next " +
+      "writeIndex; a rewrite replaces the index whole") {
+    val idx = graft.Scratch.fresh("bq_stagedcrash") + "/idx"
+    val junk = new org.apache.hadoop.fs.Path(s"$idx.__write__/codes/junk")
+    val fs = junk.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(junk.getParent); fs.create(junk, true).close()
+    BinaryQuantizer.writeIndex(corpus, "vec_id", "embedding", idx)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$idx.__write__")),
+      "the publish must consume the staged dir")
+    assert(spark.read.parquet(s"$idx/codes").count() === corpus.count())
+    BinaryQuantizer.writeIndex(corpus.limit(40), "vec_id", "embedding", idx)
+    assert(spark.read.parquet(s"$idx/codes").count() === 40L)
+    graft.CacheScope.releaseAll()
+  }
+
 }
