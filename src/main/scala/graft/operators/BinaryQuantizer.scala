@@ -117,30 +117,136 @@ object BinaryQuantizer {
       mid.length, k)
   }
 
-  /** Exact squared-L2 re-rank of a Hamming shortlist: re-attach each
+  /** Exact squared-L2 between two float vectors: `(a_i − b_i)²` folded
+    * left in index order — the SAME expression on the corpus and oracle
+    * sides, so distances are bit-identical and safe to ORDER BY raw.
+    */
+  private[operators] def l2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b,
+        (x, y) => (x.cast("double") - y.cast("double"))
+          * (x.cast("double") - y.cast("double"))),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Exact squared-L2 distances for every shortlist row: re-attach each
     * query's float vector (byte-bounded broadcast join), then ONLY the
     * shortlist rows probe `primary` — the float store is
-    * equi-join-probed in place, never shuffled.
+    * equi-join-probed in place, never shuffled. Preserves the shortlist's
+    * extra columns (e.g. a threaded Hamming rank) next to `dist`.
     */
-  private def rerank(shortIds: DataFrame, primary: DataFrame,
+  private def exactDistances(shortIds: DataFrame, primary: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
-      qvecCol: String, dim: Int, k: Int): DataFrame = {
+      qvecCol: String, dim: Int): DataFrame = {
     val qf = queries.select(col(qidCol), col(qvecCol))
     val shortlist = shortIds.join(
       IvfAnn.probeSide(qf, qf.count(), bytesPerRow = 16L + 4L * dim),
       qidCol)
-    val probe = IvfAnn.probeSide(shortlist, shortIds.count(),
-      bytesPerRow = 24L + 4L * dim)
-    val exact = probe
+    val keep = shortIds.columns.map(col)
+    IvfAnn.probeSide(shortlist, shortIds.count(),
+        bytesPerRow = 24L + 4L * dim)
       .join(primary.select(col(idCol).as("neighbor"),
         col(vecCol).as("__nv")), "neighbor")
-      .select(col(qidCol), col("neighbor"),
-        aggregate(zip_with(col(qvecCol), col("__nv"),
-            (a, b) => (a.cast("double") - b.cast("double"))
-              * (a.cast("double") - b.cast("double"))),
-          lit(0.0), (acc, x) => acc + x).as("dist"))
-    Dedup.topKPerKey(exact, Seq(qidCol),
-      Seq(col("dist").asc, col("neighbor").asc), k)
+      .select(keep :+ l2(col(qvecCol), col("__nv")).as("dist"): _*)
+  }
+
+  /** Exact squared-L2 re-rank of a Hamming shortlist — top-k per query
+    * over [[exactDistances]]. @return (qidCol, neighbor, dist) */
+  private def rerank(shortIds: DataFrame, primary: DataFrame,
+      idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
+      qvecCol: String, dim: Int, k: Int): DataFrame =
+    Dedup.topKPerKey(
+      exactDistances(shortIds, primary, idCol, vecCol, queries, qidCol,
+        qvecCol, dim),
+      Seq(qidCol), Seq(col("dist").asc, col("neighbor").asc), k)
+      .select(col(qidCol), col("neighbor"), col("dist"))
+
+  /** The widest-budget prefilter frame every refine budget reads off:
+    * ONE train + pack + Hamming scan shortlists `maxShort` per query
+    * with the Hamming rank threaded through (`ham_rk`), and ONE exact
+    * re-rank attaches true squared-L2 to every shortlist row. A budget
+    * `refine` is then just `ham_rk <= refine·k` over this frame — the
+    * [[IvfAnn.recallSweep]] probe_rank trick at the binary tier, shared
+    * by [[recallSweep]] and [[AnnRouter.routeBinaryRefine]] so
+    * calibration rides the serving scan instead of re-scanning.
+    * @return (qidCol, neighbor, hamming, ham_rk, dist)
+    */
+  private[operators] def rankedExact(corpus0: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      maxShort: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val corpus = CentroidState.ensureCached(corpus0)
+    val mid = mids(ScalarQuantizer.train(corpus, vecCol))
+    val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+    // the window runs on the contract-bounded shortlist (nQ·maxShort
+    // rows), partitioned by query — never on the corpus
+    val ranked = scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol,
+        maxShort)
+      .withColumn("ham_rk", row_number().over(Window.partitionBy(qidCol)
+        .orderBy(col("hamming").asc, col("neighbor").asc)))
+    exactDistances(ranked, corpus, idCol, vecCol, queries, qidCol,
+      qvecCol, mid.length)
+  }
+
+  /** Recall@k of the binary prefilter + exact re-rank against exact
+    * squared-L2 ground truth, per refine budget — the calibration
+    * instrument that prices the cheapest ladder rung (the q89/q151
+    * pattern at 1 bit): trains once, scans once at the WIDEST budget
+    * with the Hamming rank threaded, re-ranks once, and reads every
+    * sweep point off that frame through one top-k + one aggregation.
+    * Ground truth is the bounded query sample against the corpus
+    * (broadcast query side — the corpus never shuffles).
+    * @return (refine, n_truth, hits, recall) ordered by refine
+    */
+  def recallSweep(corpus0: DataFrame, idCol: String, vecCol: String,
+      nQueries: Int, k: Int, refines: Seq[Int]): DataFrame = {
+    val corpus = CentroidState.ensureCached(corpus0)
+    val queries = corpus.filter(col(idCol) < nQueries)
+      .select(col(idCol).as("qid"), col(vecCol).as("qv"))
+    val gt = exactTopK(corpus, idCol, vecCol, queries, "qid", "qv", k)
+      .transform(graft.CacheScope.cache)
+    val ranked = graft.CacheScope.cache(rankedExact(corpus, idCol, vecCol,
+      queries, "qid", "qv", k * refines.max))
+    sweepTail(corpus.sparkSession, ranked, gt, "qid", k, refines)
+  }
+
+  /** Exact squared-L2 top-k of the bounded query sample against the
+    * corpus — the ground truth every calibration compares to.
+    * @return (qidCol, neighbor)
+    */
+  private[operators] def exactTopK(corpus: DataFrame, idCol: String,
+      vecCol: String, queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int): DataFrame = {
+    val bf = broadcast(queries).join(corpus, col(qidCol) =!= col(idCol))
+      .select(col(qidCol), col(idCol).as("neighbor"),
+        l2(col(qvecCol), col(vecCol)).as("dist"))
+    Dedup.topKPerKey(bf, Seq(qidCol),
+        Seq(col("dist").asc, col("neighbor").asc), k)
+      .select(col(qidCol), col("neighbor"))
+  }
+
+  /** Fan the ranked-exact frame over the (tiny) sweep, top-k per
+    * (refine, query) by exact distance, score against ground truth.
+    * @return (refine, n_truth, hits, recall) ordered by refine
+    */
+  private[operators] def sweepTail(spark: SparkSession, ranked: DataFrame,
+      gt: DataFrame, qidCol: String, k: Int, refines: Seq[Int]): DataFrame = {
+    val sweepDf = spark.createDataFrame(refines.map(Tuple1(_)))
+      .toDF("refine")
+    val sel = Dedup.topKPerKey(
+      ranked.crossJoin(broadcast(sweepDf))
+        .filter(col("ham_rk") <= col("refine") * k),
+      Seq("refine", qidCol), Seq(col("dist").asc, col("neighbor").asc), k)
+    val hits = sel.join(broadcast(gt), Seq(qidCol, "neighbor"))
+      .groupBy(col("refine")).agg(count(lit(1)).as("hits"))
+    // hits is ≤ |refines| rows — broadcast it as the BUILD side (left
+    // outer builds right); a budget with zero hits must still report
+    sweepDf
+      .join(broadcast(hits), Seq("refine"), "left")
+      .crossJoin(gt.agg(count(lit(1)).as("n_truth")))
+      .select(col("refine"), col("n_truth"),
+        coalesce(col("hits"), lit(0L)).as("hits"),
+        round(coalesce(col("hits"), lit(0L)) / col("n_truth") + lit(1e-9),
+          4).as("recall"))
+      .orderBy(col("refine"))
   }
 
   /** Persist the binary index: `dir/codes` holds `(idCol, bw)` packed

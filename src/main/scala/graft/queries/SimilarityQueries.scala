@@ -2421,6 +2421,142 @@ object SimilarityQueries {
     }
   }
 
+  /** Shared oracle CTEs for the binary-tier calibration (q158) and the
+    * calibration-routed serving (q159): [[bqPackedCtes]]' Hamming frame
+    * for the first `nServe` queries, the Hamming RANK threaded through
+    * the widest-budget shortlist (the q151 probe_rank trick at 1 bit),
+    * exact squared-L2 over every shortlist row (the q155 re-rank
+    * arithmetic — fold order identical to the Spark kernel), exact
+    * ground truth for the `nCal` calibration queries, and the
+    * sweep/hits/tot scoring tail.
+    */
+  private def bqSweepCtes(dim: Int, nServe: Int, nCal: Int, k: Int,
+      refines: Seq[Int]): String = {
+    def l2Sql(a: String, b: String) =
+      s"""list_sum(list_transform(range(1, ${dim + 1}),
+        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+        |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"""
+        .stripMargin
+    s"""${bqPackedCtes(dim, nServe)},
+      |hamrk AS (
+      |  SELECT qid, neighbor, hamming,
+      |    row_number() OVER (PARTITION BY qid
+      |      ORDER BY hamming, neighbor) AS ham_rk
+      |  FROM ham),
+      |gt AS (
+      |  SELECT qid, neighbor FROM (
+      |    SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+      |      row_number() OVER (PARTITION BY q.vec_id
+      |        ORDER BY ${l2Sql("q.embedding", "d.embedding")},
+      |          d.vec_id) AS rk
+      |    FROM corpus q JOIN corpus d
+      |      ON q.vec_id < $nCal AND d.vec_id <> q.vec_id) t
+      |  WHERE rk <= $k),
+      |exact AS (
+      |  SELECT s.qid, s.neighbor, s.ham_rk,
+      |    ${l2Sql("q.embedding", "d.embedding")} AS dist
+      |  FROM hamrk s JOIN corpus q ON q.vec_id = s.qid
+      |  JOIN corpus d ON d.vec_id = s.neighbor
+      |  WHERE s.ham_rk <= ${k * refines.max}),
+      |sweep(refine) AS (VALUES ${refines.map(r => s"($r)").mkString(", ")}),
+      |sel AS (
+      |  SELECT refine, qid, neighbor FROM (
+      |    SELECT s.refine, e.qid, e.neighbor,
+      |      row_number() OVER (PARTITION BY s.refine, e.qid
+      |        ORDER BY e.dist, e.neighbor) AS rk
+      |    FROM sweep s JOIN exact e
+      |      ON e.ham_rk <= s.refine * $k AND e.qid < $nCal) t
+      |  WHERE rk <= $k),
+      |hits AS (
+      |  SELECT s.refine, count(*) AS hits
+      |  FROM sel s JOIN gt g ON g.qid = s.qid AND g.neighbor = s.neighbor
+      |  GROUP BY s.refine),
+      |tot AS (SELECT count(*) AS n_truth FROM gt)""".stripMargin
+  }
+
+  /** Recall calibration for the binary tier
+    * ([[graft.operators.BinaryQuantizer.recallSweep]]) — the q89/q151
+    * instrument at the cheapest ladder rung: recall@k of the Hamming
+    * prefilter + exact re-rank against exact squared-L2 ground truth,
+    * per refine budget. Trains once, scans once at the WIDEST budget
+    * with the Hamming rank threaded, re-ranks once, and every sweep
+    * point reads off that frame — the number that prices the
+    * shortlist-width knob for the 64×-compressed tier.
+    */
+  val bqRecall: QuerySpec = {
+    val (k, nQ, dim) = (3, 10, 64)
+    val refines = Seq(1, 2, 4, 8)
+    QuerySpec.sql(
+      "q158_bq_recall",
+      s"""WITH ${bqSweepCtes(dim, nQ, nQ, k, refines)}
+        |SELECT s.refine, CAST(t.n_truth AS BIGINT) AS n_truth,
+        |  CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+        |  round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_truth + 1e-9, 4)
+        |    AS recall
+        |FROM sweep s CROSS JOIN tot t
+        |LEFT JOIN hits h ON h.refine = s.refine
+        |ORDER BY s.refine""".stripMargin
+    ) { (spark, dir) =>
+      graft.operators.BinaryQuantizer.recallSweep(
+        Tables.load(spark, dir, "embeddings")
+          .select(col("vec_id"), col("embedding")),
+        "vec_id", "embedding", nQueries = nQ, k = k, refines = refines)
+    }
+  }
+
+  /** Calibration-routed serving ([[graft.operators.AnnRouter
+    * .routeBinaryRefine]]) — cost-based index selection closing the
+    * quantization-ladder story: the q158 sweep prices every refine
+    * budget on the batch's bounded calibration slice, the router picks
+    * the CHEAPEST budget whose measured recall meets the target (capped
+    * at the widest measured), and the batch serves through it — with
+    * calibration and serving reading the SAME widest-budget ranked
+    * frame, so pricing four budgets costs one binary scan. The oracle
+    * replays sweep → choose (min budget meeting target, else max) →
+    * serve off the identical frame, so the routing DECISION hash-checks
+    * too (the `refine` output column).
+    */
+  val annRouted: QuerySpec = {
+    val (k, nServe, nCal, dim) = (3, 20, 10, 64)
+    val refines = Seq(1, 2, 4, 8)
+    val target = 0.25
+    QuerySpec.sql(
+      "q159_ann_routed",
+      s"""WITH ${bqSweepCtes(dim, nServe, nCal, k, refines)},
+        |cal AS (
+        |  SELECT s.refine,
+        |    round(CAST(coalesce(h.hits, 0) AS DOUBLE) / t.n_truth + 1e-9,
+        |      4) AS recall
+        |  FROM sweep s CROSS JOIN tot t
+        |  LEFT JOIN hits h ON h.refine = s.refine),
+        |chosen AS (
+        |  SELECT CAST(coalesce(
+        |      min(CASE WHEN recall >= $target THEN refine END),
+        |      max(refine)) AS INTEGER) AS refine
+        |  FROM cal),
+        |served AS (
+        |  SELECT e.qid, e.neighbor, e.dist, c.refine,
+        |    row_number() OVER (PARTITION BY e.qid
+        |      ORDER BY e.dist, e.neighbor) AS rk
+        |  FROM exact e CROSS JOIN chosen c
+        |  WHERE e.ham_rk <= c.refine * $k)
+        |SELECT qid, neighbor, round(dist + 1e-9, 4) AS dist, refine
+        |FROM served WHERE rk <= $k
+        |ORDER BY qid, dist, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nServe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.AnnRouter.routeBinaryRefine(corpus, "vec_id",
+          "embedding", queries, "qid", "qv", k = k, refines = refines,
+          target = target, calFilter = col("qid") < nCal)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist") + lit(1e-9), 4).as("dist"), col("refine"))
+        .orderBy(col("qid"), col("dist"), col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2428,5 +2564,6 @@ object SimilarityQueries {
     semanticDedup, ivfDrift, ivfRetrain, ivfVersioned, ivfDelete,
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
-    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined, bqIndex)
+    ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
+    bqIndex, bqRecall, annRouted)
 }

@@ -76,7 +76,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q154_bq_search",      // corpus cache through midrange train + pack
     "q155_bq_refined",     // corpus + Hamming-shortlist caches
     "q156_simhash_index",  // hashed-docs cache through write + 2 probes
-    "q157_bq_index"        // embeddings + codes-shortlist caches
+    "q157_bq_index",       // embeddings + codes-shortlist caches
+    "q158_bq_recall",      // ranked-exact + ground-truth caches
+    "q159_ann_routed"      // shared ranked frame + calibration caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

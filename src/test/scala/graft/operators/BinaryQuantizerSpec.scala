@@ -199,6 +199,61 @@ class BinaryQuantizerSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
   }
 
+  test("recallSweep matches a driver-side reference at every budget " +
+      "and is monotone in refine") {
+    val (k, nQ, dim) = (3, 10, 64)
+    val refines = Seq(1, 2, 4, 8)
+    val (rows, _, pk) = reference(dim)
+    val vecs = rows.toMap
+    def l2(a: Array[Float], b: Array[Float]): Double = {
+      var acc = 0.0; var i = 0
+      while (i < a.length) {
+        val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1
+      }
+      acc
+    }
+    // reference: gt = exact top-k; per budget, exact-re-ranked Hamming
+    // shortlist top-k; hits = overlap — the recall the sweep must report
+    val expected = refines.map { r =>
+      val hits = (0L until nQ.toLong).map { q =>
+        val gt = vecs.keys.filter(_ != q).toSeq
+          .map(d => (l2(vecs(q), vecs(d)), d)).sorted.take(k).map(_._2)
+        val short = pk.keys.filter(_ != q).toSeq
+          .map(d => (pk(q).zip(pk(d))
+            .map { case (x, y) => java.lang.Long.bitCount(x ^ y) }.sum, d))
+          .sorted.take(k * r).map(_._2)
+        val sel = short.map(d => (l2(vecs(q), vecs(d)), d))
+          .sorted.take(k).map(_._2)
+        sel.count(gt.contains)
+      }.sum
+      r -> hits
+    }.toMap
+    val got = BinaryQuantizer.recallSweep(corpus, "vec_id", "embedding",
+        nQueries = nQ, k = k, refines = refines)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSeq === refines, "ordered by refine")
+    got.foreach { case (r, nTruth, hits) =>
+      assert(nTruth === nQ.toLong * k)
+      assert(hits === expected(r).toLong, s"refine $r")
+    }
+    val recalls = got.map(t => t._3.toDouble / t._2)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a <= b },
+      "recall must be monotone non-decreasing in the budget")
+    graft.CacheScope.releaseAll()
+  }
+
+  test("recallSweep reports exactly 1.0 when the budget covers the " +
+      "whole corpus") {
+    val n = corpus.count().toInt
+    val k = 3
+    val full = (n + k - 1) / k // shortlist ≥ corpus-1: prefilter loses nothing
+    val got = BinaryQuantizer.recallSweep(corpus, "vec_id", "embedding",
+        nQueries = 5, k = k, refines = Seq(1, full))
+      .collect().map(r => (r.getInt(0), r.getDouble(3))).toMap
+    assert(got(full) === 1.0)
+    graft.CacheScope.releaseAll()
+  }
+
   test("a crashed write's leftover staged dir cannot poison the next " +
       "writeIndex; a rewrite replaces the index whole") {
     val idx = graft.Scratch.fresh("bq_stagedcrash") + "/idx"
