@@ -1,0 +1,342 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Stable, Text}
+import graft.sources.{Tables, Tombstones}
+
+/** Persisted BM25 inverted index with O(delta) incremental maintenance —
+  * the KEYWORD-retrieval tier beside the vector families ([[IvfAnn]],
+  * [[IvfPq]], [[ScalarQuantizer]], [[BinaryQuantizer]]) and the dedup
+  * families ([[LshIndex]], [[SimHashIndex]]). A training-data pipeline
+  * needs lexical search as much as embeddings: decontamination probes,
+  * targeted corpus audits ("every document mentioning X"), and the BM25
+  * leg of hybrid retrieval (reference scope: the corpus-curation north
+  * star; the reference itself has no retrieval surface at all).
+  *
+  * Layout under `dir`:
+  *  - `postings/` — `(term, doc_id, tf, dl)` rows, hive-partitioned by
+  *    `bkt = pmod(xxhash64(term), Buckets)`: a probe touches only its
+  *    query terms' bucket DIRECTORIES (partition pruning — the probed
+  *    bucket ids are collected from the bounded query batch and pushed
+  *    as literals), so probe I/O tracks query vocabulary, never corpus
+  *    size. `dl` (document token length) is denormalized into the
+  *    posting row — the classic inverted-file trick that makes scoring
+  *    a single equi-join with zero side lookups.
+  *  - `doclens/` — `(doc_id, dl)`, consulted only by [[delete]] to price
+  *    a forgotten document's stats correction; never read at probe time.
+  *  - `stats/` — additive `(n_docs, sum_dl)` rows: one per
+  *    [[write]]/[[append]], one NEGATIVE row per [[delete]]. Serving
+  *    stats are the SUM of the rows, so corpus-wide n/avgdl cost O(ops)
+  *    rows to read — never a corpus scan. Rows grow with operation
+  *    count, not data, so the table is permanently tiny.
+  *
+  * Lifecycle contracts (the shared index-family discipline):
+  *  - [[append]] is O(|batch|) new files; it REFUSES ids with a pending
+  *    tombstone (fail-fast) instead of [[LshIndex]]'s unmark-and-serve-
+  *    both: BM25 stats are content-weighted, so serving a readmitted
+  *    doc's old and new postings side by side would corrupt tf/df
+  *    rather than be absorbed by a DISTINCT the way the dedup families'
+  *    candidate joins absorb duplicate band rows. Compact first.
+  *  - [[delete]] is O(|deletes|): a marker masks the doc's postings at
+  *    probe time immediately, and one negative `stats` row (priced
+  *    from `doclens` at delete time, NOT at probe time) keeps n/avgdl
+  *    exact — so the served scores equal an index built on the live
+  *    set, which is exactly what the q160 oracle checks.
+  *  - [[compact]] applies markers physically through the crash-safe
+  *    staged publish, with the [[Tombstones.fileSnapshot]]/`carryInto`
+  *    discipline so deletes landing mid-compaction survive the swap.
+  */
+object TextIndex {
+
+  /** Term-hash partition count for the postings layout. 64 directories
+    * keeps per-bucket vocabulary ~1/64 while staying far under any
+    * filesystem's directory-count pain; at 100 TB raise it with corpus
+    * vocabulary (it is a layout constant, invisible to results).
+    */
+  val Buckets = 64
+
+  /** BM25 constants (the standard Robertson defaults). Literals — the
+    * oracle SQL spells the same decimal strings, so both engines bind
+    * bit-identical doubles.
+    */
+  val K1 = 1.2
+  val B = 0.75
+
+  private def bkt(term: Column): Column =
+    pmod(xxhash64(term), lit(Buckets.toLong)).cast("int")
+
+  /** `(bkt, term, doc_id, tf, dl)` posting rows for a document batch —
+    * one scan: tokenize, per-(doc, term) counts, and the doc length
+    * re-joined from the same token frame. Zero-token documents vanish
+    * (they have no postings and no length — both engines agree).
+    */
+  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = docs
+      .select(col(idCol).as("doc_id"),
+        explode(Text.tokens(col(textCol))).as("term"))
+    val tf = tok.groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // (doc, term) -> tf is already grouped; dl = sum of the doc's tfs —
+    // a second agg over the SAME frame, so the token scan runs once
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    tf.join(dl, "doc_id")
+      .select(bkt(col("term")).as("bkt"), col("term"), col("doc_id"),
+        col("tf"), col("dl"))
+  }
+
+  /** `(doc_id, dl)` for a batch (token-bearing docs only). */
+  private def doclens(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"),
+        size(Text.tokens(col(textCol))).cast("long").as("dl"))
+      .filter(col("dl") > 0)
+
+  private def totalsRow(dls: DataFrame): DataFrame =
+    dls.agg(count(lit(1)).cast("long").as("n_docs"),
+      coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
+
+  /** Build the index for a corpus — staged sibling + whole-directory
+    * swap ([[Tables.publish]]), so a crash mid-build never leaves
+    * postings without their totals (the [[IvfPq.writeIndex]]
+    * crash-consistency discipline).
+    */
+  def write(docs: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = docs.sparkSession
+    val staged = dir + ".__stage__"
+    val dls = doclens(docs, idCol, textCol)
+    postings(docs, idCol, textCol)
+      .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
+    dls.write.mode("overwrite").parquet(s"$staged/doclens")
+    totalsRow(dls).write.mode("overwrite").parquet(s"$staged/stats")
+    Tables.publish(spark, staged, dir)
+  }
+
+  /** Absorb a batch — O(|batch|): new posting files into their bucket
+    * partitions, new doclen files, ONE additive totals row. Fails fast
+    * if any batch id has a pending tombstone (see the class doc for why
+    * this family cannot serve old and new rows side by side).
+    */
+  def append(batch: DataFrame, idCol: String, textCol: String,
+      dir: String): Unit = {
+    val spark = batch.sparkSession
+    Tombstones.read(spark, s"$dir/postings").foreach { ts =>
+      val pending = ts.join(
+        batch.select(col(idCol).as(Tombstones.Col)).distinct(),
+        Seq(Tombstones.Col), "left_semi")
+      require(pending.isEmpty,
+        "TextIndex.append: batch contains tombstoned ids — compact() " +
+          "the index before re-ingesting a deleted document (BM25 tf/df " +
+          "cannot serve a doc's old and new postings side by side)")
+    }
+    val dls = doclens(batch, idCol, textCol)
+    postings(batch, idCol, textCol)
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
+    dls.write.mode("append").parquet(s"$dir/doclens")
+    totalsRow(dls).write.mode("append").parquet(s"$dir/stats")
+  }
+
+  /** Forget documents — O(|deletes|): tombstone markers mask the docs'
+    * postings at probe time IMMEDIATELY, and one negative `stats` row
+    * (the docs' count and summed length, looked up in `doclens` now so
+    * probes never pay for it) keeps served n/avgdl equal to the live
+    * set's. Ids already marked are skipped, so a repeated delete cannot
+    * double-subtract; ids never indexed contribute nothing.
+    */
+  def delete(spark: SparkSession, dir: String, ids: DataFrame,
+      idCol: String): Unit = {
+    val doomed0 = ids.select(col(idCol).as("doc_id")).distinct()
+    val doomed = Tombstones.read(spark, s"$dir/postings") match {
+      case Some(ts) => doomed0.join(ts,
+        doomed0("doc_id") === ts(Tombstones.Col), "left_anti")
+      case None => doomed0
+    }
+    val hit = spark.read.parquet(s"$dir/doclens")
+      .join(broadcast(doomed), "doc_id")
+      .transform(graft.CacheScope.cache)
+    val n = hit.count()
+    if (n > 0) {
+      hit.agg((-count(lit(1))).cast("long").as("n_docs"),
+          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+        .write.mode("append").parquet(s"$dir/stats")
+      Tombstones.write(spark, s"$dir/postings", hit, "doc_id")
+    }
+    graft.CacheScope.release(hit)
+  }
+
+  /** The index's serving stats: ONE row `(n_docs, sum_dl)` — the sum of
+    * the additive totals rows (live set exactly, since every delete
+    * subtracted its docs).
+    */
+  def totals(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"$dir/stats")
+      .agg(sum(col("n_docs")).cast("long").as("n_docs"),
+        sum(col("sum_dl")).cast("long").as("sum_dl"))
+
+  /** Apply pending tombstones physically and restore one file per
+    * bucket: the staged rewrite drops marked docs from postings AND
+    * doclens, markers written while the rewrite ran are carried into
+    * the published layout ([[Tombstones.carryInto]]), and the swap
+    * clears the applied markers with the old directory. `stats` is
+    * untouched — it is already correct (additive, deletes subtracted at
+    * delete time) and O(operations) small forever.
+    */
+  def compact(spark: SparkSession, dir: String): Unit =
+    compact(spark, dir, () => ())
+
+  /** Test seam: `midCompact` runs after the marker snapshot and the
+    * (eager) marker-file listing of the live read, before the staged
+    * rewrite materializes — the race window the snapshot/carry
+    * discipline covers.
+    */
+  private[graft] def compact(spark: SparkSession, dir: String,
+      midCompact: () => Unit): Unit = {
+    val post = s"$dir/postings"
+    val snap = Tombstones.fileSnapshot(spark, post)
+    val livePost = Tombstones.filterLive(spark, post,
+      spark.read.parquet(post), "doc_id")
+    midCompact()
+    val stagedP = post + ".__tmp__"
+    livePost.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(stagedP)
+    Tombstones.carryInto(spark, post, snap, stagedP)
+
+    // stage doclens BEFORE the postings publish clears the applied
+    // markers with the old directory — a stale doclens row would let a
+    // future delete of an already-applied id re-subtract its length.
+    // The read-now marker set includes late (carried) markers, so their
+    // docs drop from doclens one compaction early — harmless: their
+    // stats correction was priced at delete time and a re-delete is
+    // refused while the carried marker is pending.
+    val dlens = s"$dir/doclens"
+    val liveDl = Tombstones.read(spark, post) match {
+      case Some(ts) => spark.read.parquet(dlens).join(ts,
+        col("doc_id") === col(Tombstones.Col), "left_anti")
+      case None => spark.read.parquet(dlens)
+    }
+    val stagedD = dlens + ".__tmp__"
+    liveDl.coalesce(1).write.mode("overwrite").parquet(stagedD)
+
+    Tables.publish(spark, stagedP, post)
+    Tables.publish(spark, stagedD, dlens)
+  }
+
+  /** BM25 top-k per query — the probe path. One signature scan of the
+    * bounded query batch yields `(qid, term, qtf)`; the postings read is
+    * partition-pruned to the query terms' buckets (literal `bkt IN`
+    * pushed from the collected — bounded — query vocabulary) and then
+    * narrowed to the exact terms by a broadcast join; per-term document
+    * frequency aggregates that already-pruned frame, so NOTHING in the
+    * probe scales with corpus size except the probed posting lists
+    * themselves. Scores sum per (query, doc) through [[Stable]]'s
+    * decimal grid (partition-order-invariant despite the float `ln`),
+    * and top-k per query runs on the bounded-heap
+    * [[graft.plans.TopKPerKeyPlan]] operator — no full per-query sort.
+    *
+    * Output: `(qid, rank, doc_id, bm25)`, rank 1..k by (score desc,
+    * doc_id), bm25 rounded to 4 decimals.
+    */
+  def searchTopK(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, textCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qt = graft.CacheScope.cache(
+      queries.select(col(qidCol).as("qid"),
+          explode(Text.tokens(col(textCol))).as("term"))
+        .groupBy(col("qid"), col("term"))
+        .agg(count(lit(1)).as("qtf")))
+    // bounded by the query batch contract — same discipline as the
+    // probed-cell collects in IvfAnn.searchPartitioned
+    val bkts = qt.select(bkt(col("term")).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qTerms = qt.select(col("term")).distinct()
+    val post = graft.CacheScope.cache(
+      Tombstones.filterLive(spark, s"$dir/postings",
+          spark.read.parquet(s"$dir/postings")
+            .filter(col("bkt").isin(bkts: _*)), "doc_id")
+        .join(broadcast(qTerms), "term"))
+    val dfr = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val stats = totals(spark, dir)
+
+    val nD = col("n_docs").cast("double")
+    val idf = log(lit(1.0) +
+      (nD - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5)))
+    val tfNorm = (col("tf").cast("double") * lit(K1 + 1)) /
+      (col("tf").cast("double") + lit(K1) *
+        (lit(1 - B) + lit(B) * col("dl").cast("double") * nD /
+          col("sum_dl").cast("double")))
+    val scored = qt.join(post, "term").join(broadcast(dfr), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("qid"), col("doc_id"),
+        (col("qtf").cast("double") * idf * tfNorm).as("c"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(Stable.sumD(col("c")).as("score"))
+    val top = Dedup.topKPerKey(scored, Seq("qid"),
+      Seq(col("score").desc, col("doc_id").asc), k)
+    // qt/post stay registered in CacheScope until the caller's
+    // releaseAll() — releasing here would unpersist before the caller
+    // materializes the (lazy) result and recompute both scans
+    top
+      .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score") + lit(1e-9), 4).as("bm25"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** DuckDB-oracle CTE chain replaying [[searchTopK]] over `corpusCte`
+    * and `queriesCte` (each `SELECT doc_id|qid, text ...`): tokenize →
+    * postings/doclens/totals → per-term df → the BM25 kernel with the
+    * SAME decimal literals → decimal-grid sum → rank. Kept textually
+    * parallel to the Column expressions above — the bit-equality of the
+    * two engines' scores is the gate.
+    */
+  def bm25OracleSql(corpusCte: String, queriesCte: String, k: Int): String =
+    s"""WITH ${bm25CtesSql(corpusCte, queriesCte)},
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, doc_id) AS rk FROM scored)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id,
+      |  round(score + 1e-9, 4) AS bm25
+      |FROM ranked WHERE rk <= $k
+      |ORDER BY qid, rank""".stripMargin
+
+  /** The [[bm25OracleSql]] CTE chain up to `scored (qid, doc_id, score)`
+    * — exposed so composition oracles (hybrid rank fusion) can extend it.
+    */
+  def bm25CtesSql(corpusCte: String, queriesCte: String): String =
+    s"""live AS ($corpusCte),
+      |tok AS (SELECT doc_id,
+      |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'),
+      |      t -> t != '')) AS term
+      |  FROM live),
+      |post AS (SELECT term, doc_id, CAST(count(*) AS BIGINT) AS tf
+      |  FROM tok GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+      |  FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+      |qdocs AS ($queriesCte),
+      |qt AS (SELECT qid, unnest(list_filter(
+      |      regexp_split_to_array(lower(text), '\\s+'), t -> t != '')) AS term
+      |  FROM qdocs),
+      |qtf AS (SELECT qid, term, CAST(count(*) AS BIGINT) AS qtf
+      |  FROM qt GROUP BY 1, 2),
+      |dfr AS (SELECT term, CAST(count(*) AS BIGINT) AS df
+      |  FROM post GROUP BY 1),
+      |contrib AS (
+      |  SELECT q.qid, p.doc_id,
+      |    CAST(q.qtf AS DOUBLE)
+      |      * ln(1.0 + (CAST(s.n_docs AS DOUBLE) - CAST(f.df AS DOUBLE)
+      |          + 0.5) / (CAST(f.df AS DOUBLE) + 0.5))
+      |      * (CAST(p.tf AS DOUBLE) * ${K1 + 1})
+      |      / (CAST(p.tf AS DOUBLE) + $K1 * (${1 - B}
+      |          + $B * CAST(d.dl AS DOUBLE) * CAST(s.n_docs AS DOUBLE)
+      |            / CAST(s.sum_dl AS DOUBLE))) AS c
+      |  FROM qtf q JOIN post p USING (term) JOIN dfr f USING (term)
+      |    JOIN dl d ON d.doc_id = p.doc_id CROSS JOIN stats s),
+      |scored AS (
+      |  SELECT qid, doc_id, ${Stable.sumDSql("c")} AS score
+      |  FROM contrib GROUP BY 1, 2)""".stripMargin
+}

@@ -2557,6 +2557,93 @@ object SimilarityQueries {
     }
   }
 
+  /** Hybrid lexical+vector retrieval fused by Reciprocal Rank Fusion —
+    * the production RAG/retrieval shape: a BM25 leg served from the
+    * persisted inverted index ([[graft.operators.TextIndex]], top-10
+    * per query) and an exact-cosine vector leg over `embeddings`
+    * (top-10, the q27 kernel) are fused per (query, doc) by
+    * `Σ 1/(60 + rank)` (Cormack et al.'s RRF — rank-based, so the two
+    * legs' incomparable score scales never need calibration), summed
+    * through the decimal grid and re-ranked to a final top-5. The two
+    * legs join on the shared id domain (`doc_id` = `vec_id`). At scale
+    * each leg is independently index-served (bucket-pruned postings /
+    * cell-pruned IVF) and the fusion itself touches only 2·10 rows per
+    * query — the fusion cost is bounded by the leg budgets, never by
+    * corpus size. The oracle replays both legs and the fusion; rank
+    * arithmetic is integer, so the only float surfaces are the legs'
+    * own (already gate-proven) kernels and the exact 1/(60+r) grid sum.
+    */
+  val hybridRrf: QuerySpec = {
+    val (nQ, kLeg, kOut) = (6, 10, 5)
+    QuerySpec.sql(
+      "q161_hybrid_rrf",
+      s"""WITH ${graft.operators.TextIndex.bm25CtesSql(
+          "SELECT doc_id, text FROM documents",
+          s"SELECT doc_id AS qid, text FROM documents WHERE doc_id < $nQ")},
+        |bmrank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rk FROM scored),
+        |e AS (SELECT vec_id, embedding FROM embeddings),
+        |q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < $nQ),
+        |cos AS (
+        |  SELECT qid, vec_id, ${Vectors.cosineSql("qv", "embedding")} AS cos
+        |  FROM q JOIN e ON ${Vectors.normSql("qv")} > 0
+        |    AND ${Vectors.normSql("embedding")} > 0),
+        |vrank AS (SELECT qid, vec_id AS doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY cos DESC, vec_id) AS rk FROM cos),
+        |legs AS (
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM bmrank WHERE rk <= $kLeg
+        |  UNION ALL
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM vrank WHERE rk <= $kLeg),
+        |fused AS (SELECT qid, doc_id,
+        |    ${graft.functions.Stable.sumDSql("c")} AS rrf
+        |  FROM legs GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id,
+        |  round(rrf + 1e-9, 6) AS rrf
+        |FROM ranked WHERE rk <= $kOut
+        |ORDER BY qid, rank""".stripMargin
+    ) { (spark, dir) =>
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val idx = graft.Scratch.fresh("q161") + "/text"
+      graft.operators.TextIndex.write(docs, "doc_id", "text", idx)
+      val bmLeg = graft.operators.TextIndex.searchTopK(spark, idx,
+          docs.filter(col("doc_id") < nQ)
+            .select(col("doc_id").as("qid"), col("text")),
+          "qid", "text", k = kLeg)
+        .select(col("qid"), col("doc_id"), col("rank").as("rk"))
+      val e = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val q = e.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vLeg = broadcast(q)
+        .join(e, Vectors.norm(col("qv")) > 0 &&
+          Vectors.norm(col("embedding")) > 0)
+        .select(col("qid"), col("vec_id").as("doc_id"),
+          Vectors.cosine(col("qv"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("cos").desc, col("doc_id"))).cast("long"))
+        .filter(col("rk") <= kLeg)
+        .select(col("qid"), col("doc_id"), col("rk"))
+      val contrib = (f: org.apache.spark.sql.DataFrame) => f.select(
+        col("qid"), col("doc_id"),
+        (lit(1.0) / (lit(60L) + col("rk")).cast("double")).as("c"))
+      contrib(bmLeg).unionByName(contrib(vLeg))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(graft.functions.Stable.sumD(col("c")).as("rrf"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= kOut)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          round(col("rrf") + lit(1e-9), 6).as("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2565,5 +2652,5 @@ object SimilarityQueries {
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
-    bqIndex, bqRecall, annRouted)
+    bqIndex, bqRecall, annRouted, hybridRrf)
 }

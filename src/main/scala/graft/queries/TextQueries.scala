@@ -696,8 +696,46 @@ object TextQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Persisted BM25 inverted index served through its FULL lifecycle —
+    * the keyword-retrieval tier beside the vector/dedup index families
+    * ([[graft.operators.TextIndex]]): the base corpus slice builds the
+    * index (write), a delta batch appends O(|delta|) posting files
+    * through the bucket partitions, one document is forgotten (a
+    * tombstone masks its postings immediately and a negative totals row
+    * keeps n/avgdl exact), and a bounded query batch probes ONLY its
+    * query terms' bucket directories (partition pruning from the
+    * collected query vocabulary — probe I/O tracks query terms, never
+    * corpus size). The oracle replays tokenize → postings → df/totals →
+    * the BM25 kernel (same decimal literals) → decimal-grid sum → rank
+    * over the LIVE set, so hash-equality proves the maintained on-disk
+    * index serves exactly what a fresh build over the surviving corpus
+    * would — lifecycle invisible, the q153/q157 contract for text.
+    */
+  val bm25Index: QuerySpec = QuerySpec.sql(
+    "q160_bm25_index",
+    graft.operators.TextIndex.bm25OracleSql(
+      "SELECT doc_id, text FROM documents WHERE doc_id <> 3",
+      "SELECT doc_id AS qid, text FROM documents WHERE doc_id < 6",
+      k = 4)
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val idx = graft.Scratch.fresh("q160") + "/text"
+    graft.operators.TextIndex.write(
+      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", idx)
+    graft.operators.TextIndex.append(
+      docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", idx)
+    graft.operators.TextIndex.delete(spark, idx,
+      Seq(3L).toDF("doc_id"), "doc_id")
+    graft.operators.TextIndex.searchTopK(spark, idx,
+      docs.filter(col("doc_id") < 6)
+        .select(col("doc_id").as("qid"), col("text")),
+      "qid", "text", k = 4)
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
-      temperatureMix, mixMaterialize, unigramScore)
+      temperatureMix, mixMaterialize, unigramScore, bm25Index)
 }

@@ -1,0 +1,231 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+import graft.sources.Tombstones
+
+class TextIndexSpec extends SparkTestBase {
+
+  private def docs = graft.sources.Tables.load(spark, sfDir, "documents")
+    .select(col("doc_id"), col("text"))
+
+  private def queries(n: Int) = docs.filter(col("doc_id") < n)
+    .select(col("doc_id").as("qid"), col("text"))
+
+  private def searchRows(dir: String, k: Int = 4): Seq[(Long, Long, Long,
+      Double)] =
+    TextIndex.searchTopK(spark, dir, queries(5), "qid", "text", k)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq
+
+  private def liveIds(dir: String): Set[Long] = {
+    val post = spark.read.parquet(s"$dir/postings")
+    Tombstones.filterLive(spark, s"$dir/postings", post, "doc_id")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+  }
+
+  private def totalsRow(dir: String): (Long, Long) = {
+    val r = TextIndex.totals(spark, dir).collect().head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("write + append serves bit-for-bit what a one-shot build over " +
+      "the union serves") {
+    val oneShot = graft.Scratch.fresh("ti_oneshot") + "/idx"
+    val grown = graft.Scratch.fresh("ti_grown") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", oneShot)
+    TextIndex.write(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", grown)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", grown)
+    assert(searchRows(grown) === searchRows(oneShot))
+    assert(totalsRow(grown) === totalsRow(oneShot))
+  }
+
+  test("delete masks immediately and serves exactly a live-set rebuild") {
+    val idx = graft.Scratch.fresh("ti_delete") + "/idx"
+    val liveOnly = graft.Scratch.fresh("ti_liveonly") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs, "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(1L, 3L).toDF("doc_id"), "doc_id")
+    TextIndex.write(docs.filter(!col("doc_id").isin(1L, 3L)),
+      "doc_id", "text", liveOnly)
+    // scores, ranks, AND stats (n/avgdl feed idf/tf-norm) all equal the
+    // fresh build over the survivors — the negative-totals correction is
+    // what makes this exact rather than approximate
+    assert(searchRows(idx) === searchRows(liveOnly))
+    assert(totalsRow(idx) === totalsRow(liveOnly))
+    assert(!liveIds(idx).contains(1L) && !liveIds(idx).contains(3L))
+  }
+
+  test("repeated delete of the same id does not double-subtract totals") {
+    val idx = graft.Scratch.fresh("ti_redelete") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs, "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    val once = totalsRow(idx)
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(totalsRow(idx) === once)
+    // and deleting an id the index never held is a no-op
+    TextIndex.delete(spark, idx, Seq(999999L).toDF("doc_id"), "doc_id")
+    assert(totalsRow(idx) === once)
+  }
+
+  test("append refuses tombstoned ids until a compact applies the " +
+      "markers — then the readmit serves fresh postings") {
+    val idx = graft.Scratch.fresh("ti_readmit") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs, "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    val doc2 = docs.filter(col("doc_id") === 2L)
+    val e = intercept[IllegalArgumentException] {
+      TextIndex.append(doc2, "doc_id", "text", idx)
+    }
+    assert(e.getMessage.contains("compact"))
+    TextIndex.compact(spark, idx)
+    TextIndex.append(doc2, "doc_id", "text", idx)
+    val full = graft.Scratch.fresh("ti_readmit_full") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", full)
+    assert(searchRows(idx) === searchRows(full))
+    assert(totalsRow(idx) === totalsRow(full))
+  }
+
+  test("compact applies markers physically, clears them, and leaves " +
+      "served results untouched") {
+    val idx = graft.Scratch.fresh("ti_compact") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", idx)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(6L).toDF("doc_id"), "doc_id")
+    val before = searchRows(idx)
+    TextIndex.compact(spark, idx)
+    assert(searchRows(idx) === before)
+    assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
+    assert(!liveIds(idx).contains(6L))
+    // doclens compacted too: the forgotten doc can never be re-priced
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id") === 6L).isEmpty)
+    // one file per bucket directory after compaction
+    val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
+    assert(bucketDirs.nonEmpty)
+    assert(bucketDirs.forall(
+      _.listFiles().count(_.getName.startsWith("part-")) == 1))
+  }
+
+  test("a delete landing mid-compaction survives the publish swap and " +
+      "keeps masking") {
+    val idx = graft.Scratch.fresh("ti_race") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs, "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    TextIndex.compact(spark, idx, midCompact = () =>
+      TextIndex.delete(spark, idx, Seq(4L).toDF("doc_id"), "doc_id"))
+    // 1 applied physically; 4's marker carried into the new layout and
+    // still masking (and its totals correction was priced at delete time)
+    assert(!liveIds(idx).contains(1L) && !liveIds(idx).contains(4L))
+    assert(Tombstones.read(spark, s"$idx/postings").isDefined)
+    val liveOnly = graft.Scratch.fresh("ti_race_live") + "/idx"
+    TextIndex.write(docs.filter(!col("doc_id").isin(1L, 4L)),
+      "doc_id", "text", liveOnly)
+    assert(searchRows(idx) === searchRows(liveOnly))
+    assert(totalsRow(idx) === totalsRow(liveOnly))
+    // doclens dropped BOTH docs at the first compact — a stale row
+    // would let a post-compaction re-delete re-subtract its length
+    assert(spark.read.parquet(s"$idx/doclens")
+      .filter(col("doc_id").isin(1L, 4L)).isEmpty)
+    val t = totalsRow(idx)
+    TextIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(totalsRow(idx) === t)
+    // the next compact applies the carried marker physically
+    TextIndex.compact(spark, idx)
+    assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
+    assert(searchRows(idx) === searchRows(liveOnly))
+  }
+
+  test("probe reads only the query terms' bucket partitions") {
+    val idx = graft.Scratch.fresh("ti_prune") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", idx)
+    // a one-term query touches exactly one bucket: the pushed partition
+    // filter must appear in the scan and the scanned partition count
+    // must be 1 (of TextIndex.Buckets on disk)
+    val q1 = spark.createDataFrame(Seq((0L, "the"))).toDF("qid", "text")
+    val out = TextIndex.searchTopK(spark, idx, q1, "qid", "text", k = 3)
+    // pruning is in the SCAN (PartitionFilters on bkt), not a post-filter
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      plan.take(2000))
+    // and a bkt-pruned read of the layout touches exactly one bucket
+    // directory of the many on disk
+    import org.apache.spark.sql.functions.input_file_name
+    val b = spark.range(1).select(
+      org.apache.spark.sql.functions.pmod(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.lit("the")),
+        org.apache.spark.sql.functions.lit(TextIndex.Buckets.toLong))
+        .cast("int").as("b")).collect().head.getInt(0)
+    val touched = spark.read.parquet(s"$idx/postings")
+      .filter(col("bkt") === b)
+      .select(input_file_name()).distinct()
+      .collect().map(_.getString(0)).toSeq
+    assert(touched.nonEmpty)
+    touched.foreach(f => assert(f.contains(s"bkt=$b"), f))
+  }
+
+  test("searched scores match a from-scratch BM25 computed on the " +
+      "DataFrame API (no index)") {
+    val idx = graft.Scratch.fresh("ti_brute") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", idx)
+    val got = searchRows(idx, k = 3)
+
+    // independent reference: plain-DataFrame BM25 over the same corpus
+    import graft.functions.{Stable, Text}
+    val tok = docs.select(col("doc_id"),
+      explode(Text.tokens(col("text"))).as("term"))
+    val tf = tok.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val dfr = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val st = dl.agg(count(lit(1)).cast("long").as("n_docs"),
+      sum("dl").as("sum_dl"))
+    val qt = queries(5).select(col("qid"),
+        explode(Text.tokens(col("text"))).as("term"))
+      .groupBy("qid", "term").agg(count(lit(1)).as("qtf"))
+    val nD = col("n_docs").cast("double")
+    val c = col("qtf").cast("double") *
+      log(lit(1.0) + (nD - col("df").cast("double") + lit(0.5)) /
+        (col("df").cast("double") + lit(0.5))) *
+      (col("tf").cast("double") * lit(TextIndex.K1 + 1)) /
+      (col("tf").cast("double") + lit(TextIndex.K1) *
+        (lit(1 - TextIndex.B) + lit(TextIndex.B) *
+          col("dl").cast("double") * nD / col("sum_dl").cast("double")))
+    val want = qt.join(tf, "term").join(dfr, "term").join(dl, "doc_id")
+      .crossJoin(st)
+      .select(col("qid"), col("doc_id"), c.as("c"))
+      .groupBy("qid", "doc_id").agg(Stable.sumD(col("c")).as("score"))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+          .orderBy(col("score").desc, col("doc_id"))).cast("long"))
+      .filter(col("rank") <= 3)
+      .select(col("qid"), col("rank"), col("doc_id"),
+        round(col("score") + lit(1e-9), 4).as("bm25"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSeq.sorted
+    assert(got.sorted === want)
+  }
+
+  test("zero-token documents are invisible to the index and to stats") {
+    import spark.implicits._
+    val d = Seq((1L, "alpha beta"), (2L, "   "), (3L, "beta gamma beta"))
+      .toDF("doc_id", "text")
+    val idx = graft.Scratch.fresh("ti_empty") + "/idx"
+    TextIndex.write(d, "doc_id", "text", idx)
+    assert(totalsRow(idx) === ((2L, 5L)))
+    assert(liveIds(idx) === Set(1L, 3L))
+  }
+}
