@@ -35,10 +35,12 @@ object Bench {
     * construction), values rounded to ms. When even that overflows,
     * degrade in order of load-bearing-ness: per-query map feeds the
     * NEXT round's inflation check, so the diagnostic flag-name arrays
-    * drop first, then per-query PRECISION (ms → 10 ms → 100 ms — a
-    * coarse time still names which query regressed; round 8's 137
+    * drop first, then per-query PRECISION (ms → 10 ms → 100 ms → 1 s —
+    * a coarse time still names which query regressed; round 8's 137
     * queries overflowed the ms tier and committed `queries:{}`, losing
-    * the whole map), the map itself only as a last resort. `failed`
+    * the whole map, and round 10's 161 overflowed the 100 ms tier,
+    * which is why the whole-second tier exists), the map itself only
+    * as a last resort. `failed`
     * always survives, and [[writeSidecar]] keeps the full-precision map
     * on disk regardless of what the stdout line had to drop. Cap
     * leaves ~150 chars of tail for sbt's trailing "[success]" line.
@@ -99,11 +101,12 @@ object Bench {
     if (full.length <= Cap) full
     else {
       val over = s"line was ${full.length} chars"
+      val tierUnit = Map(2 -> "10ms", 1 -> "100ms", 0 -> "1s")
       val tiers =
         line(qsAt(3), flagNames = false,
           s""","warning":"flag names omitted: $over"""") ::
-        List(2, 1).map(d => line(qsAt(d), flagNames = false,
-          s""","warning":"flag names omitted, times rounded to ${if (d == 2) "10ms" else "100ms"}: $over""""))
+        List(2, 1, 0).map(d => line(qsAt(d), flagNames = false,
+          s""","warning":"flag names omitted, times rounded to ${tierUnit(d)}: $over""""))
       tiers.find(_.length <= Cap).getOrElse(
         line("{}", flagNames = false,
           s""","warning":"queries omitted: $over""""))

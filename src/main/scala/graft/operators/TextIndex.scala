@@ -23,7 +23,10 @@ import graft.sources.{Tables, Tombstones}
   *    as literals), so probe I/O tracks query vocabulary, never corpus
   *    size. `dl` (document token length) is denormalized into the
   *    posting row — the classic inverted-file trick that makes scoring
-  *    a single equi-join with zero side lookups.
+  *    a single equi-join with zero side lookups. The bucket modulus
+  *    itself lives in `postings/_buckets` (self-describing layout —
+  *    [[growBucketsIfHot]] can change it, and it must move atomically
+  *    with the rows it bucketed).
   *  - `doclens/` — `(doc_id, dl)`, consulted only by [[delete]] to price
   *    a forgotten document's stats correction; never read at probe time.
   *  - `stats/` — additive `(n_docs, sum_dl)` rows: one per
@@ -64,15 +67,42 @@ object TextIndex {
   val K1 = 1.2
   val B = 0.75
 
-  private def bkt(term: Column): Column =
-    pmod(xxhash64(term), lit(Buckets.toLong)).cast("int")
+  private def bkt(term: Column, buckets: Int): Column =
+    pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
+
+  /** The layout's bucket modulus lives IN the postings directory
+    * (`postings/_buckets`, one integer) so it travels atomically with
+    * every publish swap — a probe or append computing `bkt` with a
+    * stale modulus would prune the WRONG directories and silently miss
+    * postings, so the modulus is part of the layout, never a constant
+    * the caller has to know ([[growBucketsIfHot]] changes it).
+    */
+  def readBuckets(spark: SparkSession, dir: String): Int = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/postings/_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    require(fs.exists(p), s"$dir/postings/_buckets missing — not a " +
+      "TextIndex layout (or a pre-modulus one; rebuild via write())")
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
+    finally in.close()
+  }
+
+  private def writeBucketsFile(spark: SparkSession, postingsDir: String,
+      buckets: Int): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$postingsDir/_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    try out.write(s"$buckets\n".getBytes("UTF-8"))
+    finally out.close()
+  }
 
   /** `(bkt, term, doc_id, tf, dl)` posting rows for a document batch —
     * one scan: tokenize, per-(doc, term) counts, and the doc length
     * re-joined from the same token frame. Zero-token documents vanish
     * (they have no postings and no length — both engines agree).
     */
-  def postings(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def postings(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int = Buckets): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"),
         explode(Text.tokens(col(textCol))).as("term"))
@@ -82,8 +112,8 @@ object TextIndex {
     // a second agg over the SAME frame, so the token scan runs once
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
     tf.join(dl, "doc_id")
-      .select(bkt(col("term")).as("bkt"), col("term"), col("doc_id"),
-        col("tf"), col("dl"))
+      .select(bkt(col("term"), buckets).as("bkt"), col("term"),
+        col("doc_id"), col("tf"), col("dl"))
   }
 
   /** `(doc_id, dl)` for a batch (token-bearing docs only). */
@@ -103,12 +133,13 @@ object TextIndex {
     * crash-consistency discipline).
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
-      dir: String): Unit = {
+      dir: String, buckets: Int = Buckets): Unit = {
     val spark = docs.sparkSession
     val staged = dir + ".__stage__"
     val dls = doclens(docs, idCol, textCol)
-    postings(docs, idCol, textCol)
+    postings(docs, idCol, textCol, buckets)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
+    writeBucketsFile(spark, s"$staged/postings", buckets)
     dls.write.mode("overwrite").parquet(s"$staged/doclens")
     totalsRow(dls).write.mode("overwrite").parquet(s"$staged/stats")
     Tables.publish(spark, staged, dir)
@@ -132,7 +163,7 @@ object TextIndex {
           "cannot serve a doc's old and new postings side by side)")
     }
     val dls = doclens(batch, idCol, textCol)
-    postings(batch, idCol, textCol)
+    postings(batch, idCol, textCol, readBuckets(spark, dir))
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
     dls.write.mode("append").parquet(s"$dir/doclens")
     totalsRow(dls).write.mode("append").parquet(s"$dir/stats")
@@ -201,6 +232,9 @@ object TextIndex {
     val stagedP = post + ".__tmp__"
     livePost.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(stagedP)
+    // the modulus is unchanged by compaction but must travel with the
+    // staged layout — the publish swap replaces the whole directory
+    writeBucketsFile(spark, stagedP, readBuckets(spark, dir))
     Tombstones.carryInto(spark, post, snap, stagedP)
 
     // stage doclens BEFORE the postings publish clears the applied
@@ -221,6 +255,80 @@ object TextIndex {
 
     Tables.publish(spark, stagedP, post)
     Tables.publish(spark, stagedD, dlens)
+  }
+
+  /** Skew-gated BUCKET growth — the when-to-rebucket decision leg for
+    * the postings layout (the [[LshIndex.rebucketIfSkewed]] /
+    * [[IvfAnn.retrainIfDrifted]] discipline for this family). The
+    * signal is the hottest bucket's LIVE posting-row count: probe cost
+    * per query term is one bucket directory, so a bucket that outgrew
+    * `maxPostingsPerBucket` makes every probe of its terms scan that
+    * much. Above the budget the postings rewrite under DOUBLE the
+    * modulus through the staged publish (snapshot/carry for mid-rebuild
+    * deletes; pending markers apply physically, like [[compact]]), and
+    * the new modulus travels inside the published directory. Doubling
+    * splits a bucket's VOCABULARY in half (expected); a single
+    * ultra-hot TERM cannot be split by any modulus — its posting list
+    * is irreducible probe cost (cap-df pruning is a different, score-
+    * changing lever this engine deliberately does not hide in a layout
+    * op). Purely physical: serving results are bit-identical before and
+    * after (spec-pinned; q163 serves through the post-decision layout).
+    *
+    * Returns one row `(grown, buckets_before, buckets_after,
+    * max_bucket_rows)`.
+    */
+  def growBucketsIfHot(spark: SparkSession, dir: String,
+      maxPostingsPerBucket: Long): DataFrame = {
+    import spark.implicits._
+    val post = s"$dir/postings"
+    val before = readBuckets(spark, dir)
+    // signal over ALL rows (masked ones included): a probe's bucket
+    // scan pays for tombstoned rows too until a compact drops them
+    val rows = spark.read.parquet(post)
+    val maxRows = rows.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L))).collect().head.getLong(0)
+    val grow = maxRows > maxPostingsPerBucket
+    if (grow) {
+      val after = before * 2
+      val staged = post + ".__grow__"
+      // purely physical: every row rides along (tombstone APPLICATION
+      // is compact's job — applying here would strand stale doclens
+      // rows), and every marker file present at carry time — pending
+      // or written mid-rebuild — is copied into the staged layout
+      // (empty snapshot = carry all), so masking semantics and the
+      // delete lifecycle are untouched by the re-bucketing
+      rows.withColumn("bkt", bkt(col("term"), after))
+        .repartition(col("bkt"))
+        .write.mode("overwrite").partitionBy("bkt").parquet(staged)
+      writeBucketsFile(spark, staged, after)
+      Tombstones.carryInto(spark, post, Set.empty, staged)
+      Tables.publish(spark, staged, post)
+    }
+    Seq((grow, before, if (grow) before * 2 else before, maxRows))
+      .toDF("grown", "buckets_before", "buckets_after", "max_bucket_rows")
+  }
+
+  /** Term-level index health — the oracle-checkable half of the
+    * telemetry pair ([[growBucketsIfHot]]'s bucket signal is layout
+    * arithmetic DuckDB can't replay; these are corpus facts it can):
+    * one row `(vocab, max_df, hot_terms, total_postings)` over the LIVE
+    * postings, where `hot_terms` counts terms present in more than
+    * `hotFrac` of the live corpus — the stopword mass that dominates
+    * probe cost and posting-list skew. A maintenance-time full scan of
+    * the index (the q117/q128 discipline), never a probe-path cost.
+    */
+  def healthReport(spark: SparkSession, dir: String,
+      hotFrac: Double): DataFrame = {
+    val live = Tombstones.filterLive(spark, s"$dir/postings",
+      spark.read.parquet(s"$dir/postings"), "doc_id")
+    val dfr = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    dfr.crossJoin(broadcast(totals(spark, dir)))
+      .agg(count(lit(1)).cast("long").as("vocab"),
+        max(col("df")).cast("long").as("max_df"),
+        sum(when(col("df").cast("double") >
+          lit(hotFrac) * col("n_docs").cast("double"), 1L).otherwise(0L))
+          .cast("long").as("hot_terms"),
+        sum(col("df")).cast("long").as("total_postings"))
   }
 
   /** BM25 top-k per query — the probe path. One signature scan of the
@@ -247,8 +355,10 @@ object TextIndex {
         .groupBy(col("qid"), col("term"))
         .agg(count(lit(1)).as("qtf")))
     // bounded by the query batch contract — same discipline as the
-    // probed-cell collects in IvfAnn.searchPartitioned
-    val bkts = qt.select(bkt(col("term")).as("b")).distinct()
+    // probed-cell collects in IvfAnn.searchPartitioned; the modulus
+    // comes from the layout itself (growBucketsIfHot may have changed it)
+    val nb = readBuckets(spark, dir)
+    val bkts = qt.select(bkt(col("term"), nb).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val qTerms = qt.select(col("term")).distinct()
     val post = graft.CacheScope.cache(

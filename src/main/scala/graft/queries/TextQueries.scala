@@ -734,8 +734,171 @@ object TextQueries {
       "qid", "text", k = 4)
   }
 
+  /** STREAMED ingest for the text index — the q119/q143/q150 leg for
+    * this family: the delta slice arrives as three real AvailableNow
+    * micro-batches (`maxFilesPerTrigger=1`) and each `foreachBatch`
+    * runs [[graft.operators.TextIndex.append]] against the persisted
+    * layout — O(batch) posting files into their bucket partitions plus
+    * one additive stats row, never a rewrite. Appends commute (new
+    * files + additive counters), so the index's end state is identical
+    * however the delta was sliced, and the same whole-corpus oracle
+    * gates the streamed path: a hash-equal search proves micro-batching
+    * changed nothing about the served BM25 scores (including n/avgdl,
+    * which accumulate across the three stats rows).
+    */
+  val bm25Streamed: QuerySpec = QuerySpec.sql(
+    "q162_bm25_stream",
+    graft.operators.TextIndex.bm25OracleSql(
+      "SELECT doc_id, text FROM documents",
+      "SELECT doc_id AS qid, text FROM documents WHERE doc_id < 6",
+      k = 4)
+  ) { (spark, dir) =>
+    val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val root = graft.Scratch.fresh("q162")
+    val idx = root + "/text"
+    graft.operators.TextIndex.write(
+      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+    // re-materialize the delta as 3 files so AvailableNow +
+    // maxFilesPerTrigger=1 yields three REAL micro-batches
+    val deltaDir = root + "/delta"
+    docs.filter(col("doc_id") % 3 === 0)
+      .repartition(3).write.mode("overwrite").parquet(deltaDir)
+    val q = spark.readStream
+      .schema(spark.read.parquet(deltaDir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        graft.operators.TextIndex.append(batch, "doc_id", "text", idx)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    graft.operators.TextIndex.searchTopK(spark, idx,
+      docs.filter(col("doc_id") < 6)
+        .select(col("doc_id").as("qid"), col("text")),
+      "qid", "text", k = 4)
+  }
+
+  /** q163's bucket budget: far below the hottest term's posting count
+    * at every gate SF (max df ≈ 402 at sf0.001/0.01, ≈ 3.9k at sf0.1),
+    * so the gate provably exercises the GROW branch; the no-grow branch
+    * is spec-pinned.
+    */
+  val GrowBudget = 256L
+
+  /** Index-health telemetry + skew-GATED bucket growth for the text
+    * index — the q128→q145 pair for this family in one gate: the query
+    * runs [[graft.operators.TextIndex.growBucketsIfHot]] (the hottest
+    * bucket's posting count trips [[GrowBudget]], the postings rewrite
+    * under double the modulus through the staged publish, and the new
+    * modulus travels inside the layout), then serves a probe batch
+    * through the POST-decision layout and reports the term-level health
+    * facts ([[graft.operators.TextIndex.healthReport]]: vocabulary
+    * size, max document frequency, stopword-mass terms above 25% of
+    * the corpus, total postings). The oracle replays scoring and the
+    * term-level report — it CANNOT see the bucket arithmetic, which is
+    * exactly the point: hash-equality proves the re-bucketing changed
+    * nothing about served results (the q140 layout-invisibility
+    * contract), while the decision branches are spec-pinned.
+    */
+  val bm25Health: QuerySpec = QuerySpec.sql(
+    "q163_bm25_health",
+    s"""WITH ${graft.operators.TextIndex.bm25CtesSql(
+        "SELECT doc_id, text FROM documents",
+        "SELECT doc_id AS qid, text FROM documents " +
+          "WHERE doc_id >= 6 AND doc_id < 10")},
+      |health AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS vocab,
+      |    CAST(max(df) AS BIGINT) AS max_df,
+      |    CAST(sum(CASE WHEN CAST(df AS DOUBLE) >
+      |        0.25 * CAST((SELECT n_docs FROM stats) AS DOUBLE)
+      |      THEN 1 ELSE 0 END) AS BIGINT) AS hot_terms,
+      |    CAST(sum(df) AS BIGINT) AS total_postings
+      |  FROM dfr),
+      |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+      |    ORDER BY score DESC, doc_id) AS rk FROM scored)
+      |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id,
+      |  round(score + 1e-9, 4) AS bm25,
+      |  vocab, max_df, hot_terms, total_postings
+      |FROM ranked CROSS JOIN health WHERE rk <= 3
+      |ORDER BY qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val idx = graft.Scratch.fresh("q163") + "/text"
+    graft.operators.TextIndex.write(docs, "doc_id", "text", idx)
+    // the decision leg: trips at every gate SF and doubles the modulus;
+    // everything after this line serves through the grown layout
+    graft.operators.TextIndex.growBucketsIfHot(spark, idx, GrowBudget)
+    val health = graft.operators.TextIndex
+      .healthReport(spark, idx, hotFrac = 0.25)
+    graft.operators.TextIndex.searchTopK(spark, idx,
+        docs.filter(col("doc_id") >= 6 && col("doc_id") < 10)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", k = 3)
+      .crossJoin(broadcast(health))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** VERSIONED serving for the text index — the q124/q137/q148
+    * zero-downtime contract for this family: two index generations
+    * (v0 = the base slice, v1 = the full corpus) commit as real
+    * [[graft.sources.Snapshots]] versions of one index table — the
+    * self-contained directory carries postings, doclens, stats AND the
+    * bucket modulus together — and the v0 search runs AFTER the v1
+    * publish: a reader pinned to a version must be undisturbed by newer
+    * commits. BM25 makes version pinning an unusually visible semantics
+    * choice: the SAME query scores differently under v0 and v1 even for
+    * documents both versions contain, because df/n/avgdl are corpus
+    * facts — the oracle replays each version's full chain.
+    */
+  val bm25Versioned: QuerySpec = QuerySpec.sql(
+    "q164_bm25_versioned",
+    s"""SELECT version, qid, rank, doc_id, bm25 FROM (
+      |  SELECT CAST(0 AS BIGINT) AS version, t0.* FROM (
+      |${graft.operators.TextIndex.bm25OracleSql(
+          "SELECT doc_id, text FROM documents WHERE doc_id % 4 <> 0",
+          "SELECT doc_id AS qid, text FROM documents WHERE doc_id < 4",
+          k = 3)}
+      |  ) t0
+      |  UNION ALL
+      |  SELECT CAST(1 AS BIGINT) AS version, t1.* FROM (
+      |${graft.operators.TextIndex.bm25OracleSql(
+          "SELECT doc_id, text FROM documents",
+          "SELECT doc_id AS qid, text FROM documents WHERE doc_id < 4",
+          k = 3)}
+      |  ) t1) u
+      |ORDER BY version, qid, rank""".stripMargin
+  ) { (spark, dir) =>
+    import graft.sources.Snapshots
+    val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text")))
+    val root = graft.Scratch.fresh("q164") + "/text_versions"
+    val v0 = Snapshots.commit(spark, root)(d => graft.operators.TextIndex
+      .write(docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", d))
+    val v1 = Snapshots.commit(spark, root)(d => graft.operators.TextIndex
+      .write(docs, "doc_id", "text", d))
+    def searchV(v: Long) = graft.operators.TextIndex.searchTopK(spark,
+        Snapshots.versionPath(root, v),
+        docs.filter(col("doc_id") < 4)
+          .select(col("doc_id").as("qid"), col("text")),
+        "qid", "text", k = 3)
+      .withColumn("version", lit(v))
+    // the v0 search runs AFTER the v1 publish — the pinned reader must
+    // be undisturbed by the newer commit
+    val s1 = searchV(v1)
+    val s0 = searchV(v0)
+    s0.unionByName(s1)
+      .select(col("version"), col("qid"), col("rank"), col("doc_id"),
+        col("bm25"))
+      .orderBy(col("version"), col("qid"), col("rank"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
-      temperatureMix, mixMaterialize, unigramScore, bm25Index)
+      temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
+      bm25Health, bm25Versioned)
 }

@@ -69,6 +69,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"q001\":1.2"), line)
   }
 
+  test("round-10 regression: ~170 sub-10s queries keep the map at the " +
+      "whole-second tier, never by dropping it") {
+    // the shape that overflowed round 10's gate sweep: 161 queries whose
+    // 100 ms-rounded times (x.y) still blew the cap
+    val many = (1 to 170).map(i => QueryResult(f"q$i%03d_name", 3.456,
+      contended = false, flaky = false, inflated = false))
+    val line = Bench.renderLine(many, 3, "/root/testdata/sf0.1",
+      sweepRetried = false)
+    assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
+    assert(!line.contains("\"queries\":{}"), line)
+    assert(line.contains("rounded to 1s"), line)
+    assert(line.contains("\"q001\":3"), line)
+  }
+
   test("sidecar carries the FULL-precision map and the run's sf") {
     val s = Bench.renderSidecar(base, "/root/testdata/sf0.1")
     assert(s.contains("\"sf\":\"/root/testdata/sf0.1\""), s)

@@ -219,6 +219,74 @@ class TextIndexSpec extends SparkTestBase {
     assert(got.sorted === want)
   }
 
+  test("growBucketsIfHot: no-grow branch leaves the layout and modulus " +
+      "untouched; grow branch doubles the modulus invisibly") {
+    val idx = graft.Scratch.fresh("ti_grow") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", idx)
+    val before = searchRows(idx)
+    // budget far above any bucket: nothing happens
+    val noGrow = TextIndex.growBucketsIfHot(spark, idx, 1000000L)
+      .collect().head
+    assert(!noGrow.getBoolean(0))
+    assert(TextIndex.readBuckets(spark, idx) === TextIndex.Buckets)
+    assert(searchRows(idx) === before)
+    // budget below the hottest bucket: modulus doubles, serving is
+    // bit-identical (the q140 layout-invisibility contract)
+    val grown = TextIndex.growBucketsIfHot(spark, idx, 8L).collect().head
+    assert(grown.getBoolean(0))
+    assert(grown.getLong(3) > 8L)
+    assert(TextIndex.readBuckets(spark, idx) === TextIndex.Buckets * 2)
+    assert(searchRows(idx) === before)
+    // appends after the grow route through the NEW modulus: results
+    // still equal a one-shot (default-modulus) build over the union
+    val idx2 = graft.Scratch.fresh("ti_grow2") + "/idx"
+    TextIndex.write(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", idx2)
+    TextIndex.growBucketsIfHot(spark, idx2, 8L)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", idx2)
+    assert(searchRows(idx2) === before)
+    assert(totalsRow(idx2) === totalsRow(idx))
+  }
+
+  test("growBucketsIfHot actually splits bucket vocabulary on a " +
+      "many-term corpus") {
+    import spark.implicits._
+    // 300 single-term docs over 300 distinct terms: buckets hold ~5
+    // terms each at the default modulus, ~2-3 after doubling
+    val d = (0 until 300).map(i => (i.toLong, s"term$i")).toDF(
+      "doc_id", "text")
+    val idx = graft.Scratch.fresh("ti_split") + "/idx"
+    TextIndex.write(d, "doc_id", "text", idx)
+    def maxBucketRows: Long = spark.read.parquet(s"$idx/postings")
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+      .agg(max(col("n"))).collect().head.getLong(0)
+    val before = maxBucketRows
+    val r = TextIndex.growBucketsIfHot(spark, idx, 1L).collect().head
+    assert(r.getBoolean(0) && r.getLong(3) === before)
+    assert(maxBucketRows < before,
+      s"doubling the modulus did not reduce the max bucket ($before)")
+  }
+
+  test("tombstones ride along through a bucket grow: masking, re-delete " +
+      "guard, and the next compact all keep working") {
+    val idx = graft.Scratch.fresh("ti_grow_ts") + "/idx"
+    import spark.implicits._
+    TextIndex.write(docs, "doc_id", "text", idx)
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    val masked = searchRows(idx)
+    val t = totalsRow(idx)
+    TextIndex.growBucketsIfHot(spark, idx, 8L)
+    assert(!liveIds(idx).contains(2L))
+    assert(searchRows(idx) === masked)
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    assert(totalsRow(idx) === t) // marker survived the grow — no re-price
+    TextIndex.compact(spark, idx)
+    assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
+    assert(TextIndex.readBuckets(spark, idx) === TextIndex.Buckets * 2)
+    assert(searchRows(idx) === masked)
+  }
+
   test("zero-token documents are invisible to the index and to stats") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta"), (2L, "   "), (3L, "beta gamma beta"))
