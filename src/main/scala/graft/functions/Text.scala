@@ -106,4 +106,39 @@ object Text {
       .when(sDe >= sFr && sDe >= sEs, "de")
       .when(sFr >= sEs, "fr")
       .otherwise("es")
+
+  /** PII redaction rules: `(pattern, replacement-token)` applied in list
+    * order. Patterns stay inside the RE2 ∩ java.util.regex common subset
+    * (no backreferences, no lookaround) so the Spark scan and the DuckDB
+    * oracle match byte-identically. Production deployments extend this
+    * list per locale/policy; the mechanism — a fold of codegen'd
+    * `regexp_replace` kernels, one scan, zero shuffle — is what scales.
+    */
+  val PiiRules: Seq[(String, String)] = Seq(
+    "[a-z0-9._]+@[a-z0-9]+(\\.[a-z0-9]+)+" -> "<EMAIL>",
+    "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
+    "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>")
+
+  /** Count matches per rule BEFORE redaction (`regexp_extract_all` group
+    * 0 = whole match; DuckDB twin `len(regexp_extract_all(e, pat))`).
+    */
+  def piiCount(text: Column, pattern: String): Column =
+    size(regexp_extract_all(text, lit(pattern), lit(0))).cast("long")
+
+  /** Apply every [[PiiRules]] entry left-to-right. Spark's
+    * `regexp_replace` is global, matching DuckDB's `'g'` flag.
+    */
+  def redactPii(text: Column, rules: Seq[(String, String)] = PiiRules): Column =
+    rules.foldLeft(text) { case (c, (pat, tok)) =>
+      regexp_replace(c, lit(pat), lit(tok))
+    }
+
+  /** DuckDB twins, kept textually parallel to the Spark fold. */
+  def piiCountSql(e: String, pattern: String): String =
+    s"CAST(len(regexp_extract_all($e, '$pattern')) AS BIGINT)"
+
+  def redactPiiSql(e: String, rules: Seq[(String, String)] = PiiRules): String =
+    rules.foldLeft(e) { case (s, (pat, tok)) =>
+      s"regexp_replace($s, '$pat', '$tok', 'g')"
+    }
 }

@@ -74,4 +74,46 @@ object AnnRouter {
       .select(col(qidCol), col("neighbor"), col("dist"),
         lit(chosen).as("refine"))
   }
+
+  /** The second routed axis — ACROSS tiers of the quantization ladder
+    * rather than within one tier's budget: price each candidate tier by
+    * its stage-1 scan bytes per vector (binary codes: dim/8 B; an MRL
+    * prefix of d dims: 4·d B; full floats: 4·dim B), measure each
+    * tier's SERVED recall on the bounded calibration slice, and route
+    * the batch through the CHEAPEST tier meeting the target — the
+    * cost-based-optimizer decision for ANN serving. Every candidate
+    * re-ranks exactly, so the tier choice moves recall and scan I/O,
+    * never distance correctness; the full-float tier always qualifies,
+    * so a decision always exists (no fallback path to reason about).
+    * Decision input is O(tiers) numbers; only the winning tier's plan
+    * runs over the full batch. @return (qidCol, neighbor, dist, tier)
+    */
+  def routeTiers(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String, k: Int,
+      refine: Int, widths: Seq[Int], dim: Int, target: Double,
+      calFilter: Column): DataFrame = {
+    val corpus = CentroidState.ensureCached(corpus0)
+    def exactServe(q: DataFrame): DataFrame =
+      Matryoshka.search(corpus, idCol, vecCol, q, qidCol, qvecCol, dim, k)
+        .select(col(qidCol), col("neighbor"), col("pdist").as("dist"))
+    val tiers: Seq[(String, Int, DataFrame => DataFrame)] =
+      (("bq", dim / 8, (q: DataFrame) => BinaryQuantizer.searchRefined(
+        corpus, idCol, vecCol, q, qidCol, qvecCol, k, refine)) +:
+        widths.map(d => (s"mrl$d", 4 * d, (q: DataFrame) =>
+          Matryoshka.searchRefined(corpus, idCol, vecCol, q, qidCol,
+            qvecCol, d, dim, k, refine)))) :+
+        (("exact", 4 * dim, exactServe _))
+    val calQ = graft.CacheScope.cache(queries.filter(calFilter))
+    val truth = (calQ.count() * k).toDouble
+    val gt = graft.CacheScope.cache(
+      exactServe(calQ).select(col(qidCol), col("neighbor")))
+    val cal = tiers.map { case (name, cost, serve) =>
+      val hits = serve(calQ).select(col(qidCol), col("neighbor"))
+        .join(gt, Seq(qidCol, "neighbor"), "left_semi").count()
+      (name, cost, hits / truth)
+    }
+    val chosen = cal.filter(_._3 >= target).minBy(t => (t._2, t._1))
+    tiers.find(_._1 == chosen._1).get._3(queries)
+      .withColumn("tier", lit(chosen._1))
+  }
 }

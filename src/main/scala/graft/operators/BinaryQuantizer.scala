@@ -148,9 +148,10 @@ object BinaryQuantizer {
       .select(keep :+ l2(col(qvecCol), col("__nv")).as("dist"): _*)
   }
 
-  /** Exact squared-L2 re-rank of a Hamming shortlist — top-k per query
-    * over [[exactDistances]]. @return (qidCol, neighbor, dist) */
-  private def rerank(shortIds: DataFrame, primary: DataFrame,
+  /** Exact squared-L2 re-rank of a shortlist — top-k per query over
+    * [[exactDistances]]; shared with the other shortlist-producing tiers
+    * (e.g. [[Matryoshka]]). @return (qidCol, neighbor, dist) */
+  private[operators] def rerank(shortIds: DataFrame, primary: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
       qvecCol: String, dim: Int, k: Int): DataFrame =
     Dedup.topKPerKey(

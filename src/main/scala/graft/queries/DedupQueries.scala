@@ -1414,10 +1414,66 @@ object DedupQueries {
       .orderBy(col("delta_id"), col("index_id"))
   }
 
+  /** Shingle-CONTAINMENT template detection — the asymmetric companion
+    * to q23's Jaccard: `C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)|` flags A as a
+    * (near-)subset of B even when B is much larger, exactly the
+    * boilerplate/template/quote-expansion relation Jaccard's symmetric
+    * denominator suppresses (a 10-line disclaimer inside a 500-line doc
+    * has tiny Jaccard but containment 1.0). Same scale shape as q23: the
+    * inverted shingle index joins only docs SHARING a kept shingle
+    * (df ≤ [[MaxShingleDf]] prunes the hot boilerplate shingles that
+    * would quadratically blow up the pair join — at 100 TB that cap is
+    * the difference between O(matching pairs) and O(n²)); directed pairs
+    * are one directional count + a divide by the contained side's size.
+    * `is_template` marks full containment. DMLR-style template mining
+    * (cf. Broder's containment sketches) re-expressed as two groupBys.
+    */
+  val containment: QuerySpec = QuerySpec.sql(
+    "q167_containment",
+    s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+      |dfq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+      |exk AS (SELECT doc_id, s FROM ex WHERE s IN (SELECT s FROM dfq)),
+      |sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM exk GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.doc_id AS id_sub, b.doc_id AS id_super, count(*) AS common
+      |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id <> b.doc_id
+      |  GROUP BY 1, 2)
+      |SELECT id_sub, id_super, CAST(common AS BIGINT) AS common, sa.n AS n_sub,
+      |  round(CAST(common AS DOUBLE) / sa.n + 1e-9, 4) AS containment,
+      |  common = sa.n AS is_template
+      |FROM pairs JOIN sizes sa ON id_sub = sa.doc_id
+      |WHERE CAST(common AS DOUBLE) / sa.n >= 0.8
+      |ORDER BY id_sub, id_super""".stripMargin
+  ) { (spark, dir) =>
+    val ex = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        explode(MinHashLSH.shingleHashes(Text.tokens(col("text")), 3)).as("s"))
+      .transform(graft.CacheScope.cache)
+    val kept = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= lit(MaxShingleDf.toLong)).select(col("s"))
+    val exk = ex.join(kept, Seq("s"), "left_semi")
+      .transform(graft.CacheScope.cache)
+    val sizes = exk.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val pairs = exk.as("a").join(exk.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") =!= col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id_sub"), col("b.doc_id").as("id_super"))
+      .agg(count(lit(1)).as("common"))
+    val cont = col("common").cast("double") / col("n")
+    pairs.join(sizes.withColumnRenamed("doc_id", "id_sub"), "id_sub")
+      .filter(cont >= 0.8)
+      .select(col("id_sub"), col("id_super"), col("common"),
+        col("n").as("n_sub"),
+        round(cont + lit(1e-9), 4).as("containment"),
+        (col("common") === col("n")).as("is_template"))
+      .orderBy(col("id_sub"), col("id_super"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
-      lshRebucket, lshRolloverCycle, simhashIndex)
+      lshRebucket, lshRolloverCycle, simhashIndex, containment)
 }

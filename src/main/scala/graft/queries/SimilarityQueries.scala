@@ -2644,6 +2644,220 @@ object SimilarityQueries {
     }
   }
 
+  /** Matryoshka truncated-dimension serving
+    * ([[graft.operators.Matryoshka.searchRefined]]) — the TRAINING-FREE
+    * rung of the quantization ladder (MRL embeddings order information
+    * by coordinate, so the first 16 of 64 dims are themselves a valid
+    * embedding): stage 1 scores squared L2 over the 16-dim prefix only
+    * (4× less compute, and 4× less scan I/O when the prefix is stored
+    * as its own column), the `refine·k` shortlist alone fetches
+    * full-width floats through the byte-bounded shortlist join, and
+    * served distances are EXACT full-dim L2 (the q146/q155 refine
+    * contract). The oracle replays prefix fold → shortlist → exact
+    * re-rank with the identical left-to-right index arithmetic.
+    */
+  val mrlRefined: QuerySpec = {
+    val (dims, dim, k, refine, nQ) = (16, 64, 3, 4, 10)
+    def l2Sql(a: String, b: String, n: Int): String =
+      s"""list_sum(list_transform(range(1, ${n + 1}),
+        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+        |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    QuerySpec.sql(
+      "q168_mrl_refined",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |pd AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+        |    ${l2Sql("q.embedding", "d.embedding", dims)} AS pdist
+        |  FROM corpus q JOIN corpus d
+        |    ON q.vec_id < $nQ AND d.vec_id <> q.vec_id),
+        |shortlist AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY pdist, neighbor) AS rk FROM pd) r
+        |  WHERE rk <= ${k * refine}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    ${l2Sql("q.embedding", "d.embedding", dim)} AS dist
+        |  FROM shortlist s
+        |  JOIN corpus q ON q.vec_id = s.qid
+        |  JOIN corpus d ON d.vec_id = s.neighbor)
+        |SELECT qid, neighbor, round(dist + 1e-9, 4) AS dist
+        |FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |        ORDER BY dist, neighbor) AS rk FROM exact) r
+        |WHERE rk <= $k
+        |ORDER BY qid, dist, neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.Matryoshka.searchRefined(corpus, "vec_id",
+          "embedding", queries, "qid", "qv", dims = dims, dim = dim,
+          k = k, refine = refine)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist") + lit(1e-9), 4).as("dist"))
+        .orderBy(col("qid"), col("dist"), col("neighbor"))
+    }
+  }
+
+  /** Matryoshka truncation-width recall sweep — the q89/q151/q158
+    * calibration leg for the MRL tier: recall@k of the prefix-only
+    * stage-1 ranking at widths 8/16/32/64 against the exact full-dim
+    * truth, the table that picks the truncation width (and therefore
+    * the scan-byte budget) before a full-corpus rollout. Each width is
+    * one bounded probe scan (nQ·corpus prefix folds); the widest point
+    * doubles as a self-check — dims = dim MUST read recall 1.0. Reads
+    * honestly low at narrow widths on this near-random fixture (real
+    * MRL-trained embeddings front-load information; the sweep is how
+    * you'd measure that, not assume it).
+    */
+  val mrlRecall: QuerySpec = {
+    val (k, nQ, dim) = (3, 10, 64)
+    val widths = Seq(8, 16, 32, 64)
+    def l2Sql(a: String, b: String, n: Int): String =
+      s"""list_sum(list_transform(range(1, ${n + 1}),
+        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+        |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    val perWidth = widths.map { d =>
+      s"""SELECT CAST($d AS BIGINT) AS dims,
+        |  CAST(count(*) AS BIGINT) AS hits,
+        |  round(CAST(count(*) AS DOUBLE) / ${nQ * k} + 1e-9, 4) AS recall
+        |FROM (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${l2Sql("q.embedding", "d.embedding", d)}, d.vec_id) AS rk
+        |    FROM corpus q JOIN corpus d
+        |      ON q.vec_id < $nQ AND d.vec_id <> q.vec_id) r
+        |  WHERE rk <= $k) t
+        |JOIN gt USING (qid, neighbor)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    QuerySpec.sql(
+      "q174_mrl_recall",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |gt AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${l2Sql("q.embedding", "d.embedding", dim)}, d.vec_id) AS rk
+        |    FROM corpus q JOIN corpus d
+        |      ON q.vec_id < $nQ AND d.vec_id <> q.vec_id) r
+        |  WHERE rk <= $k)
+        |$perWidth
+        |ORDER BY dims""".stripMargin
+    ) { (spark, dir) =>
+      val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val queries = corpus.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val gt = graft.CacheScope.cache(
+        graft.operators.Matryoshka.search(corpus, "vec_id", "embedding",
+            queries, "qid", "qv", dims = dim, k = k)
+          .select(col("qid"), col("neighbor")))
+      widths.map { d =>
+        graft.operators.Matryoshka.search(corpus, "vec_id", "embedding",
+            queries, "qid", "qv", dims = d, k = k)
+          .select(col("qid"), col("neighbor"))
+          .join(gt, Seq("qid", "neighbor"), "left_semi")
+          .agg(count(lit(1)).as("hits"))
+          .select(lit(d.toLong).as("dims"), col("hits"),
+            round(col("hits").cast("double") / lit((nQ * k).toDouble)
+              + lit(1e-9), 4).as("recall"))
+      }.reduce(_ unionByName _).orderBy(col("dims"))
+    }
+  }
+
+  /** Cross-TIER cost-based routing ([[graft.operators.AnnRouter
+    * .routeTiers]]) — the optimizer decision ABOVE q159's within-tier
+    * budget: candidate tiers (binary codes 8 B/vec, MRL-16 64 B,
+    * MRL-32 128 B, full floats 256 B) are priced by stage-1 scan bytes,
+    * their SERVED recall is measured on the bounded calibration slice
+    * against exact truth, and the batch routes through the cheapest
+    * tier meeting the target (full floats always qualify, so a
+    * decision always exists). Every tier re-ranks exactly, so tier choice
+    * trades scan I/O against recall, never distance correctness. The
+    * oracle replays all four serving chains, the calibration counts,
+    * and the argmin — the emitted `tier` column hash-pins the DECISION,
+    * the rows pin the winner's serving.
+    */
+  val tierRouted: QuerySpec = {
+    val (k, refine, nServe, nCal, dim) = (3, 4, 10, 6, 64)
+    val widths = Seq(16, 32)
+    val target = 0.67
+    def l2Sql(a: String, b: String, n: Int): String =
+      s"""list_sum(list_transform(range(1, ${n + 1}),
+        |      i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))
+        |         * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))""".stripMargin
+    def rerank(slCte: String, out: String): String =
+      s"""$out AS (
+        |  SELECT qid, neighbor, dist,
+        |    row_number() OVER (PARTITION BY qid ORDER BY dist, neighbor) AS rk
+        |  FROM (SELECT s.qid, s.neighbor,
+        |      ${l2Sql("q.embedding", "d.embedding", dim)} AS dist
+        |    FROM $slCte s
+        |    JOIN corpus q ON q.vec_id = s.qid
+        |    JOIN corpus d ON d.vec_id = s.neighbor) x)""".stripMargin
+    val mrlCtes = widths.map { d =>
+      s"""mrlsl$d AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT q.vec_id AS qid, d.vec_id AS neighbor,
+        |      row_number() OVER (PARTITION BY q.vec_id
+        |        ORDER BY ${l2Sql("q.embedding", "d.embedding", d)}, d.vec_id) AS rk
+        |    FROM corpus q JOIN corpus d
+        |      ON q.vec_id < $nServe AND d.vec_id <> q.vec_id) r
+        |  WHERE rk <= ${k * refine}),
+        |${rerank(s"mrlsl$d", s"mrl$d")}""".stripMargin
+    }.mkString(",\n")
+    val calUnion = (Seq(("bq", dim / 8)) ++
+      widths.map(d => (s"mrl$d", 4 * d)) ++ Seq(("exact", 4 * dim)))
+      .map { case (name, cost) =>
+        s"""SELECT '$name' AS tier, $cost AS cost, (
+          |  SELECT CAST(count(*) AS DOUBLE) FROM $name t
+          |  JOIN exact g ON g.qid = t.qid AND g.neighbor = t.neighbor
+          |    AND g.rk <= $k
+          |  WHERE t.rk <= $k AND t.qid < $nCal) / ${nCal * k} AS recall""".stripMargin
+      }.mkString("\nUNION ALL\n")
+    val servedUnion = (Seq("bq") ++ widths.map(d => s"mrl$d") ++ Seq("exact"))
+      .map(n => s"SELECT qid, neighbor, dist, rk, '$n' AS tier FROM $n")
+      .mkString("\nUNION ALL\n")
+    QuerySpec.sql(
+      "q175_tier_routed",
+      s"""WITH ${bqPackedCtes(dim, nServe)},
+        |bqsl AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY hamming, neighbor) AS rk FROM ham) r
+        |  WHERE rk <= ${k * refine}),
+        |${rerank("bqsl", "bq")},
+        |$mrlCtes,
+        |exsl AS (
+        |  SELECT q.vec_id AS qid, d.vec_id AS neighbor
+        |  FROM corpus q JOIN corpus d
+        |    ON q.vec_id < $nServe AND d.vec_id <> q.vec_id),
+        |${rerank("exsl", "exact")},
+        |cal AS ($calUnion),
+        |chosen AS (
+        |  SELECT tier FROM cal WHERE recall >= $target
+        |  ORDER BY cost, tier LIMIT 1),
+        |served AS ($servedUnion)
+        |SELECT s.qid, s.neighbor, round(s.dist + 1e-9, 4) AS dist, s.tier
+        |FROM served s JOIN chosen c ON s.tier = c.tier
+        |WHERE s.rk <= $k
+        |ORDER BY s.qid, s.dist, s.neighbor""".stripMargin
+    ) { (spark, dir) =>
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val queries = corpus.filter(col("vec_id") < nServe)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      graft.operators.AnnRouter.routeTiers(corpus, "vec_id", "embedding",
+          queries, "qid", "qv", k = k, refine = refine, widths = widths,
+          dim = dim, target = target, calFilter = col("qid") < nCal)
+        .select(col("qid"), col("neighbor"),
+          round(col("dist") + lit(1e-9), 4).as("dist"), col("tier"))
+        .orderBy(col("qid"), col("dist"), col("neighbor"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2652,5 +2866,6 @@ object SimilarityQueries {
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
-    bqIndex, bqRecall, annRouted, hybridRrf)
+    bqIndex, bqRecall, annRouted, hybridRrf, mrlRefined, mrlRecall,
+    tierRouted)
 }

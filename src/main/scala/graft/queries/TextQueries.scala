@@ -896,9 +896,464 @@ object TextQueries {
       .orderBy(col("version"), col("qid"), col("rank"))
   }
 
+  /** PII redaction ([[graft.functions.Text.redactPii]]) — the scrub every
+    * training-data pipeline runs before anything else (emails, IPv4s,
+    * phone-shaped numbers → typed placeholder tokens), plus per-rule match
+    * counts for the compliance report. The fixture corpus is synthetic
+    * word-salad with no PII, so the gate deterministically enriches each
+    * document in-query (identically in both engines) with a doc_id-derived
+    * email / IP / phone before redacting — the operator under test is the
+    * redaction fold, and hash-equality proves the Spark scan and the
+    * oracle produce byte-identical redacted text and counts.
+    *
+    * Scale shape: pure per-row projection — three codegen `regexp_replace`
+    * kernels and three `regexp_extract_all` counts in ONE scan, no
+    * shuffle, no UDF; at 100 TB this is the ideal embarrassingly-parallel
+    * stage and the regex set extends without changing the plan.
+    */
+  val piiRedact: QuerySpec = {
+    val msgSql = "text || ' contact user' || CAST(doc_id AS VARCHAR) || " +
+      "'@mail.example.com or 10.' || CAST(doc_id % 256 AS VARCHAR) || " +
+      "'.0.' || CAST(doc_id % 100 AS VARCHAR) || ' phone 555-' || " +
+      "lpad(CAST((doc_id * 37) % 10000 AS VARCHAR), 4, '0')"
+    val Seq(email, ip, phone) = Text.PiiRules.map(_._1)
+    QuerySpec.sql(
+      "q165_pii_redact",
+      s"""WITH m AS (SELECT doc_id, $msgSql AS msg FROM documents)
+        |SELECT doc_id,
+        |  ${Text.piiCountSql("msg", email)} AS n_emails,
+        |  ${Text.piiCountSql("msg", ip)} AS n_ips,
+        |  ${Text.piiCountSql("msg", phone)} AS n_phones,
+        |  ${Text.redactPiiSql("msg")} AS redacted
+        |FROM m ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val msg = concat(col("text"),
+        lit(" contact user"), col("doc_id").cast("string"),
+        lit("@mail.example.com or 10."), (col("doc_id") % 256).cast("string"),
+        lit(".0."), (col("doc_id") % 100).cast("string"),
+        lit(" phone 555-"),
+        lpad(((col("doc_id") * 37) % 10000).cast("string"), 4, "0"))
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), msg.as("msg"))
+        .select(col("doc_id"),
+          Text.piiCount(col("msg"), email).as("n_emails"),
+          Text.piiCount(col("msg"), ip).as("n_ips"),
+          Text.piiCount(col("msg"), phone).as("n_phones"),
+          Text.redactPii(col("msg")).as("redacted"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Model-BASED quality filtering ([[graft.operators.QualityClassifier]])
+    * — the CCNet/fastText rung above the heuristic filters (q20/q71) and
+    * the unigram LM (q130): a hashed multinomial Naive-Bayes classifier
+    * trains on the even-doc_id split (seed label = the n_chars ≥ 300
+    * length heuristic — in production, a curated "looks like good prose"
+    * sample) and scores the HELD-OUT odd split. The model is a fixed
+    * 1024-bucket count table (hashing trick — no vocabulary dictionary),
+    * training is one map-side-combinable groupBy, scoring one broadcast
+    * join + one keyed aggregation; log-odds weights are derived inside
+    * the scoring expression so unseen buckets flow through the same
+    * Laplace smoothing, and per-doc sums ride the decimal grid — scores
+    * bit-match DuckDB's replay of the identical train→score chain.
+    */
+  /** Shared NB-classifier oracle: the train→score chain of q166 with a
+    * pluggable train-split predicate — q170's maintained model must serve
+    * EXACTLY what a fresh train over the surviving set would (NB
+    * maintenance is integer-exact), so its oracle is this same chain
+    * with the lifecycle's end-state membership folded into the WHERE.
+    */
+  private def nbOracleSql(thr: Long, trainPred: String): String = {
+    val B = graft.operators.QualityClassifier.Buckets
+    val wSql =
+      s"""log10((CAST(COALESCE(cp, 0) AS DOUBLE) + 1.0) / (CAST(ptot AS DOUBLE) + $B.0))
+        |      - log10((CAST(COALESCE(cn, 0) AS DOUBLE) + 1.0) / (CAST(ntot AS DOUBLE) + $B.0))""".stripMargin
+    s"""WITH d AS (SELECT doc_id, n_chars >= $thr AS label,
+      |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+      |  FROM documents),
+      |f AS (SELECT doc_id, (${Text.charHashSql("tok")}) % $B AS b
+      |  FROM (SELECT doc_id, unnest(toks) AS tok FROM d)),
+      |tr AS (SELECT f.doc_id, b, label FROM f JOIN d USING (doc_id)
+      |  WHERE ${trainPred.replace("doc_id", "f.doc_id")}),
+      |m AS (SELECT b,
+      |    CAST(count(*) FILTER (WHERE label) AS BIGINT) AS cp,
+      |    CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS cn
+      |  FROM tr GROUP BY b),
+      |tot AS (SELECT
+      |    CAST(count(*) FILTER (WHERE label) AS BIGINT) AS ptot,
+      |    CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS ntot FROM tr),
+      |dt AS (SELECT
+      |    CAST(count(*) FILTER (WHERE label) AS BIGINT) AS pdocs,
+      |    CAST(count(*) FILTER (WHERE NOT label) AS BIGINT) AS ndocs
+      |  FROM d WHERE $trainPred),
+      |sc AS (SELECT f.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+      |    ${graft.functions.Stable.sumDSql(wSql)} AS s
+      |  FROM f LEFT JOIN m USING (b) CROSS JOIN tot
+      |  WHERE f.doc_id % 2 = 1 GROUP BY f.doc_id)
+      |SELECT sc.doc_id, n_tokens, d.label,
+      |  round(log10(CAST(pdocs AS DOUBLE) / ndocs) + s + 1e-9, 4) AS score,
+      |  (log10(CAST(pdocs AS DOUBLE) / ndocs) + s) > 0.0 AS pred
+      |FROM sc JOIN d ON sc.doc_id = d.doc_id CROSS JOIN dt
+      |ORDER BY sc.doc_id""".stripMargin
+  }
+
+  val nbQuality: QuerySpec = {
+    val thr = 300L
+    QuerySpec.sql(
+      "q166_nb_quality",
+      nbOracleSql(thr, "doc_id % 2 = 0")
+    ) { (spark, dir) =>
+      import graft.operators.QualityClassifier
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("n_chars") >= thr).as("label"))
+      val feats = QualityClassifier.features(docs, "doc_id", "text")
+        .transform(graft.CacheScope.cache)
+      val labels = docs.select(col("doc_id"), col("label"))
+      val trF = feats.filter(col("doc_id") % 2 === 0)
+      val model = QualityClassifier.train(trF, labels, "doc_id", "label")
+      val tot = QualityClassifier.classTotals(trF, labels, "doc_id", "label")
+      val dt = labels.filter(col("doc_id") % 2 === 0)
+        .agg(sum(when(col("label"), 1L).otherwise(0L)).as("pdocs"),
+          sum(when(col("label"), 0L).otherwise(1L)).as("ndocs"))
+      val prior = log10(col("pdocs").cast("double") / col("ndocs"))
+      QualityClassifier
+        .score(feats.filter(col("doc_id") % 2 === 1), model, tot, "doc_id")
+        .join(labels, "doc_id").crossJoin(broadcast(dt))
+        .select(col("doc_id"), col("n_tokens"), col("label"),
+          round(prior + col("s") + lit(1e-9), 4).as("score"),
+          (prior + col("s") > 0.0).as("pred"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Distributed BPE tokenizer training ([[graft.operators.BpeTrainer]])
+    * — three merge rounds learned from the corpus and applied to the
+    * vocabulary; output is the final per-word segmentation plus the
+    * learned merge table (as constant columns, so a different merge
+    * DECISION in either engine breaks the hash even where segmentations
+    * happen to agree). All-integer statistics with lexicographic
+    * tie-breaks — no float surface at all — so the oracle replays the
+    * whole train loop as static SQL: per round, a pair-count CTE, a
+    * 1-row argmax CTE, and a `list_reduce` string fold applying the
+    * merge (bit-parallel to the Spark-side `aggregate` fold; the Spark
+    * driver holds only the O(rounds) merge decisions, the
+    * [[graft.operators.CentroidState]] contract).
+    */
+  val bpeTrain: QuerySpec = {
+    val rounds = 3
+    def pairCte(src: String, b: String): String =
+      s"""pp$b AS (SELECT cnt, unnest([{'x': toks[i], 'y': toks[i+1]}
+        |    FOR i IN range(1, len(toks))]) AS pr
+        |  FROM (SELECT cnt, string_split(seq, ' ') AS toks FROM $src)),
+        |$b AS (SELECT pr.x AS mx, pr.y AS my, CAST(sum(cnt) AS BIGINT) AS mc
+        |  FROM pp$b GROUP BY 1, 2 ORDER BY sum(cnt) DESC, pr.x, pr.y LIMIT 1)""".stripMargin
+    def mergeCte(prev: String, b: String, out: String): String =
+      s"""$out AS (SELECT word, cnt,
+        |  list_reduce(list_prepend('', string_split(seq, ' ')),
+        |    (acc, t) -> CASE WHEN acc != '' AND (acc = mx OR ends_with(acc, ' ' || mx)) AND t = my
+        |      THEN substr(acc, 1, length(acc) - length(mx)) || mx || my
+        |      ELSE CASE WHEN acc = '' THEN t ELSE acc || ' ' || t END END) AS seq
+        |  FROM $prev CROSS JOIN $b)""".stripMargin
+    val roundsCtes = (1 to rounds).map { r =>
+      pairCte(s"s${r - 1}", s"b$r") + ",\n" + mergeCte(s"s${r - 1}", s"b$r", s"s$r")
+    }.mkString(",\n")
+    val mergeCols = (1 to rounds)
+      .map(r => s"b$r.mx || b$r.my AS merge$r").mkString(", ")
+    val joins = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
+    QuerySpec.sql(
+      "q169_bpe_train",
+      s"""WITH ex AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY word),
+        |s0 AS (SELECT word, cnt,
+        |  array_to_string(string_split(word, ''), ' ') AS seq FROM w),
+        |$roundsCtes
+        |SELECT s$rounds.word, s$rounds.cnt, s$rounds.seq, $mergeCols
+        |FROM s$rounds $joins
+        |ORDER BY s$rounds.cnt DESC, s$rounds.word""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.BpeTrainer
+      val docs = Tables.load(spark, dir, "documents")
+      val (merges, seqs) = BpeTrainer.train(docs, "text", rounds)
+      require(merges.length == rounds, s"expected $rounds merges")
+      val mergeCols = merges.zipWithIndex.map { case (m, i) =>
+        lit(m.x + m.y).as(s"merge${i + 1}")
+      }
+      seqs.select(col("word") +: col("cnt") +: col("seq") +: mergeCols: _*)
+        .orderBy(col("cnt").desc, col("word"))
+    }
+  }
+
+  /** Persisted quality-model LIFECYCLE
+    * ([[graft.operators.QualityClassifier.writeModel]]/`appendModel`/
+    * `forgetModel`/`scoreIndexed`) — the index-maintenance story for the
+    * LEARNED filter: NB state is integer counts, so admission of a
+    * labeled delta is O(delta) count addition and forgetting a doc is
+    * EXACT O(|doc|) unlearning (count subtraction) — the model after
+    * write(base) → append(delta) → forget(d) is bit-identical to one
+    * trained fresh on the surviving set, which is precisely what the
+    * oracle replays (the q160/q153/q157 lifecycle-invisibility contract,
+    * here for a MODEL: right-to-be-forgotten reaches the filter itself,
+    * not just the corpus — a gradient-trained filter would retrain).
+    * Both state tables (≤1024-row counts + 1-row totals) swap through
+    * the staged publish, so serving never sees a half-updated model.
+    */
+  val nbMaintained: QuerySpec = {
+    val thr = 300L
+    QuerySpec.sql(
+      "q170_nb_maintained",
+      nbOracleSql(thr, "doc_id % 2 = 0 AND doc_id % 20 <> 0")
+    ) { (spark, dir) =>
+      import graft.operators.QualityClassifier
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("n_chars") >= thr).as("label"))
+      val feats = QualityClassifier.features(docs, "doc_id", "text")
+        .transform(graft.CacheScope.cache)
+      val labels = docs.select(col("doc_id"), col("label"))
+      val idx = graft.Scratch.fresh("q170") + "/nbmodel"
+      QualityClassifier.writeModel(idx,
+        feats.filter(col("doc_id") % 4 === 0),
+        labels.filter(col("doc_id") % 4 === 0), "doc_id", "label")
+      QualityClassifier.appendModel(spark, idx,
+        feats.filter(col("doc_id") % 4 === 2),
+        labels.filter(col("doc_id") % 4 === 2), "doc_id", "label")
+      QualityClassifier.forgetModel(spark, idx,
+        feats.filter(col("doc_id") % 20 === 0),
+        labels.filter(col("doc_id") % 20 === 0), "doc_id", "label")
+      QualityClassifier.scoreIndexed(spark, idx,
+          feats.filter(col("doc_id") % 2 === 1), "doc_id")
+        .join(labels, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("label"),
+          round(col("prior") + col("s") + lit(1e-9), 4).as("score"),
+          (col("prior") + col("s") > 0.0).as("pred"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** Interpolated BIGRAM language-model scoring — the KenLM-ish rung
+    * above q130's unigram LM (CCNet filters on n-gram LM perplexity, not
+    * unigram): `p(w₂|w₁) = λ·c(w₁w₂)/c(w₁·) + (1−λ)·c(w₂)/N`, per-doc
+    * average log₁₀ probability over bigram INSTANCES. Three
+    * map-side-combinable groupBys build the model (bigram counts,
+    * context totals, unigram counts); scoring joins instances to the
+    * model on the bigram key — at 100 TB the bigram table is too big to
+    * broadcast, and this equi-join co-partitions both sides on (w1, w2)
+    * in ONE exchange each (the fixture sizes broadcast under AQE).
+    * Per-doc sums ride the decimal grid, so float log10s still
+    * hash-match the oracle's replay.
+    */
+  val bigramScore: QuerySpec = {
+    val lambda = "0.75"
+    val FluentLogProb = -2.0
+    QuerySpec.sql(
+      "q171_bigram_lm",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '') AS toks
+        |  FROM documents),
+        |bg AS (SELECT doc_id, pr.w1 AS w1, pr.w2 AS w2
+        |  FROM (SELECT doc_id, unnest([{'w1': toks[i], 'w2': toks[i+1]}
+        |          FOR i IN range(1, len(toks))]) AS pr FROM t)),
+        |u AS (SELECT tok, CAST(count(*) AS BIGINT) AS cu
+        |  FROM (SELECT unnest(toks) AS tok FROM t) GROUP BY tok),
+        |n AS (SELECT CAST(sum(cu) AS BIGINT) AS total FROM u),
+        |b AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS cb FROM bg GROUP BY 1, 2),
+        |cx AS (SELECT w1, CAST(sum(cb) AS BIGINT) AS ctx FROM b GROUP BY 1),
+        |lp AS (
+        |  SELECT g.doc_id,
+        |    log10($lambda * (CAST(cb AS DOUBLE) / ctx)
+        |      + (1.0 - $lambda) * (CAST(cu AS DOUBLE) / total)) AS logp
+        |  FROM bg g JOIN b USING (w1, w2) JOIN cx USING (w1)
+        |    JOIN u ON u.tok = g.w2 CROSS JOIN n),
+        |d AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+        |    ${graft.functions.Stable.sumDSql("logp")} / count(*) AS avg_logp
+        |  FROM lp GROUP BY doc_id)
+        |SELECT doc_id, n_bigrams,
+        |  round(avg_logp + 1e-9, 4) AS avg_logp,
+        |  avg_logp < $FluentLogProb AS is_disfluent
+        |FROM d ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val t = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .transform(graft.CacheScope.cache)
+      // CASE guard: sequence(1, 0) descends, so sub-2-token docs need the
+      // explicit no-bigrams branch (typed empty array for CASE coercion)
+      val bg = t.select(col("doc_id"), explode(expr(
+          """CASE WHEN size(toks) < 2
+            |  THEN cast(array() AS array<struct<w1: string, w2: string>>)
+            |  ELSE transform(sequence(1, size(toks) - 1),
+            |    i -> struct(element_at(toks, i) AS w1,
+            |                element_at(toks, i + 1) AS w2)) END""".stripMargin))
+          .as("pr"))
+        .select(col("doc_id"), col("pr.w1").as("w1"), col("pr.w2").as("w2"))
+        .transform(graft.CacheScope.cache)
+      val u = t.select(explode(col("toks")).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as("cu"))
+        .transform(graft.CacheScope.cache)
+      val n = u.agg(sum(col("cu")).as("total"))
+      val b = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cb"))
+        .transform(graft.CacheScope.cache)
+      val cx = b.groupBy(col("w1")).agg(sum(col("cb")).as("ctx"))
+      val lam = lambda.toDouble
+      val logp = log10(lit(lam) * (col("cb").cast("double") / col("ctx"))
+        + lit(1.0 - lam) * (col("cu").cast("double") / col("total")))
+      val avgLogp = graft.functions.Stable.sumD(logp) / count(lit(1))
+      bg.join(broadcast(b), Seq("w1", "w2"))
+        .join(broadcast(cx), Seq("w1"))
+        .join(broadcast(u.withColumnRenamed("tok", "w2")), Seq("w2"))
+        .crossJoin(broadcast(n))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n_bigrams"),
+          avgLogp.as("avg_logp"))
+        .select(col("doc_id"), col("n_bigrams"),
+          round(col("avg_logp") + lit(1e-9), 4).as("avg_logp"),
+          (col("avg_logp") < FluentLogProb).as("is_disfluent"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** One-pass curation MANIFEST with reason codes — the Dolma/CCNet
+    * "filter pipeline" composed as a single scan: language gate (q20's
+    * function-word argmax), length gate, stopword-ratio gate (q19),
+    * 3-gram-repetition gate (q71), each surfaced as its own flag plus
+    * `kept` and the FIRST failing rule as `reason` (what production
+    * pipelines log for filter-rate dashboards and appeal/debug). Every
+    * rule is a scalar expression over one tokenization — zero joins,
+    * zero shuffles except the presentation sort; at 100 TB this is one
+    * codegen'd map stage emitting the keep/drop decision stream, and
+    * adding a rule never adds a pass over the data.
+    */
+  val curationManifest: QuerySpec = {
+    val (minToks, minStop, maxDupGram) = (20L, 0.05, 0.2)
+    QuerySpec.sql(
+      "q172_curation_manifest",
+      s"""WITH t AS (SELECT doc_id,
+        |    list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+        |  FROM documents),
+        |g AS (SELECT doc_id, toks,
+        |    CASE WHEN len(toks) < 3 THEN [array_to_string(toks, ' ')]
+        |         ELSE [array_to_string(toks[i:i+2], ' ') FOR i IN range(1, len(toks) - 1)] END AS grams
+        |  FROM t),
+        |r AS (SELECT doc_id,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    CASE WHEN len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) = 0
+        |           AND len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','von'], t))) = 0
+        |           AND len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','de'], t))) = 0
+        |           AND len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una'], t))) = 0 THEN 'und'
+        |         WHEN len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) >= len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','von'], t)))
+        |           AND len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) >= len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','de'], t)))
+        |           AND len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) >= len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una'], t))) THEN 'en'
+        |         WHEN len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','von'], t))) >= len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','de'], t)))
+        |           AND len(list_filter(toks, t -> list_contains(['der','die','das','und','ist','ein','zu','von'], t))) >= len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una'], t))) THEN 'de'
+        |         WHEN len(list_filter(toks, t -> list_contains(['le','la','les','et','est','un','une','de'], t))) >= len(list_filter(toks, t -> list_contains(['el','la','los','las','y','es','un','una'], t))) THEN 'fr'
+        |         ELSE 'es' END AS pred_lang,
+        |    CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+        |    1.0 - CAST(len(list_distinct(grams)) AS DOUBLE) / greatest(len(grams), 1) AS dup_gram_frac
+        |  FROM g)
+        |SELECT doc_id, n_tokens, pred_lang,
+        |  round(stop_ratio + 1e-9, 4) AS stop_ratio,
+        |  round(dup_gram_frac + 1e-9, 4) AS dup_gram_frac,
+        |  pred_lang = 'en' AND n_tokens >= $minToks
+        |    AND stop_ratio >= $minStop AND dup_gram_frac <= $maxDupGram AS kept,
+        |  CASE WHEN pred_lang <> 'en' THEN 'lang'
+        |       WHEN n_tokens < $minToks THEN 'length'
+        |       WHEN stop_ratio < $minStop THEN 'stopwords'
+        |       WHEN dup_gram_frac > $maxDupGram THEN 'repetition'
+        |       ELSE 'ok' END AS reason
+        |FROM r ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val toks = col("toks")
+      val gramsExpr = when(size(toks) < 3, array(array_join(toks, " ")))
+        .otherwise(transform(sequence(lit(1), size(toks) - 2),
+          i => array_join(slice(toks, i, lit(3)), " ")))
+      val (sEn, sDe, sFr, sEs) = Text.langScores(toks)
+      Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), Text.tokens(col("text")).as("toks"))
+        .withColumn("grams", gramsExpr)
+        .select(col("doc_id"),
+          size(toks).cast("long").as("n_tokens"),
+          Text.predictedLang(sEn, sDe, sFr, sEs).as("pred_lang"),
+          (sEn.cast("double") / greatest(size(toks), lit(1)))
+            .as("stop_ratio"),
+          (lit(1.0) - size(array_distinct(col("grams"))).cast("double")
+            / greatest(size(col("grams")), lit(1))).as("dup_gram_frac"))
+        .select(col("doc_id"), col("n_tokens"), col("pred_lang"),
+          round(col("stop_ratio") + lit(1e-9), 4).as("stop_ratio"),
+          round(col("dup_gram_frac") + lit(1e-9), 4).as("dup_gram_frac"),
+          (col("pred_lang") === "en" && col("n_tokens") >= minToks &&
+            col("stop_ratio") >= minStop &&
+            col("dup_gram_frac") <= maxDupGram).as("kept"),
+          when(col("pred_lang") =!= "en", "lang")
+            .when(col("n_tokens") < minToks, "length")
+            .when(col("stop_ratio") < minStop, "stopwords")
+            .when(col("dup_gram_frac") > maxDupGram, "repetition")
+            .otherwise("ok").as("reason"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
+  /** STREAMED maintenance of the persisted quality model — the
+    * q119/q143/q150/q162 leg for the classifier family: the labeled
+    * delta arrives as three real AvailableNow micro-batches
+    * (`maxFilesPerTrigger=1`) and each `foreachBatch` folds its counts
+    * into the persisted model
+    * ([[graft.operators.QualityClassifier.appendModel]] — integer
+    * addition through the staged publish). Count addition commutes, so
+    * the model's end state is identical however the delta was sliced,
+    * and the FULL-train-split oracle (q166's — base ∪ delta = all
+    * evens) gates the streamed path: hash-equal held-out scores prove
+    * micro-batching changed nothing about the served model.
+    */
+  val nbStreamed: QuerySpec = {
+    val thr = 300L
+    QuerySpec.sql(
+      "q173_nb_stream",
+      nbOracleSql(thr, "doc_id % 2 = 0")
+    ) { (spark, dir) =>
+      import graft.operators.QualityClassifier
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"), (col("n_chars") >= thr).as("label"))
+      val feats = QualityClassifier.features(docs, "doc_id", "text")
+        .transform(graft.CacheScope.cache)
+      val labels = docs.select(col("doc_id"), col("label"))
+      val root = graft.Scratch.fresh("q173")
+      val idx = root + "/nbmodel"
+      QualityClassifier.writeModel(idx,
+        feats.filter(col("doc_id") % 4 === 0),
+        labels.filter(col("doc_id") % 4 === 0), "doc_id", "label")
+      // re-materialize the delta as 3 files so AvailableNow +
+      // maxFilesPerTrigger=1 yields three REAL micro-batches
+      val deltaDir = root + "/delta"
+      docs.filter(col("doc_id") % 4 === 2)
+        .repartition(3).write.mode("overwrite").parquet(deltaDir)
+      val q = spark.readStream
+        .schema(spark.read.parquet(deltaDir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(deltaDir)
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          QualityClassifier.appendModel(spark, idx,
+            QualityClassifier.features(batch, "doc_id", "text"),
+            batch.select(col("doc_id"), col("label")), "doc_id", "label")
+          ()
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      QualityClassifier.scoreIndexed(spark, idx,
+          feats.filter(col("doc_id") % 2 === 1), "doc_id")
+        .join(labels, "doc_id")
+        .select(col("doc_id"), col("n_tokens"), col("label"),
+          round(col("prior") + col("s") + lit(1e-9), 4).as("score"),
+          (col("prior") + col("s") > 0.0).as("pred"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
       temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
-      bm25Health, bm25Versioned)
+      bm25Health, bm25Versioned, piiRedact, nbQuality, bpeTrain, nbMaintained,
+      bigramScore, curationManifest, nbStreamed)
 }

@@ -78,7 +78,21 @@ class CacheScopeSpec extends SparkTestBase {
     "q156_simhash_index",  // hashed-docs cache through write + 2 probes
     "q157_bq_index",       // embeddings + codes-shortlist caches
     "q158_bq_recall",      // ranked-exact + ground-truth caches
-    "q159_ann_routed"      // shared ranked frame + calibration caches
+    "q159_ann_routed",     // shared ranked frame + calibration caches
+    "q160_bm25_index",     // docs cache through write/append/forget/search
+    "q161_hybrid_rrf",     // docs + embeddings caches across both legs
+    "q162_bm25_stream",    // docs cache through streamed appends
+    "q163_bm25_health",    // docs cache through the gated bucket growth
+    "q164_bm25_versioned", // docs cache across both index versions
+    "q166_nb_quality",     // token-feature cache (train + score reuse)
+    "q167_containment",    // exploded-shingle + df-pruned caches
+    "q168_mrl_refined",    // corpus cache + prefix-shortlist cache
+    "q169_bpe_train",      // per-round segmentation caches
+    "q170_nb_maintained",  // token-feature cache through the lifecycle
+    "q171_bigram_lm",      // token/bigram/model caches
+    "q173_nb_stream",      // token-feature cache through streamed appends
+    "q174_mrl_recall",     // corpus + ground-truth caches across widths
+    "q175_tier_routed"     // corpus + calibration-slice + gt caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -54,4 +54,67 @@ class AnnRouterSpec extends SparkTestBase {
     assert(routed.length === nServe * k)
     graft.CacheScope.releaseAll()
   }
+
+  test("routeTiers at target 1.0 falls through to a tier with perfect " +
+      "calibration recall and serves exact top-k") {
+    import spark.implicits._
+    // adversarial fixture: the first 32 dims are CONSTANT (prefix tiers
+    // see nothing), magnitudes in the last 32 dims are id-PERMUTED so a
+    // low-id tie-broken shortlist misses true neighbors
+    val dim = 64
+    val fixture = (0L until 40L).map { i =>
+      val m = 1.0f + 0.01f * ((i * 17) % 40)
+      (i, Array.tabulate(dim)(d => if (d < 32) 1.0f else m))
+    }.toDF("vec_id", "embedding")
+    val (k, nServe, nCal) = (3, 10, 6)
+    val queries = fixture.filter(col("vec_id") < nServe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val routed = AnnRouter.routeTiers(fixture, "vec_id", "embedding",
+        queries, "qid", "qv", k = k, refine = 2, widths = Seq(16, 32),
+        dim = dim, target = 1.0, calFilter = col("qid") < nCal)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getString(3)))
+    // the full-float tier trivially hits 1.0, so routing always succeeds;
+    // on THIS fixture no cheaper tier can (prefixes are blind, binary
+    // codes split only two magnitude groups)
+    assert(routed.map(_._4).distinct.toSeq === Seq("exact"))
+    val brute = Matryoshka.search(fixture, "vec_id", "embedding",
+        queries, "qid", "qv", dims = dim, k = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(routed.map(t => (t._1, t._2, t._3)).toSet === brute)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("routeTiers picks the CHEAPEST qualifying tier, not the best") {
+    // real fixture, permissive target: the binary tier (8 B/vec) prices
+    // cheapest; assert the router's decision matches an independent
+    // recall measurement through the same public APIs
+    val (k, nServe, nCal, refine, dim) = (3, 10, 6, 4, 64)
+    val widths = Seq(16, 32)
+    val queries = corpus.filter(col("vec_id") < nServe)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val calQ = queries.filter(col("qid") < nCal)
+    val gt = Matryoshka.search(corpus, "vec_id", "embedding", calQ,
+        "qid", "qv", dims = dim, k = k)
+      .select(col("qid"), col("neighbor"))
+    def recallOf(served: org.apache.spark.sql.DataFrame): Double =
+      served.select(col("qid"), col("neighbor"))
+        .join(gt, Seq("qid", "neighbor"), "left_semi")
+        .count().toDouble / (nCal * k)
+    val cal = Seq(
+      ("bq", dim / 8, recallOf(BinaryQuantizer.searchRefined(corpus,
+        "vec_id", "embedding", calQ, "qid", "qv", k, refine)))) ++
+      widths.map(d => (s"mrl$d", 4 * d,
+        recallOf(Matryoshka.searchRefined(corpus, "vec_id", "embedding",
+          calQ, "qid", "qv", d, dim, k, refine)))) :+
+      (("exact", 4 * dim, 1.0))
+    val target = 0.3
+    val want = cal.filter(_._3 >= target).minBy(t => (t._2, t._1))._1
+    val got = AnnRouter.routeTiers(corpus, "vec_id", "embedding", queries,
+        "qid", "qv", k = k, refine = refine, widths = widths, dim = dim,
+        target = target, calFilter = col("qid") < nCal)
+      .select(col("tier")).distinct().collect().map(_.getString(0)).toSeq
+    assert(got === Seq(want))
+    graft.CacheScope.releaseAll()
+  }
 }
