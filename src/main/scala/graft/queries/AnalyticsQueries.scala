@@ -375,7 +375,81 @@ object AnalyticsQueries {
       .orderBy(col("o_orderkey"))
   }
 
+  /** Write-Audit-Publish admission ([[graft.pipeline.Wap]]) — the
+    * Iceberg-WAP / DLT-expectations lifecycle end-to-end through REAL
+    * versioned state: a base slice publishes v0, a clean batch audits
+    * and publishes v1, a poisoned batch (deterministically injected
+    * negative prices) is REFUSED whole in fail-mode (served state
+    * untouched — refused batches never become versions), then the same
+    * batch re-admits in drop-mode: clean rows publish v2, violators
+    * come back quarantined with their failed rule names. The output
+    * aggregates the SERVED table (read back off the versioned store)
+    * with the audit counts alongside — the oracle replays the rules and
+    * the admission algebra (final state = v0 ∪ clean₁ ∪ clean₂), so
+    * hash-equality proves both enforcement modes and that the refusal
+    * left no trace in the read path.
+    */
+  val wapAdmission: QuerySpec = QuerySpec.sql(
+    "q179_wap_publish",
+    """WITH b AS (
+      |  SELECT o_orderkey, o_orderpriority,
+      |    CASE WHEN o_orderkey % 3 = 2 AND o_orderkey % 7 = 0
+      |         THEN -o_totalprice ELSE o_totalprice END AS o_totalprice
+      |  FROM orders),
+      |served AS (
+      |  SELECT * FROM b
+      |  WHERE o_orderkey % 3 IN (0, 1)
+      |     OR (o_orderkey % 3 = 2 AND o_totalprice > 0)),
+      |refused AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS refused_violations
+      |  FROM b WHERE o_orderkey % 3 = 2 AND NOT (o_totalprice > 0))
+      |SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+      |    + 1e-9, 2) AS sum_price,
+      |  refused_violations,
+      |  refused_violations AS dropped_rows
+      |FROM served CROSS JOIN refused
+      |GROUP BY o_orderpriority, refused_violations
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    import graft.operators.Expectations.Rule
+    val rules = Seq(
+      Rule("positive_price", col("o_totalprice") > 0),
+      Rule("has_priority", col("o_orderpriority").isNotNull))
+    val orders = Tables.load(spark, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        // poison the third slice deterministically (both engines replay)
+        when(col("o_orderkey") % 3 === 2 && col("o_orderkey") % 7 === 0,
+          -col("o_totalprice")).otherwise(col("o_totalprice"))
+          .as("o_totalprice"))
+      .transform(graft.CacheScope.cache)
+    val table = graft.Scratch.fresh("q179") + "/wap_orders"
+    graft.sources.Snapshots.write(
+      orders.filter(col("o_orderkey") % 3 === 0), table) // v0
+    val clean = graft.pipeline.Wap.publishOrRefuse(spark, table,
+      orders.filter(col("o_orderkey") % 3 === 1), rules)
+    require(clean.published.nonEmpty && clean.violations == 0L,
+      "clean batch must publish")
+    val poisoned = orders.filter(col("o_orderkey") % 3 === 2)
+    val refused = graft.pipeline.Wap.publishOrRefuse(spark, table,
+      poisoned, rules)
+    require(refused.published.isEmpty, "poisoned batch must be refused")
+    val (_, quarantined) = graft.pipeline.Wap.publishDropping(spark, table,
+      poisoned, rules)
+    val droppedRows = quarantined.count()
+    graft.sources.Snapshots.read(spark, table)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Stable.sumD(col("o_totalprice")) + lit(1e-9), 2)
+          .as("sum_price"))
+      .select(col("o_orderpriority"), col("n"), col("sum_price"),
+        lit(refused.violations).as("refused_violations"),
+        lit(droppedRows).as("dropped_rows"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QuerySpec] = Seq(setOps, percentiles, jsonExtract,
     cubeSummary, rangeFrame, fuzzyParts, shipLatency, expectations,
-    regrStats, valueWindows)
+    regrStats, valueWindows, wapAdmission)
 }

@@ -1470,10 +1470,94 @@ object DedupQueries {
       .orderBy(col("id_sub"), col("id_super"))
   }
 
+  /** PageRank centrality over the near-dup graph
+    * ([[graft.operators.PageRank]]) — the graph-centrality QUALITY
+    * PRIOR (web pipelines filter on centrality-family signals; here the
+    * edges are q23's verified Jaccard ≥ 0.5 near-dup pairs,
+    * symmetrized): two damped iterations from a uniform start, float
+    * state summed through the decimal grid so the unrolled oracle
+    * replays every iteration bit-for-bit. Beside q55's connected
+    * components (integer labels, convergence loop) this gates the other
+    * classic iterative-graph shape — fixed-iteration FLOAT recursion —
+    * with per-iteration cost one edge-to-rank join + one combinable
+    * aggregation. The `(1.0 - 0.85)` damping complement is written as a
+    * SUBTRACTION in both engines (the literal 0.15 is a different
+    * double).
+    */
+  val nearDupRank: QuerySpec = {
+    val (iters, damping) = (2, 0.85)
+    val rankCtes = (1 to iters).map { i =>
+      s"""c$i AS (
+        |  SELECT e.dst AS node,
+        |    ${graft.functions.Stable.sumDSql("r.rank / d.deg")} AS sc
+        |  FROM ed e JOIN r${i - 1} r ON r.node = e.src
+        |  JOIN deg d ON d.src = e.src
+        |  GROUP BY e.dst),
+        |r$i AS (SELECT node,
+        |    (CAST(1.0 AS DOUBLE) - CAST($damping AS DOUBLE)) / n
+        |      + CAST($damping AS DOUBLE) * sc AS rank
+        |  FROM c$i CROSS JOIN nn)""".stripMargin
+    }.mkString(",\n")
+    QuerySpec.sql(
+      "q177_neardup_pagerank",
+      s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        |sh AS (SELECT doc_id, $shinglesSql AS sh FROM t),
+        |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+        |dfq AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= $MaxShingleDf),
+        |exk AS (SELECT doc_id, s FROM ex WHERE s IN (SELECT s FROM dfq)),
+        |sizes AS (SELECT doc_id, count(*) AS nsh FROM exk GROUP BY 1),
+        |pairs AS (
+        |  SELECT a.doc_id AS id1, b.doc_id AS id2, count(*) AS common
+        |  FROM exk a JOIN exk b ON a.s = b.s AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |jp AS (
+        |  SELECT id1, id2 FROM pairs
+        |  JOIN sizes sa ON id1 = sa.doc_id JOIN sizes sb ON id2 = sb.doc_id
+        |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5),
+        |ed AS (SELECT id1 AS src, id2 AS dst FROM jp
+        |  UNION ALL SELECT id2, id1 FROM jp),
+        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+        |r0 AS (SELECT src AS node, 1.0 / n AS rank FROM deg CROSS JOIN nn),
+        |$rankCtes
+        |SELECT r$iters.node AS doc_id, deg.deg AS deg,
+        |  round(r$iters.rank + 1e-12, 8) AS rank
+        |FROM r$iters JOIN deg ON deg.src = r$iters.node
+        |ORDER BY doc_id""".stripMargin
+    ) { (spark, dir) =>
+      val ex = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(MinHashLSH.shingleHashes(Text.tokens(col("text")), 3)).as("s"))
+        .transform(graft.CacheScope.cache)
+      val kept = ex.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") <= lit(MaxShingleDf.toLong)).select(col("s"))
+      val exk = ex.join(kept, Seq("s"), "left_semi")
+        .transform(graft.CacheScope.cache)
+      val sizes = exk.groupBy(col("doc_id")).agg(count(lit(1)).as("nsh"))
+      val jac = col("common").cast("double") /
+        (col("sa.nsh") + col("sb.nsh") - col("common"))
+      val jp = exk.as("a").join(exk.as("b"),
+          col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+        .agg(count(lit(1)).as("common"))
+        .join(sizes.as("sa"), col("id1") === col("sa.doc_id"))
+        .join(sizes.as("sb"), col("id2") === col("sb.doc_id"))
+        .filter(jac >= 0.5)
+        .select(col("id1"), col("id2"))
+      val edges = jp.unionByName(
+        jp.select(col("id2").as("id1"), col("id1").as("id2")))
+      graft.operators.PageRank.ranks(edges, "id1", "id2", iters, damping)
+        .select(col("node").as("doc_id"), col("deg"),
+          round(col("rank") + lit(1e-12), 8).as("rank"))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
-      lshRebucket, lshRolloverCycle, simhashIndex, containment)
+      lshRebucket, lshRolloverCycle, simhashIndex, containment,
+      nearDupRank)
 }

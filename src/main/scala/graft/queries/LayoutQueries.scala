@@ -234,6 +234,53 @@ object LayoutQueries {
       .orderBy(col("l_returnflag"))
   }
 
+  /** CSV source/sink gate — q99's contract for the text format that
+    * interchange pipelines still ingest: a deterministic orders subset
+    * writes as REAL CSV (header on) and reads back under an EXPLICIT
+    * schema (CSV carries no types — the explicit-schema read is the
+    * production pattern; inference is a sampling scan that can't be
+    * trusted at 100 TB), and the verification aggregate runs over the
+    * read-back frame. Exercised types: long, string, date, and a
+    * decimal-summed double — any quoting/escaping/parse corruption
+    * breaks the hash (o_comment carries commas, so quoting is actually
+    * on the path). The oracle aggregates straight from `orders`.
+    */
+  val csvRoundtrip: QuerySpec = QuerySpec.sql(
+    "q176_csv_roundtrip",
+    """SELECT o_orderpriority,
+      |  CAST(count(*) AS BIGINT) AS n,
+      |  round(CAST(sum(CAST(o_totalprice AS DECIMAL(28,10))) AS DOUBLE)
+      |    + 1e-9, 2) AS sum_price,
+      |  min(CAST(o_orderdate AS DATE)) AS first_order,
+      |  max(CAST(o_orderdate AS DATE)) AS last_order,
+      |  CAST(sum(length(o_orderpriority || ',' || o_orderstatus)) AS BIGINT)
+      |    AS note_chars
+      |FROM orders
+      |WHERE o_orderkey % 13 = 0
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin
+  ) { (spark, dir) =>
+    val subset = Tables.load(spark, dir, "orders")
+      .filter(col("o_orderkey") % 13 === 0)
+      .select(col("o_orderkey"), col("o_orderpriority"),
+        col("o_totalprice"), col("o_orderdate").cast("date").as("o_orderdate"),
+        // embedded comma puts CSV QUOTING on the verified path
+        concat(col("o_orderpriority"), lit(","), col("o_orderstatus"))
+          .as("o_note"))
+    val path = graft.Scratch.fresh("q176") + "/orders_csv"
+    subset.write.mode("overwrite").option("header", "true").csv(path)
+    spark.read.schema(subset.schema).option("header", "true").csv(path)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(graft.functions.Stable.sumD(col("o_totalprice")) + lit(1e-9), 2)
+          .as("sum_price"),
+        min(col("o_orderdate")).as("first_order"),
+        max(col("o_orderdate")).as("last_order"),
+        sum(length(col("o_note"))).as("note_chars"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   val all: Seq[QuerySpec] =
-    Seq(zorderSpans, timeTravelCdf, orcRoundtrip, statsSkipping)
+    Seq(zorderSpans, timeTravelCdf, orcRoundtrip, statsSkipping,
+      csvRoundtrip)
 }

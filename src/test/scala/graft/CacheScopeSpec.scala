@@ -92,7 +92,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q171_bigram_lm",      // token/bigram/model caches
     "q173_nb_stream",      // token-feature cache through streamed appends
     "q174_mrl_recall",     // corpus + ground-truth caches across widths
-    "q175_tier_routed"     // corpus + calibration-slice + gt caches
+    "q175_tier_routed",    // corpus + calibration-slice + gt caches
+    "q177_neardup_pagerank" // shingle + edge + degree caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
