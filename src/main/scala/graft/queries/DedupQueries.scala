@@ -1484,9 +1484,13 @@ object DedupQueries {
     * SUBTRACTION in both engines (the literal 0.15 is a different
     * double).
     */
-  val nearDupRank: QuerySpec = {
-    val (iters, damping) = (2, 0.85)
-    val rankCtes = (1 to iters).map { i =>
+  /** PageRank oracle CTEs over an in-scope `ed(src, dst)` edge list:
+    * `deg`/`nn`/`r0` then `iters` unrolled damped iterations ending at
+    * `r<iters>(node, rank)`. Shared by q177/q178 so the iteration
+    * arithmetic cannot diverge between their oracles.
+    */
+  private def pageRankCtesSql(iters: Int, damping: Double): String = {
+    val rounds = (1 to iters).map { i =>
       s"""c$i AS (
         |  SELECT e.dst AS node,
         |    ${graft.functions.Stable.sumDSql("r.rank / d.deg")} AS sc
@@ -1498,6 +1502,14 @@ object DedupQueries {
         |      + CAST($damping AS DOUBLE) * sc AS rank
         |  FROM c$i CROSS JOIN nn)""".stripMargin
     }.mkString(",\n")
+    s"""deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
+      |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
+      |r0 AS (SELECT src AS node, 1.0 / n AS rank FROM deg CROSS JOIN nn),
+      |$rounds""".stripMargin
+  }
+
+  val nearDupRank: QuerySpec = {
+    val (iters, damping) = (2, 0.85)
     QuerySpec.sql(
       "q177_neardup_pagerank",
       s"""WITH t AS (SELECT doc_id, $tokSql AS toks FROM documents),
@@ -1516,10 +1528,7 @@ object DedupQueries {
         |  WHERE CAST(common AS DOUBLE) / (sa.nsh + sb.nsh - common) >= 0.5),
         |ed AS (SELECT id1 AS src, id2 AS dst FROM jp
         |  UNION ALL SELECT id2, id1 FROM jp),
-        |deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM ed GROUP BY src),
-        |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM deg),
-        |r0 AS (SELECT src AS node, 1.0 / n AS rank FROM deg CROSS JOIN nn),
-        |$rankCtes
+        |${pageRankCtesSql(iters, damping)}
         |SELECT r$iters.node AS doc_id, deg.deg AS deg,
         |  round(r$iters.rank + 1e-12, 8) AS rank
         |FROM r$iters JOIN deg ON deg.src = r$iters.node
@@ -1553,11 +1562,74 @@ object DedupQueries {
     }
   }
 
+  /** AUTHORITY-based canonical selection — q112's APPLY step with a
+    * graph-derived tiebreak: per q55 near-dup component, keep the member
+    * with the highest PageRank over the SAME verified-pair graph
+    * (centrality picks the version other docs cluster around — the
+    * canonical-URL heuristic web dedup uses — instead of q112's quality
+    * heuristic). Composition gate: LSH candidates → Jaccard verify →
+    * connected components AND two PageRank iterations share ONE edge
+    * list, then a k=1 top-k per component (rank desc, doc_id tiebreak —
+    * exact-equal ranks at symmetric positions break deterministically).
+    * The oracle chains the recursive-CTE components with the unrolled
+    * iterations over the same `ed`.
+    */
+  val authorityCanonical: QuerySpec = {
+    val (iters, damping) = (2, 0.85)
+    QuerySpec.sql(
+      "q178_authority_canonical",
+      s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+        |$componentCtesSql,
+        |ed AS (SELECT a AS src, b AS dst FROM edges),
+        |${pageRankCtesSql(iters, damping)},
+        |ccx AS (
+        |  SELECT cc.doc_id, cc.component FROM cc
+        |  WHERE cc.doc_id IN (SELECT src FROM ed)),
+        |sz AS (SELECT component, CAST(count(*) AS BIGINT) AS n_members
+        |  FROM ccx GROUP BY component),
+        |ranked AS (
+        |  SELECT ccx.component, ccx.doc_id, r$iters.rank,
+        |    row_number() OVER (PARTITION BY ccx.component
+        |      ORDER BY r$iters.rank DESC, ccx.doc_id) AS rk
+        |  FROM ccx JOIN r$iters ON r$iters.node = ccx.doc_id)
+        |SELECT component, n_members, doc_id AS canonical_doc,
+        |  round(rank + 1e-12, 8) AS rank
+        |FROM ranked JOIN sz USING (component)
+        |WHERE rk = 1
+        |ORDER BY component""".stripMargin
+    ) { (spark, dir) =>
+      val withSh = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+      val pairs = MinHashLSH
+        .nearDupPairs(withSh, "doc_id", "sh", threshold = 0.6)
+        .select(col("id1"), col("id2"))
+        .transform(graft.CacheScope.cache)
+      val cc = graft.operators.ConnectedComponents
+        .components(pairs, "id1", "id2")
+        .select(col("node"), col("label").as("component"))
+      val edges = pairs.unionByName(
+        pairs.select(col("id2").as("id1"), col("id1").as("id2")))
+      val pr = graft.operators.PageRank
+        .ranks(edges, "id1", "id2", iters, damping)
+      val members = cc.join(pr, "node")
+      val sizes = cc.groupBy(col("component"))
+        .agg(count(lit(1)).as("n_members"))
+      graft.operators.Dedup.topKPerKey(members, Seq("component"),
+          Seq(col("rank").desc, col("node").asc), 1)
+        .join(sizes, "component")
+        .select(col("component"), col("n_members"),
+          col("node").as("canonical_doc"),
+          round(col("rank") + lit(1e-12), 8).as("rank"))
+        .orderBy(col("component"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
       lshRebucket, lshRolloverCycle, simhashIndex, containment,
-      nearDupRank)
+      nearDupRank, authorityCanonical)
 }

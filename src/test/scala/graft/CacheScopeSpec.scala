@@ -93,7 +93,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q173_nb_stream",      // token-feature cache through streamed appends
     "q174_mrl_recall",     // corpus + ground-truth caches across widths
     "q175_tier_routed",    // corpus + calibration-slice + gt caches
-    "q177_neardup_pagerank" // shingle + edge + degree caches
+    "q177_neardup_pagerank", // shingle + edge + degree caches
+    "q178_authority_canonical", // signature + pair + PR edge/degree caches
+    "q179_wap_publish"     // poisoned-orders cache across the admissions
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -59,6 +59,22 @@ class PlanQualitySpec extends SparkTestBase {
     assert(!plan.contains("Window"), plan.take(2000))
   }
 
+  test("q166 scores through a BROADCAST model join (fixed bucket table)") {
+    val plan = planOf("q166_nb_quality")
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("q168's prefix stage broadcasts the probe side — the corpus " +
+      "never shuffles to score") {
+    val plan = planOf("q168_mrl_refined")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    graft.CacheScope.releaseAll()
+  }
+
   test("q112's canonical pick is a k=1 TopKPerKey over the component frame") {
     val plan = planOf("q112_dedup_canonical")
     assert(plan.contains("TopKPerKey"), plan.take(2000))
