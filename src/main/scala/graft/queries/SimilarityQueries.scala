@@ -2858,6 +2858,71 @@ object SimilarityQueries {
     }
   }
 
+  /** Corpus TOPIC PROFILE — "what's in my training set", the
+    * clustering+labeling report every curation run starts from: the
+    * deterministic IVF trainer clusters the embedding space (q58's
+    * contract makes even the training oracle-replayable), every vector
+    * hard-assigns to a cell (pure projection through the `NearestCell`
+    * kernel), and each cell is LABELED by its member documents' top-3
+    * tokens (docs join embeddings on the shared id domain; one
+    * (cell, token) count + a k=3 bounded-heap top-k). Output: one row
+    * per cell with its population and label string. At 100 TB the only
+    * exchanges are the token-count groupBy and the ≤ cells·3-row
+    * reduction — the corpus never moves to be clustered (assignment is
+    * a scan-side projection).
+    */
+  val topicProfile: QuerySpec = {
+    val (clusters, iters, dim) = (8, 2, 64)
+    QuerySpec.sql(
+      "q181_topic_profile",
+      s"""WITH corpus AS (SELECT vec_id, embedding FROM embeddings),
+        |${coarseCtes(clusters, 1, iters, dim, nQueries = 0)},
+        |d AS (SELECT doc_id,
+        |    unnest(list_filter(regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS tok
+        |  FROM documents),
+        |ct AS (SELECT af.cell, d.tok, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM af JOIN d ON d.doc_id = af.vec_id GROUP BY 1, 2),
+        |top3 AS (
+        |  SELECT cell, tok, cnt,
+        |    row_number() OVER (PARTITION BY cell ORDER BY cnt DESC, tok) AS rk
+        |  FROM ct QUALIFY rk <= 3),
+        |sz AS (SELECT cell, CAST(count(*) AS BIGINT) AS n_docs
+        |  FROM af GROUP BY cell)
+        |SELECT cell, n_docs,
+        |  string_agg(tok || ':' || CAST(cnt AS VARCHAR), ', ' ORDER BY rk)
+        |    AS top_terms
+        |FROM top3 JOIN sz USING (cell)
+        |GROUP BY cell, n_docs ORDER BY cell""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.IvfAnn
+      val emb = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val cents = IvfAnn.centroids(emb, "vec_id", "embedding",
+        clusters, iters)
+      val af = graft.CacheScope.cache(
+        IvfAnn.assign(emb, cents, "vec_id", "embedding"))
+      val d = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"),
+          explode(graft.functions.Text.tokens(col("text"))).as("tok"))
+      val ct = af.join(d, af("vec_id") === d("doc_id"))
+        .groupBy(col("cell"), col("tok")).agg(count(lit(1)).as("cnt"))
+      val top3 = graft.operators.Dedup.topKPerKey(ct, Seq("cell"),
+        Seq(col("cnt").desc, col("tok").asc), 3)
+      val sz = af.groupBy(col("cell")).agg(count(lit(1)).as("n_docs"))
+      // (−cnt, tok) sorts ascending = (cnt desc, tok asc) — the oracle's
+      // rk order — then renders "tok:cnt"
+      top3.groupBy(col("cell"))
+        .agg(array_join(transform(
+          array_sort(collect_list(struct((-col("cnt")).as("negc"),
+            col("tok").as("tok"), col("cnt").as("cnt")))),
+          e => concat(e.getField("tok"), lit(":"),
+            e.getField("cnt").cast("string"))), ", ").as("top_terms"))
+        .join(sz, "cell")
+        .select(col("cell"), col("n_docs"), col("top_terms"))
+        .orderBy(col("cell"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -2867,5 +2932,5 @@ object SimilarityQueries {
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
     bqIndex, bqRecall, annRouted, hybridRrf, mrlRefined, mrlRecall,
-    tierRouted)
+    tierRouted, topicProfile)
 }

@@ -1350,10 +1350,69 @@ object TextQueries {
     }
   }
 
+  /** PERCENTILE-gated per-source quality filtering — the FineWeb-style
+    * calibration trick: raw quality scores aren't comparable across
+    * sources (a mid-tier web page and a mid-tier paper score
+    * differently), so each source keeps its own TOP fraction by
+    * percent_rank instead of sharing one absolute cutoff. One keyed
+    * window over the q19 composite score (rank ties broken by doc_id,
+    * so the kept SET is engine-reproducible), then a per-source
+    * admission summary: docs kept, the realized score cutoff, and the
+    * token mass admitted — the knobs a mixing plan consumes. At 100 TB
+    * this is one exchange on `source` + one combinable aggregation;
+    * `(rank−1)/(n−1)` is exact rational arithmetic in both engines.
+    */
+  val percentileFilter: QuerySpec = {
+    val keepFrac = 0.6
+    QuerySpec.sql(
+      "q180_percentile_filter",
+      s"""WITH s AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(toks) AS BIGINT) AS n_tokens,
+        |    100 * (0.4 * (CAST(len(list_filter(toks, t -> list_contains(['the','a','an','and','of','to','in','is'], t))) AS DOUBLE) / greatest(len(toks), 1))
+        |         + 0.3 * least(len(toks), 200) / 200.0
+        |         + 0.3 * (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1))) AS score
+        |  FROM (SELECT *, list_filter(regexp_split_to_array(lower(text), '\\s+'), t -> t != '') AS toks
+        |        FROM documents)),
+        |r AS (SELECT *, percent_rank() OVER (PARTITION BY source
+        |    ORDER BY score DESC, doc_id) AS pr FROM s)
+        |SELECT source,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(count(*) FILTER (WHERE pr <= $keepFrac) AS BIGINT) AS n_kept,
+        |  round(min(score) FILTER (WHERE pr <= $keepFrac) + 1e-9, 2) AS cutoff_score,
+        |  CAST(sum(n_tokens) FILTER (WHERE pr <= $keepFrac) AS BIGINT) AS kept_tokens
+        |FROM r GROUP BY source ORDER BY source""".stripMargin
+    ) { (spark, dir) =>
+      val toks = Text.tokens(col("text"))
+      val base = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("source"),
+          size(toks).cast("long").as("n_tokens"),
+          (Text.vocabHits(toks, Text.StopEn).cast("double")
+            / greatest(size(toks), lit(1))).as("stop_ratio"),
+          (size(array_distinct(toks)).cast("double")
+            / greatest(size(toks), lit(1))).as("diversity"))
+        .withColumn("score",
+          lit(100) * (lit(0.4) * col("stop_ratio")
+            + lit(0.3) * least(col("n_tokens"), lit(200L)) / lit(200.0)
+            + lit(0.3) * col("diversity")))
+      val w = Window.partitionBy(col("source"))
+        .orderBy(col("score").desc, col("doc_id"))
+      val kept = col("pr") <= keepFrac
+      base.withColumn("pr", percent_rank().over(w))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(kept, 1L).otherwise(0L)).as("n_kept"),
+          round(min(when(kept, col("score"))) + lit(1e-9), 2)
+            .as("cutoff_score"),
+          sum(when(kept, col("n_tokens"))).as("kept_tokens"))
+        .orderBy(col("source"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(textStats, qualityScore, langId, fingerprint, vocabTop, tfidfTopTerms,
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
       temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
       bm25Health, bm25Versioned, piiRedact, nbQuality, bpeTrain, nbMaintained,
-      bigramScore, curationManifest, nbStreamed)
+      bigramScore, curationManifest, nbStreamed, percentileFilter)
 }

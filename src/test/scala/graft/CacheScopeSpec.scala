@@ -95,7 +95,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q175_tier_routed",    // corpus + calibration-slice + gt caches
     "q177_neardup_pagerank", // shingle + edge + degree caches
     "q178_authority_canonical", // signature + pair + PR edge/degree caches
-    "q179_wap_publish"     // poisoned-orders cache across the admissions
+    "q179_wap_publish",    // poisoned-orders cache across the admissions
+    "q181_topic_profile"   // embeddings + assignment caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
