@@ -4,7 +4,9 @@ object Bench {
   /** One benched query: best observed time plus honesty flags.
     *
     * Field semantics (pinned by `BenchContractSpec`):
-    *  - `best` — minimum over every successful measured run (all sweeps,
+    *  - `best` — minimum over every successful run (the timed first/
+    *    warm-up run included — min is monotone under extra samples, so
+    *    counting it can only improve the number; all sweeps and
     *    re-measures included); `Infinity` = every run threw.
     *  - `contended` — run spread exceeded 2.0x within a sweep: a host
     *    contention window covered some runs; the min was re-measured.
@@ -26,6 +28,54 @@ object Bench {
   // in a contention window; rerun it all rather than trust 120
   // individually-poisoned numbers (round 7 committed 9 inflated entries)
   val SweepRetryThreshold = 5
+
+  // Adaptive repetition (round 11): uniform warmup+min-of-3 across 181
+  // queries is ~4x the 197 s of min-time — round 10's driver sweep died
+  // on its execution window (rc 124, no artifact) exactly this way.
+  // Measurement noise is inversely proportional to runtime: a 200 ms
+  // query carries +-40% GC/JIT jitter and needs min-of-3 post-JIT,
+  // while a 5 s index-lifecycle build is dominated by real I/O and
+  // repeats within a few percent — so repetition is budgeted by the
+  // query's OBSERVED first-run cost (thresholds in seconds):
+  val FastSec = 0.7 // t0 <= this -> 3 more measured runs
+  val MidSec = 2.0 //  t0 <= this -> 2 more
+  val SlowSec = 8.0 // t0 <= this -> 1 more; slower -> the timed warm-up
+  //                   run IS the measurement (its JIT share is noise-
+  //                   level at that runtime)
+
+  /** Wall budget (seconds) for the measured sweep, env-overridable via
+    * SPARK_GRAFT_BENCH_BUDGET. Sized so the 181-query sweep finishes
+    * without degradation (~530 s estimated from the committed sidecar)
+    * while the hard cap stays far inside the driver's execution window
+    * (round 10's sweep ran 23+ min before the kill — the uncapped
+    * retry sweep was what pushed it over); [[extraRuns]] degrades
+    * repetition (3 -> 2 -> 1 -> 0 extra runs) as the budget drains so
+    * the sweep ALWAYS produces a full per-query map rather than dying
+    * mid-run with nothing.
+    */
+  val DefaultBudgetSec = 700.0
+
+  /** How many extra measured runs a query gets after its timed warm-up
+    * run took `t0` seconds, with `elapsedSec` of the sweep budget
+    * already spent. Pure so `BenchContractSpec` can pin the policy.
+    * A warm-up that THREW gets exactly one retry (to distinguish flaky
+    * from dead) unless the budget is fully exhausted.
+    */
+  private[graft] def extraRuns(t0: Double, elapsedSec: Double,
+      budgetSec: Double): Int = {
+    val base =
+      if (!t0.isFinite) 1
+      else if (t0 <= FastSec) 3
+      else if (t0 <= MidSec) 2
+      else if (t0 <= SlowSec) 1
+      else 0
+    val cap =
+      if (elapsedSec > budgetSec) 0
+      else if (elapsedSec > 0.85 * budgetSec) 1
+      else if (elapsedSec > 0.6 * budgetSec) 2
+      else Int.MaxValue
+    math.min(base, cap)
+  }
 
   def short(name: String): String = name.takeWhile(_ != '_')
 
@@ -133,11 +183,13 @@ object Bench {
     // JIT/codegen warmup outside any measured window, then run queries in
     // name order so per-query numbers are attributable and stable.
     SparkEntry.entry(spark).count()
-    // one untimed warm-up run per query, then three measured runs with the
-    // min reported: single-shot numbers on a shared box carry ±40% GC/JIT
-    // noise, and round-over-round deltas at runs=2 swung 1.5–2.4× on
-    // unchanged queries — too noisy to catch real regressions.
+    // Repetition is adaptive ([[extraRuns]]): a timed warm-up run that
+    // counts toward the min, then 3/2/1/0 more measured runs by observed
+    // cost, degraded further as the wall budget drains. `Runs` is the
+    // ceiling, reported in the JSON line.
     val Runs = 3
+    val budgetSec = sys.env.get("SPARK_GRAFT_BENCH_BUDGET")
+      .map(_.toDouble).getOrElse(DefaultBudgetSec)
     def timedRun(name: String, fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       val ok =
@@ -204,13 +256,23 @@ object Bench {
           .getOrElse(Map.empty)
       }
     }
+    // optional comma-separated name filter (arg 0) for fast local
+    // iteration on specific queries — a filtered run never writes the
+    // sidecar (a partial map would poison the next inflation baseline)
+    val only: Option[Set[String]] = args.headOption.map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+
+    val sweepStart = System.nanoTime()
+    def elapsedSec(): Double = (System.nanoTime() - sweepStart) / 1e9
 
     // one full pass: sweep + per-query contention/inflation re-measures
     def fullPass(): Seq[QueryResult] = {
       val sweep = ordered.map { case (name, fn) =>
-        val times = (0 to Runs).map(_ => timedRun(name, fn)).drop(1) // run 0 is the untimed warm-up
-        (name, fn, times.min, times.max)
+        val t0 = timedRun(name, fn) // timed warm-up; counts toward min
+        val post = (1 to extraRuns(t0, elapsedSec(), budgetSec))
+          .map(_ => timedRun(name, fn))
+        (name, fn, (t0 +: post).min, t0, post)
       }
       // Host contention on a shared box can cover all three runs of adjacent
       // queries with a minutes-long busy window, so min-of-3 alone can still
@@ -221,13 +283,24 @@ object Bench {
       // by then the contention window has usually passed — and keep the best
       // observation (min is monotone under extra samples, so a re-run that is
       // itself contended can only leave the number unchanged, never worsen it).
-      sweep.map { case (name, fn, mn, mx) =>
-        // a non-finite max means a run THREW — that's intermittent failure,
+      // Re-measures respect the wall budget: inside the budget they buy
+      // accuracy, past it they buy a dead sweep (round 10).
+      sweep.map { case (name, fn, mn, t0, post) =>
+        // a non-finite run means it THREW — that's intermittent failure,
         // not contention; report it in its own field instead of silently
         // retrying it into the contended bucket
-        val flaky = mn.isFinite && mx.isInfinity
-        val contended = mn.isFinite && mx.isFinite && mx / mn > SpreadThreshold
-        val spreadBest = if (contended) math.min(mn, timedRun(name, fn)) else mn
+        val flaky = mn.isFinite && (t0 +: post).exists(_.isInfinity)
+        // the warm-up run is EXCLUDED from the spread check: its JIT
+        // share legitimately runs 1.3-2x steady state on fast queries,
+        // which would trip SpreadThreshold on every cold path. Spread
+        // is measurable only when >=2 post-warmup runs succeeded.
+        val finitePost = post.filter(_.isFinite)
+        val contended = finitePost.size >= 2 &&
+          finitePost.max / finitePost.min > SpreadThreshold
+        val spreadBest =
+          if (contended && elapsedSec() < budgetSec)
+            math.min(mn, timedRun(name, fn))
+          else mn
         // cross-round check (uniform contention is spread-invisible):
         // re-measure once if this round's best is >1.5x the prior
         // committed record; keep the flag only if it STAYS above
@@ -235,21 +308,27 @@ object Bench {
         val overPrior = (t: Double) =>
           priorT.exists(p => t.isFinite && t > p * InflationThreshold)
         val best =
-          if (overPrior(spreadBest)) math.min(spreadBest, timedRun(name, fn))
+          if (overPrior(spreadBest) && elapsedSec() < budgetSec)
+            math.min(spreadBest, timedRun(name, fn))
           else spreadBest
         QueryResult(name, best, contended, flaky, overPrior(best))
       }
     }
 
     val first = fullPass()
+    val firstPassSec = elapsedSec()
     // Sweep-level self-defense: many inflated queries in ONE sweep means
     // the whole run sat inside a sustained load window (round 7: 9
     // inflated + 12 contended committed). Per-query re-measures inside
     // the same window can't help; a second full sweep minutes later
     // usually lands outside it. Keep the pointwise best of both passes;
     // a flag survives only if BOTH passes raised it (min is monotone, so
-    // the merged numbers are never worse than either pass).
-    val sweepRetried = first.count(_.inflated) > SweepRetryThreshold
+    // the merged numbers are never worse than either pass). The retry
+    // must FIT the remaining budget — trading a contention window for a
+    // timeout death (round 10's failure mode) is strictly worse than
+    // committing flagged numbers the next round can re-measure.
+    val sweepRetried = first.count(_.inflated) > SweepRetryThreshold &&
+      firstPassSec * 1.9 < budgetSec
     val results =
       if (!sweepRetried) first
       else {
@@ -265,8 +344,10 @@ object Bench {
         }
       }
     // full-precision per-query map survives on disk even when the
-    // stdout line degrades (and feeds the next run's inflation check)
-    writeSidecar(results, sfDir)
+    // stdout line degrades (and feeds the next run's inflation check);
+    // never written by a filtered run — a partial map would silently
+    // drop every other query from the next inflation baseline
+    if (only.isEmpty) writeSidecar(results, sfDir)
     val out = renderLine(results, Runs, sfDir, sweepRetried)
     // nothing may land in the tail after the JSON line — silence the
     // shutdown logging spark.stop() would otherwise emit there

@@ -11,7 +11,34 @@ import org.apache.spark.sql.SparkSession
   * reproducible against the DuckDB oracle.
   */
 object Sessions {
+
+  /** Route JVM scratch I/O (streaming temp checkpoints, shuffle spill
+    * via `spark.local.dir`'s java.io.tmpdir default, [[Scratch]] gate
+    * layouts) to tmpfs when the host has one: the ten streamed gates
+    * each fsync a commit log + state store per micro-batch, and on the
+    * sandbox's disk-backed /tmp those fsyncs dominate sub-second
+    * batches. On a real cluster this is the usual
+    * `spark.local.dir`-on-local-SSD deployment choice, expressed once
+    * here. Must run BEFORE the first SparkSession is built (Spark reads
+    * java.io.tmpdir lazily at SparkEnv creation); idempotent; falls
+    * back silently to the default tmpdir when /dev/shm is absent.
+    * Residue on tmpfs stays bounded for the same reason Scratch's is:
+    * temp checkpoints are force-deleted on query stop and Scratch
+    * layouts are overwrite-per-name.
+    */
+  private lazy val scratchToTmpfs: Unit = {
+    val shm = java.nio.file.Paths.get("/dev/shm")
+    if (sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") != "0" &&
+        java.nio.file.Files.isDirectory(shm) &&
+        java.nio.file.Files.isWritable(shm)) {
+      val d = shm.resolve("graft_tmp")
+      java.nio.file.Files.createDirectories(d)
+      sys.props("java.io.tmpdir") = d.toString
+    }
+  }
+
   def local(appName: String = "graft"): SparkSession = {
+    scratchToTmpfs
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession
       .builder()

@@ -83,6 +83,33 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"q001\":3"), line)
   }
 
+  test("adaptive repetition: extra runs scale down with observed cost") {
+    val B = Bench.DefaultBudgetSec
+    // sub-second queries keep min-of-3 post-warm-up (GC/JIT jitter)
+    assert(Bench.extraRuns(0.3, 0.0, B) == 3)
+    // 1-2 s index ops: min-of-2
+    assert(Bench.extraRuns(1.5, 0.0, B) == 2)
+    // multi-second lifecycle builds: one confirmation run
+    assert(Bench.extraRuns(3.5, 0.0, B) == 1)
+    // past SlowSec: the timed warm-up IS the measurement (round 10
+    // died on 4x-repeating these)
+    assert(Bench.extraRuns(9.0, 0.0, B) == 0)
+    // a warm-up that threw gets exactly one retry (flaky vs dead)
+    assert(Bench.extraRuns(Double.PositiveInfinity, 0.0, B) == 1)
+  }
+
+  test("budget degradation: repetition drains to zero before overrun") {
+    val B = Bench.DefaultBudgetSec
+    assert(Bench.extraRuns(0.3, 0.61 * B, B) == 2)
+    assert(Bench.extraRuns(0.3, 0.86 * B, B) == 1)
+    assert(Bench.extraRuns(0.3, 1.01 * B, B) == 0)
+    // budget exhaustion overrides even the flaky retry
+    assert(Bench.extraRuns(Double.PositiveInfinity, 1.01 * B, B) == 0)
+    // slow queries degrade at least as hard as fast ones
+    assert(Bench.extraRuns(3.5, 0.86 * B, B) == 1)
+    assert(Bench.extraRuns(3.5, 1.01 * B, B) == 0)
+  }
+
   test("sidecar carries the FULL-precision map and the run's sf") {
     val s = Bench.renderSidecar(base, "/root/testdata/sf0.1")
     assert(s.contains("\"sf\":\"/root/testdata/sf0.1\""), s)
