@@ -115,7 +115,12 @@ object Text {
     * `regexp_replace` kernels, one scan, zero shuffle — is what scales.
     */
   val PiiRules: Seq[(String, String)] = Seq(
-    "[a-z0-9._]+@[a-z0-9]+(\\.[a-z0-9]+)+" -> "<EMAIL>",
+    // (?i): email locals/domains are case-insensitive in the wild —
+    // a lowercase-only class would leave 'User@Mail.example.com'
+    // unredacted and redact only the lowercase TAIL of mixed-case
+    // locals, leaking the rest. The inline flag is part of the RE2 ∩
+    // java.util.regex common subset, so oracle parity holds.
+    "(?i)[a-z0-9._]+@[a-z0-9]+(\\.[a-z0-9]+)+" -> "<EMAIL>",
     "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b" -> "<IP>",
     "\\b\\d{3}-\\d{4}\\b" -> "<PHONE>")
 

@@ -105,6 +105,13 @@ object AnnRouter {
         (("exact", 4 * dim, exactServe _))
     val calQ = graft.CacheScope.cache(queries.filter(calFilter))
     val truth = (calQ.count() * k).toDouble
+    // an empty calibration slice makes every tier's recall 0/0 = NaN,
+    // which compares false against ANY target — minBy over the empty
+    // filter would then throw an opaque UnsupportedOperationException.
+    // Fail with the actual contract violation instead.
+    require(truth > 0,
+      "routeTiers: calFilter matched no queries — recall over an empty " +
+        "calibration slice is undefined; widen the filter")
     val gt = graft.CacheScope.cache(
       exactServe(calQ).select(col(qidCol), col("neighbor")))
     val cal = tiers.map { case (name, cost, serve) =>

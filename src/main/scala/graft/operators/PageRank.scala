@@ -10,8 +10,9 @@ import graft.functions.Stable
   * filters on centrality-family signals; here the graph is whatever the
   * caller links — near-dup edges, citation/link edges, co-occurrence).
   * Beside [[ConnectedComponents]] (integer labels, convergence loop)
-  * this is the other classic iterative-graph shape: FLOAT state,
-  * fixed iteration count.
+  * this is the other classic iterative-graph shape: FLOAT state, with
+  * either a fixed iteration count ([[ranks]]) or an L1-delta
+  * convergence loop ([[ranksConverged]]).
   *
   * Distribution: nodes/degrees/ranks are node-sized frames keyed by
   * node id; each iteration is one join of the edge list to the current
@@ -21,40 +22,97 @@ import graft.functions.Stable
   * contribution sums ride the decimal grid ([[Stable.sumD]]), so ranks
   * are bit-reproducible across partition counts — which is what lets a
   * DuckDB oracle replay the unrolled iterations exactly. Driver holds
-  * nothing; iteration count is a constant, so plan size is bounded.
+  * nothing. Each round's rank frame goes through
+  * [[graft.CacheScope.cacheTruncated]], so the analyzed plan stays a
+  * constant-size tree however many rounds run (the same discipline as
+  * [[ConnectedComponents]] — without it the tree grows with the
+  * iteration count and every analyzer/canonicalizer walk pays for it).
   *
   * Contract: `edges` is DIRECTED (callers symmetrize undirected
-  * graphs); every node must have out-degree ≥ 1 (true by construction
-  * for symmetrized edge lists — no dangling-mass term needed).
+  * graphs); every node must have out-degree ≥ 1 (so no dangling-mass
+  * term is needed). Nodes with out-edges but NO in-edges are legal —
+  * e.g. a page that links out but is never linked to — and keep their
+  * `(1−d)/n` floor rank each round: the iteration rebuilds ranks by
+  * left-joining the node universe to the contribution sums, so a node
+  * the contribution groupBy never mentions is retained at zero
+  * contribution rather than silently dropped from round 2 onward.
   */
 object PageRank {
 
-  /** `(node, deg, rank)` after `iters` iterations of
-    * `r' = (1−d)/n + d · Σ_in r_u/deg_u` from a uniform start.
+  /** One iteration step: `r' = (1−d)/n + d · Σ_in r_u/deg_u` over the
+    * full node universe (zero contribution coalesced in, see contract).
     */
-  def ranks(edges0: DataFrame, srcCol: String, dstCol: String,
-      iters: Int, damping: Double): DataFrame = {
+  private def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
+      n1: DataFrame, r: DataFrame, damping: Double): DataFrame = {
+    val contrib = edges
+      .join(r.withColumnRenamed("node", "__s"), "__s")
+      .join(deg, "__s")
+      .groupBy(col("__t"))
+      .agg(Stable.sumD(col("rank") / col("deg")).as("s"))
+    graft.CacheScope.cacheTruncated(
+      nodes.join(contrib, Seq("__t"), "left")
+        .crossJoin(broadcast(n1))
+        .select(col("__t").as("node"),
+          (lit(1.0 - damping) / col("n") +
+            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+  }
+
+  private def prepare(edges0: DataFrame, srcCol: String, dstCol: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
     val edges = graft.CacheScope.cache(
       edges0.select(col(srcCol).as("__s"), col(dstCol).as("__t")))
     val deg = graft.CacheScope.cache(
       edges.groupBy(col("__s")).agg(count(lit(1)).as("deg")))
+    // node universe: out-degree >= 1 for every node per the contract,
+    // so deg's keys ARE the nodes
+    val nodes = deg.select(col("__s").as("__t"))
     val n1 = deg.agg(count(lit(1)).cast("double").as("n"))
-    var r: DataFrame = deg.crossJoin(broadcast(n1))
-      .select(col("__s").as("node"), (lit(1.0) / col("n")).as("rank"))
+    val r0 = graft.CacheScope.cacheTruncated(
+      deg.crossJoin(broadcast(n1))
+        .select(col("__s").as("node"), (lit(1.0) / col("n")).as("rank")))
+    (edges, deg, nodes, n1, r0)
+  }
+
+  /** `(node, deg, rank)` after `iters` iterations from a uniform start. */
+  def ranks(edges0: DataFrame, srcCol: String, dstCol: String,
+      iters: Int, damping: Double): DataFrame = {
+    val (edges, deg, nodes, n1, r0) = prepare(edges0, srcCol, dstCol)
+    var r = r0
     (1 to iters).foreach { _ =>
-      val contrib = edges
-        .join(r.withColumnRenamed("node", "__s"), "__s")
-        .join(deg, "__s")
-        .groupBy(col("__t"))
-        .agg(Stable.sumD(col("rank") / col("deg")).as("s"))
-      // symmetrized graphs leave no rank-less nodes: every node has an
-      // in-edge, so the contribution frame covers all of them
-      r = contrib.crossJoin(broadcast(n1))
-        .select(col("__t").as("node"),
-          (lit(1.0 - damping) / col("n") + lit(damping) * col("s"))
-            .as("rank"))
+      r = step(edges, deg, nodes, n1, r, damping)
     }
     r.join(deg.withColumnRenamed("__s", "node"), "node")
       .select(col("node"), col("deg"), col("rank"))
+  }
+
+  /** [[ranks]] iterated until the L1 delta `Σ|r'−r|` drops below `tol`
+    * (or `maxIters` rounds, whichever first) — the production shape
+    * when the iteration count isn't known up front. Returns the final
+    * `(node, deg, rank)` frame plus the number of rounds run. The
+    * delta rides the same decimal grid as the rank sums, so the round
+    * count is a deterministic function of the input — never of
+    * partitioning. One extra node-sized aggregation materializes per
+    * round (that action also populates the round's cache); the
+    * PREVIOUS round's cache is released as soon as its successor is
+    * materialized, so live cache stays O(1) in rounds.
+    */
+  def ranksConverged(edges0: DataFrame, srcCol: String, dstCol: String,
+      tol: Double, maxIters: Int, damping: Double): (DataFrame, Int) = {
+    require(tol > 0 && maxIters >= 1, s"need tol>0, maxIters>=1")
+    val (edges, deg, nodes, n1, r0) = prepare(edges0, srcCol, dstCol)
+    var r = r0
+    var rounds = 0
+    var delta = Double.MaxValue
+    while (delta >= tol && rounds < maxIters) {
+      val next = step(edges, deg, nodes, n1, r, damping)
+      delta = next.join(r.withColumnRenamed("rank", "prev"), "node")
+        .agg(Stable.sumD(abs(col("rank") - col("prev"))).as("d"))
+        .head().getDouble(0)
+      graft.CacheScope.release(r)
+      r = next
+      rounds += 1
+    }
+    (r.join(deg.withColumnRenamed("__s", "node"), "node")
+      .select(col("node"), col("deg"), col("rank")), rounds)
   }
 }

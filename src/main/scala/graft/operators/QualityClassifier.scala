@@ -91,10 +91,15 @@ object QualityClassifier {
   // bit-identical to one trained fresh on (base ∪ delta) \ d. That makes
   // this the rare learned filter with exact O(|doc|) unlearning (the
   // right-to-be-forgotten story for the MODEL, not just the data — a
-  // gradient-trained filter would need retraining). Layout: `dir/counts`
-  // (≤ Buckets rows) + `dir/totals` (1 row: ptot, ntot, pdocs, ndocs),
-  // both swapped through the staged publish, so serving never sees a
-  // half-updated model.
+  // gradient-trained filter would need retraining). Layout: the model
+  // is TWO artifacts — `counts` (≤ Buckets rows) and `totals` (1 row:
+  // ptot, ntot, pdocs, ndocs) — that are only consistent TOGETHER, so
+  // every publish commits them into one [[graft.sources.Snapshots]]
+  // version directory (`dir/_v=N/{counts,totals}`) and flips the
+  // pointer once: a reader (or a crash) can never observe new counts
+  // with stale totals, the failure two independent per-artifact swaps
+  // allowed. Serving resolves the pointer once and reads both artifacts
+  // from that immutable version.
 
   /** Combined 1-row totals: token totals + labeled-doc counts (the
     * latter feed the class prior at serving time).
@@ -106,12 +111,37 @@ object QualityClassifier {
         sum(when(col(labelCol), 0L).otherwise(1L)).as("ndocs")))
 
   def writeModel(dir: String, feats: DataFrame, labels: DataFrame,
-      idCol: String, labelCol: String): Unit = {
-    graft.sources.Tables.overwrite(
-      train(feats, labels, idCol, labelCol), s"$dir/counts")
-    graft.sources.Tables.overwrite(
-      totalsRow(feats, labels, idCol, labelCol), s"$dir/totals")
+      idCol: String, labelCol: String): Unit =
+    publish(feats.sparkSession, dir,
+      train(feats, labels, idCol, labelCol),
+      totalsRow(feats, labels, idCol, labelCol))
+
+  /** Atomic two-artifact publish: one snapshot version holds counts AND
+    * totals; the pointer flip makes both visible together.
+    */
+  private def publish(spark: SparkSession, dir: String,
+      counts: DataFrame, totals: DataFrame): Unit = {
+    graft.sources.Snapshots.commit(spark, dir) { vp =>
+      counts.write.parquet(s"$vp/counts")
+      totals.write.parquet(s"$vp/totals")
+    }
+    ()
   }
+
+  /** Resolve the model's pinned latest version once; both artifacts
+    * read from the same immutable version directory.
+    */
+  private def pinned(spark: SparkSession, dir: String): String = {
+    val v = graft.sources.Snapshots.latestVersion(spark, dir).getOrElse(
+      throw new java.util.NoSuchElementException(s"no NB model at $dir"))
+    graft.sources.Snapshots.versionPath(dir, v)
+  }
+
+  def readCounts(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${pinned(spark, dir)}/counts")
+
+  def readTotals(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(s"${pinned(spark, dir)}/totals")
 
   /** O(delta) admission of a labeled batch: counts add. */
   def appendModel(spark: SparkSession, dir: String, feats: DataFrame,
@@ -131,21 +161,21 @@ object QualityClassifier {
     val dc = train(feats, labels, idCol, labelCol)
       .select(col("b"), (col("cp") * sign).as("cp"),
         (col("cn") * sign).as("cn"))
-    val counts = spark.read.parquet(s"$dir/counts").unionByName(dc)
+    val counts = readCounts(spark, dir).unionByName(dc)
       .groupBy(col("b"))
       .agg(sum(col("cp")).as("cp"), sum(col("cn")).as("cn"))
       .filter(col("cp") =!= 0L || col("cn") =!= 0L)
     val dt = totalsRow(feats, labels, idCol, labelCol)
       .select(Seq("ptot", "ntot", "pdocs", "ndocs")
         .map(c => (col(c) * sign).as(c)): _*)
-    val totals = spark.read.parquet(s"$dir/totals").unionByName(dt)
+    val totals = readTotals(spark, dir).unionByName(dt)
       .agg(sum(col("ptot")).as("ptot"), sum(col("ntot")).as("ntot"),
         sum(col("pdocs")).as("pdocs"), sum(col("ndocs")).as("ndocs"))
-    // Tables.overwrite stages to `.__tmp__` (fully written while the old
-    // files still back the read plan) before the rename swap — safe to
-    // derive the new state from the dir being replaced.
-    graft.sources.Tables.overwrite(counts, s"$dir/counts")
-    graft.sources.Tables.overwrite(totals, s"$dir/totals")
+    // the new version derives from reading version N while WRITING
+    // version N+1 — immutable inputs, so there is no read-while-replace
+    // hazard to stage around, and a crash mid-write leaves only an
+    // orphan _v directory no reader resolves
+    publish(spark, dir, counts, totals)
   }
 
   /** Serve scores from the persisted model: `(idCol, n_tokens, s, prior)`
@@ -154,8 +184,11 @@ object QualityClassifier {
     */
   def scoreIndexed(spark: SparkSession, dir: String, feats: DataFrame,
       idCol: String): DataFrame = {
-    val totals = spark.read.parquet(s"$dir/totals")
-    score(feats, spark.read.parquet(s"$dir/counts"),
+    // resolve the pointer ONCE: counts and totals come from the same
+    // immutable version even if a publish lands mid-query
+    val vp = pinned(spark, dir)
+    val totals = spark.read.parquet(s"$vp/totals")
+    score(feats, spark.read.parquet(s"$vp/counts"),
         totals.select(col("ptot"), col("ntot")), idCol)
       .crossJoin(broadcast(totals.select(
         log10(col("pdocs").cast("double") / col("ndocs")).as("prior"))))

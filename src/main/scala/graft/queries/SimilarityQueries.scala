@@ -2251,11 +2251,14 @@ object SimilarityQueries {
   private def bqPackedCtes(dim: Int, nQueries: Int,
       corpusCte: String = "SELECT vec_id, embedding FROM embeddings",
       statsSrc: String = "corpus",
-      excludeIds: Seq[Long] = Nil): String = {
+      excludeIds: Seq[Long] = Nil,
+      statsName: String = "stats"): String = {
+    // statsName dodges CTE-name collisions when these CTEs share a WITH
+    // clause with TextIndex.bm25CtesSql (which also defines `stats`)
     val excl = if (excludeIds.isEmpty) ""
       else s" AND d.vec_id NOT IN (${excludeIds.mkString(",")})"
     s"""corpus AS ($corpusCte),
-      |stats AS (
+      |$statsName AS (
       |  SELECT i.i AS pos,
       |    (CAST(min(embedding[i.i]) AS DOUBLE)
       |     + CAST(max(embedding[i.i]) AS DOUBLE)) / 2.0 AS mid
@@ -2267,7 +2270,7 @@ object SimilarityQueries {
       |      THEN CASE WHEN s.pos % 64 = 0 THEN -9223372036854775808
       |           ELSE (CAST(1 AS BIGINT) << ((s.pos - 1) % 64)) END
       |      ELSE 0 END) AS BIGINT) AS w
-      |  FROM corpus c CROSS JOIN stats s
+      |  FROM corpus c CROSS JOIN $statsName s
       |  GROUP BY c.vec_id, (s.pos - 1) // 64),
       |ham AS (
       |  SELECT q.vec_id AS qid, d.vec_id AS neighbor,
@@ -2644,6 +2647,115 @@ object SimilarityQueries {
     }
   }
 
+  /** Hybrid retrieval served from the PERSISTED indexes — the
+    * production twin of q161 (whose BM25 leg indexed in-query and whose
+    * vector leg was brute-force cosine): the keyword leg probes the
+    * on-disk BM25 inverted index ([[graft.operators.TextIndex
+    * .searchTopK]] — postings partition-pruned to the query terms'
+    * buckets), the vector leg probes the on-disk 1-bit binary index
+    * ([[graft.operators.BinaryQuantizer.searchIndexRefined]] — a
+    * codes-only Hamming prefilter whose `refine`·k shortlist alone
+    * fetches float vectors from the primary store), and BOTH legs mask
+    * the same logically-deleted ids through their own tombstone
+    * lifecycles before rank fusion. Fusion is the q161 RRF grid
+    * (integer ranks → exact 1/(60+r) decimal sums), so the only float
+    * surfaces are the two legs' already-gate-proven kernels.
+    *
+    * Scale shape: each leg's probe cost is bounded by its own index
+    * discipline (query-vocabulary buckets; 64x-compressed codes scan +
+    * byte-bounded shortlist fetch) — NOTHING in the fused plan scans or
+    * shuffles corpus-sized data, spec-pinned in `HybridServeSpec`. The
+    * oracle replays both persisted chains (deletes excluded, binary
+    * thresholds from the full write-time corpus) and the fusion.
+    */
+  val hybridPersisted: QuerySpec = {
+    val (nQ, kLeg, kOut, refine, dim) = (6, 10, 5, 4, 64)
+    val deleted = Seq(7L, 12L)
+    QuerySpec.sql(
+      "q182_hybrid_persisted",
+      s"""WITH ${graft.operators.TextIndex.bm25CtesSql(
+          "SELECT doc_id, text FROM documents WHERE doc_id NOT IN " +
+            s"(${deleted.mkString(",")})",
+          s"SELECT doc_id AS qid, text FROM documents WHERE doc_id < $nQ")},
+        |bmrank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rk FROM scored),
+        |${bqPackedCtes(dim, nQ, excludeIds = deleted, statsName = "bstats")},
+        |shortlist AS (
+        |  SELECT qid, neighbor
+        |  FROM (SELECT *, row_number() OVER (PARTITION BY qid
+        |          ORDER BY hamming, neighbor) AS rk FROM ham) r
+        |  WHERE rk <= ${kLeg * refine}),
+        |exact AS (
+        |  SELECT s.qid, s.neighbor,
+        |    list_sum(list_transform(range(1, ${dim + 1}),
+        |      i -> (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE))
+        |         * (CAST(q.embedding[i] AS DOUBLE)
+        |              - CAST(d.embedding[i] AS DOUBLE)))) AS dist
+        |  FROM shortlist s
+        |  JOIN corpus q ON q.vec_id = s.qid
+        |  JOIN corpus d ON d.vec_id = s.neighbor),
+        |vrank AS (SELECT qid, neighbor AS doc_id, row_number() OVER (
+        |    PARTITION BY qid ORDER BY dist, neighbor) AS rk FROM exact),
+        |legs AS (
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM bmrank WHERE rk <= $kLeg
+        |  UNION ALL
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM vrank WHERE rk <= $kLeg),
+        |fused AS (SELECT qid, doc_id,
+        |    ${graft.functions.Stable.sumDSql("c")} AS rrf
+        |  FROM legs GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id,
+        |  round(rrf + 1e-9, 6) AS rrf
+        |FROM ranked WHERE rk <= $kOut
+        |ORDER BY qid, rank""".stripMargin
+    ) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      val emb = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding")))
+      val root = graft.Scratch.fresh("q182")
+      val tIdx = root + "/text"
+      val bIdx = root + "/bq"
+      graft.operators.TextIndex.write(docs, "doc_id", "text", tIdx)
+      graft.operators.TextIndex.delete(spark, tIdx,
+        deleted.toDF("doc_id"), "doc_id")
+      graft.operators.BinaryQuantizer.writeIndex(emb, "vec_id",
+        "embedding", bIdx)
+      graft.operators.BinaryQuantizer.deleteFromIndex(spark, bIdx,
+        deleted.toDF("vec_id"), "vec_id")
+      val bmLeg = graft.operators.TextIndex.searchTopK(spark, tIdx,
+          docs.filter(col("doc_id") < nQ)
+            .select(col("doc_id").as("qid"), col("text")),
+          "qid", "text", k = kLeg)
+        .select(col("qid"), col("doc_id"), col("rank").as("rk"))
+      val queries = emb.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vLeg = graft.operators.BinaryQuantizer.searchIndexRefined(spark,
+          bIdx, emb, "vec_id", "embedding", queries, "qid", "qv",
+          k = kLeg, refine = refine)
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("dist"), col("neighbor"))).cast("long"))
+        .select(col("qid"), col("neighbor").as("doc_id"), col("rk"))
+      val contrib = (f: org.apache.spark.sql.DataFrame) => f.select(
+        col("qid"), col("doc_id"),
+        (lit(1.0) / (lit(60L) + col("rk")).cast("double")).as("c"))
+      contrib(bmLeg).unionByName(contrib(vLeg))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(graft.functions.Stable.sumD(col("c")).as("rrf"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= kOut)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          round(col("rrf") + lit(1e-9), 6).as("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   /** Matryoshka truncated-dimension serving
     * ([[graft.operators.Matryoshka.searchRefined]]) — the TRAINING-FREE
     * rung of the quantization ladder (MRL embeddings order information
@@ -2931,6 +3043,7 @@ object SimilarityQueries {
     tripletMining, kcenterSelect, ivfPqAppend, mediaAnnGate, ivfPqResidual,
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
-    bqIndex, bqRecall, annRouted, hybridRrf, mrlRefined, mrlRecall,
+    bqIndex, bqRecall, annRouted, hybridRrf, hybridPersisted,
+    mrlRefined, mrlRecall,
     tierRouted, topicProfile)
 }

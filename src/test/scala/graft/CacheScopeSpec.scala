@@ -96,7 +96,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q177_neardup_pagerank", // shingle + edge + degree caches
     "q178_authority_canonical", // signature + pair + PR edge/degree caches
     "q179_wap_publish",    // poisoned-orders cache across the admissions
-    "q181_topic_profile"   // embeddings + assignment caches
+    "q181_topic_profile",  // embeddings + assignment caches
+    "q182_hybrid_persisted" // embeddings + both persisted legs' probe caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

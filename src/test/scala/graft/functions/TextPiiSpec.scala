@@ -28,6 +28,14 @@ class TextPiiSpec extends SparkTestBase {
     assert(count(in, Text.PiiRules(2)._1) === 1L)
   }
 
+  test("mixed- and upper-case emails are redacted WHOLE, not just the " +
+      "lowercase tail") {
+    assert(redact("mail User@Mail.Example.COM now") === "mail <EMAIL> now")
+    assert(redact("JohnDoe@x.com and ALL.CAPS@HOST.ORG") ===
+      "<EMAIL> and <EMAIL>")
+    assert(count("A@B.CC a@b.cc", Text.PiiRules(0)._1) === 2L)
+  }
+
   test("redaction is idempotent (placeholders match no rule)") {
     val in = "x a@b.cc 1.2.3.4 555-1234 y"
     val once = redact(in)

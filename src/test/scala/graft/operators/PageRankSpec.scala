@@ -38,6 +38,47 @@ class PageRankSpec extends SparkTestBase {
     (1L to 6L).foreach(i => assert(out(0L) > out(i)))
   }
 
+  test("a source-only node (out-edges, no in-edge) keeps its floor " +
+      "rank and its mass stays in the system") {
+    // 0 -> 1, 1 -> 2, 2 -> 1: node 0 is never a dst — legal under the
+    // directed contract. It must survive every round at the (1-d)/n
+    // floor (pre-fix it vanished from round 2 onward, taking its
+    // outgoing mass with it).
+    val edges = Seq((0L, 1L), (1L, 2L), (2L, 1L)).toDF("src", "dst")
+    val out = PageRank.ranks(edges, "src", "dst", iters = 3, damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(out.keySet == Set(0L, 1L, 2L))
+    assert(math.abs(out(0L) - 0.15 / 3) < 1e-9)
+    // every node has out-degree >= 1, so totality conserves rank mass
+    assert(math.abs(out.values.sum - 1.0) < 1e-9)
+    graft.CacheScope.releaseAll()
+  }
+
+  test("analyzed plan size is constant in the iteration count") {
+    val edges = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
+    def planNodes(iters: Int): Int =
+      PageRank.ranks(edges, "src", "dst", iters, damping = 0.85)
+        .queryExecution.analyzed.collect { case p => p }.size
+    // cacheTruncated rebuilds each round from its row RDD, so the
+    // returned frame's tree never embeds earlier rounds
+    assert(planNodes(10) == planNodes(2))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("convergence variant stops under maxIters and matches the " +
+      "fixed-iteration run at its stop count") {
+    val edges = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 0L), (0L, 2L)))
+    val (rc, rounds) = PageRank.ranksConverged(edges, "src", "dst",
+      tol = 1e-6, maxIters = 50, damping = 0.85)
+    val got = rc.collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(rounds > 1 && rounds < 50, s"rounds=$rounds")
+    val fixed = PageRank.ranks(edges, "src", "dst", iters = rounds,
+        damping = 0.85)
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(got === fixed) // bit-identical: same decimal-grid steps
+    graft.CacheScope.releaseAll()
+  }
+
   test("ranks are invariant to edge partitioning (decimal grid)") {
     val edges = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L), (0L, 3L), (1L, 3L)))
     def run(parts: Int) = PageRank.ranks(edges.repartition(parts), "src",

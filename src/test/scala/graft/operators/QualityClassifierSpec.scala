@@ -63,7 +63,7 @@ class QualityClassifierSpec extends SparkTestBase {
         docs.filter(col("doc_id") === 4L), "doc_id", "text")
       QualityClassifier.forgetModel(spark, idx, f4,
         labels.filter(col("doc_id") === 4L), "doc_id", "label")
-      val maintained = spark.read.parquet(s"$idx/counts")
+      val maintained = QualityClassifier.readCounts(spark, idx)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
       // fresh train over (base ∪ extra) \ doc4
       val survivors = docs.filter(col("doc_id") =!= 4L)
@@ -77,10 +77,30 @@ class QualityClassifierSpec extends SparkTestBase {
       assert(maintained === fresh)
       // ptot: docs 0+2+8 = 4+3+3 pos tokens; ntot: doc 6 only (doc 4
       // forgotten); pdocs 3, ndocs 1
-      val tot = spark.read.parquet(s"$idx/totals").collect().head
+      val tot = QualityClassifier.readTotals(spark, idx).collect().head
       assert((tot.getAs[Long]("ptot"), tot.getAs[Long]("ntot"),
         tot.getAs[Long]("pdocs"), tot.getAs[Long]("ndocs"))
         === (10L, 4L, 3L, 1L))
+    }
+  }
+
+  test("every publish is ONE snapshot version holding BOTH artifacts " +
+      "(no counts-new/totals-stale window)") {
+    withTempDir("nbatomic") { dir =>
+      val idx = s"$dir/m"
+      val baseF = QualityClassifier.features(docs, "doc_id", "text")
+      QualityClassifier.writeModel(idx, baseF, labels, "doc_id", "label")
+      val extra = Seq((8L, "alpha blarg")).toDF("doc_id", "text")
+      QualityClassifier.appendModel(spark, idx,
+        QualityClassifier.features(extra, "doc_id", "text"),
+        Seq((8L, true)).toDF("doc_id", "label"), "doc_id", "label")
+      // one version per publish; each version carries counts AND totals
+      assert(graft.sources.Snapshots.latestVersion(spark, idx) === Some(1L))
+      Seq(0L, 1L).foreach { v =>
+        val vp = graft.sources.Snapshots.versionPath(idx, v)
+        assert(new java.io.File(s"$vp/counts").isDirectory, s"counts v$v")
+        assert(new java.io.File(s"$vp/totals").isDirectory, s"totals v$v")
+      }
     }
   }
 
