@@ -23,9 +23,15 @@ import graft.operators.{IvfAnn, IvfPq, LshIndex, MinHashLSH}
   *  - SimHash Hamming-ball admission (q156 shape): the fixed delta
   *    against a 1× vs N× band-row index, verify inline;
   *  - SQ8 index search (q153 shape) and binary prefilter + exact
-  *    re-rank (q155 shape): the fixed batch against the compressed
-  *    brute tiers, whose scans grow with the corpus BY DESIGN while
-  *    their shuffles stay at the top-k-partials floor.
+  *    re-rank (q155 shape, plus the PERSISTED-index q157 shape):
+  *    the fixed batch against the compressed brute tiers, whose scans
+  *    grow with the corpus BY DESIGN while their shuffles stay at the
+  *    top-k-partials floor;
+  *  - BM25 inverted-index probe (q160 shape) over vocabulary-disjoint
+  *    copies: probed posting lists are constant by construction, so
+  *    input-byte growth isolates probed-bucket file dilution at a
+  *    fixed modulus — and a growBucketsIfHot re-probe shows the
+  *    skew-gated doubling pulling probe I/O back toward the 1× level.
   *
   * The SCALING.md claim under test: probe-leg SHUFFLE bytes track the
   * delta/probe size (and collision density), not the corpus size —
@@ -50,6 +56,26 @@ object ScaleCheck {
       else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         transform(col("sh"),
           h => h * lit(2654435761L) + lit(k.toLong * 1000003L)).as("sh"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** N vocabulary-DISJOINT copies of the raw documents: copy k suffixes
+    * every token with `_k`, so a probe built from copy-0 text can match
+    * only copy-0 postings. That isolates the TextIndex claim under
+    * test — probe cost tracks the QUERY VOCABULARY's posting lists, not
+    * the corpus — from ordinary df growth (verbatim replicas would
+    * legitimately grow every posting list N×, which is score-changing
+    * corpus content, not index overhead).
+    */
+  private def scaledDocsText(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame = {
+    val base = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+    (0 until n).map { k =>
+      if (k == 0) base
+      else base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(Text.tokens(col("text")),
+          t => concat(t, lit(s"_$k")))).as("text"))
     }.reduce(_ unionByName _)
   }
 
@@ -203,6 +229,70 @@ object ScaleCheck {
         ()
       }
       jline("bq_refined_search", n, vecRows, mBq)
+
+      // ---- binary PERSISTED-index search (q157 shape) ----
+      // thresholds/codes pre-built: serving must scan CODES ONLY (no
+      // train scan of the float corpus inside the probe) and fetch
+      // floats for the bounded shortlist alone
+      val bqDir = Scratch.fresh(s"scalecheck_bq_$n") + "/idx"
+      graft.operators.BinaryQuantizer.writeIndex(vecs, "vec_id",
+        "embedding", bqDir)
+      val mBqI = Metrics.measure(spark) {
+        graft.operators.BinaryQuantizer.searchIndexRefined(spark, bqDir,
+          vecs, "vec_id", "embedding", queries, "qid", "qv",
+          k = 3, refine = 4).count()
+        ()
+      }
+      jline("bq_index_search", n, vecRows, mBqI)
+      CacheScope.releaseAll()
+
+      // ---- BM25 inverted-index probe (q160 shape) ----
+      // vocabulary-disjoint copies: the fixed copy-0 query batch can
+      // match only copy-0 postings, so probed POSTING LISTS are
+      // constant across scales — what may grow is probed-bucket FILE
+      // bytes (other copies' vocabulary hashing into the same bucket at
+      // a fixed modulus), which is exactly the signal growBucketsIfHot
+      // exists to cap: after the skew-gated doublings the probe's input
+      // bytes must fall back toward the 1× level.
+      val textDocs = CacheScope.cache(scaledDocsText(spark, sfDir, n))
+      val textRows = textDocs.count()
+      val tiDir = Scratch.fresh(s"scalecheck_bm25_$n") + "/idx"
+      graft.operators.TextIndex.write(textDocs, "doc_id", "text", tiDir)
+      // retrieval-shaped queries: ~8 terms each, NOT whole documents —
+      // 10 full word-salad docs as queries would cover most of the
+      // fixture vocabulary, making "matched postings" corpus-sized by
+      // construction and drowning the per-term probe signal under test
+      val tQueries = textDocs
+        .filter(col("doc_id") < 10)
+        .select(col("doc_id").as("qid"),
+          concat_ws(" ", slice(Text.tokens(col("text")), 1, 8)).as("text"))
+      def bm25Probe(): Unit = {
+        graft.operators.TextIndex.searchTopK(spark, tiDir, tQueries,
+          "qid", "text", k = 3).count()
+        CacheScope.releaseAll()
+      }
+      jline("bm25_index_search", n, textRows, Metrics.measure(spark) {
+        bm25Probe()
+      })
+      if (n > 1) {
+        // grow buckets until the hottest is back under a per-bucket
+        // budget sized to the 1× layout, then re-probe
+        var grown = true
+        var rounds = 0
+        while (grown && rounds < 5) {
+          // budget ≈ 3× the 1× layout's mean bucket (sf0.1: ~1.8 k
+          // postings/bucket at modulus 64) — the 1× layout passes, the
+          // 10× layout doubles until per-bucket mass is back in budget
+          val r = graft.operators.TextIndex.growBucketsIfHot(spark, tiDir,
+            maxPostingsPerBucket = 5500L).collect().head
+          grown = r.getBoolean(0)
+          rounds += 1
+        }
+        val nb = graft.operators.TextIndex.readBuckets(spark, tiDir)
+        jline("bm25_index_search_grown", n, textRows,
+          Metrics.measure(spark) { bm25Probe() },
+          s""","buckets":$nb""")
+      }
       CacheScope.releaseAll()
     }
     spark.stop()

@@ -102,18 +102,31 @@ object TextIndex {
     * (they have no postings and no length — both engines agree).
     */
   def postings(docs: DataFrame, idCol: String, textCol: String,
-      buckets: Int = Buckets): DataFrame = {
+      buckets: Int = Buckets, withPositions: Boolean = false): DataFrame = {
     val tok = docs
       .select(col(idCol).as("doc_id"),
-        explode(Text.tokens(col(textCol))).as("term"))
-    val tf = tok.groupBy(col("doc_id"), col("term"))
-      .agg(count(lit(1)).as("tf"))
+        posexplode(Text.tokens(col(textCol))).as(Seq("p", "term")))
+    // positional layouts add `pos` (sorted 0-based token offsets) per
+    // posting row — the phrase/proximity probe's adjacency input; the
+    // rest of the row and the bucket layout are identical, so every
+    // lifecycle op (append/delete/compact/grow) carries it untouched
+    val tf =
+      if (withPositions)
+        tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"),
+            sort_array(collect_list(col("p"))).as("pos"))
+      else
+        tok.groupBy(col("doc_id"), col("term"))
+          .agg(count(lit(1)).as("tf"))
     // (doc, term) -> tf is already grouped; dl = sum of the doc's tfs —
     // a second agg over the SAME frame, so the token scan runs once
-    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
-    tf.join(dl, "doc_id")
-      .select(bkt(col("term"), buckets).as("bkt"), col("term"),
-        col("doc_id"), col("tf"), col("dl"))
+    val dl = tf.select(col("doc_id"), col("tf"))
+      .groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val base = tf.join(dl, "doc_id")
+    val cols = Seq(bkt(col("term"), buckets).as("bkt"), col("term"),
+      col("doc_id"), col("tf"), col("dl")) ++
+      (if (withPositions) Seq(col("pos")) else Nil)
+    base.select(cols: _*)
   }
 
   /** `(doc_id, dl)` for a batch (token-bearing docs only). */
@@ -133,11 +146,12 @@ object TextIndex {
     * crash-consistency discipline).
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
-      dir: String, buckets: Int = Buckets): Unit = {
+      dir: String, buckets: Int = Buckets,
+      withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val staged = dir + ".__stage__"
     val dls = doclens(docs, idCol, textCol)
-    postings(docs, idCol, textCol, buckets)
+    postings(docs, idCol, textCol, buckets, withPositions)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
     writeBucketsFile(spark, s"$staged/postings", buckets)
     dls.write.mode("overwrite").parquet(s"$staged/doclens")
@@ -163,7 +177,12 @@ object TextIndex {
           "cannot serve a doc's old and new postings side by side)")
     }
     val dls = doclens(batch, idCol, textCol)
-    postings(batch, idCol, textCol, readBuckets(spark, dir))
+    // the layout self-describes its encoding: a positional index's
+    // appended rows must carry positions too, or a later phrase probe
+    // would silently miss the appended docs
+    val withPos = spark.read.parquet(s"$dir/postings")
+      .schema.fieldNames.contains("pos")
+    postings(batch, idCol, textCol, readBuckets(spark, dir), withPos)
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
     dls.write.mode("append").parquet(s"$dir/doclens")
     totalsRow(dls).write.mode("append").parquet(s"$dir/stats")
@@ -394,6 +413,114 @@ object TextIndex {
       .select(col("qid"), col("rank"), col("doc_id"),
         round(col("score") + lit(1e-9), 4).as("bm25"))
       .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Exact-phrase probe over a POSITIONAL layout — the decontamination
+    * primitive bag-of-words BM25 cannot express ("does this eval
+    * question appear VERBATIM in the corpus?"). Fails fast unless the
+    * index was written `withPositions = true`. The probe keeps
+    * [[searchTopK]]'s shape — bucket-pruned postings read, broadcast
+    * term narrowing, tombstone mask — so cost is O(query-vocabulary
+    * posting lists + their position arrays), never a corpus scan.
+    *
+    * Adjacency is position arithmetic, not a self-join per term pair:
+    * phrase slot `i` matching at token offset `p` anchors candidate
+    * start `base = p − i`, and `base` is a verbatim occurrence iff ALL
+    * `m` slots anchor it — one (qid, doc, base) groupBy counting slot
+    * hits (unique by construction: offsets are distinct within a
+    * posting row, so each slot hits a base at most once; a term
+    * repeated in the phrase occupies multiple slots and must match at
+    * multiple offsets).
+    *
+    * Output: `(qid, doc_id, n_occurrences)` for docs with ≥1 verbatim
+    * occurrence — all-integer, no float surface.
+    */
+  def phraseSearch(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, textCol: String): DataFrame = {
+    require(spark.read.parquet(s"$dir/postings")
+        .schema.fieldNames.contains("pos"),
+      "phraseSearch needs a positional layout: write(..., withPositions = true)")
+    val qslots = graft.CacheScope.cache(
+      queries.select(col(qidCol).as("qid"),
+        posexplode(Text.tokens(col(textCol))).as(Seq("slot", "term"))))
+    val qlen = qslots.groupBy(col("qid")).agg(count(lit(1)).as("m"))
+    val nb = readBuckets(spark, dir)
+    val bkts = qslots.select(bkt(col("term"), nb).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val qTerms = qslots.select(col("term")).distinct()
+    val post = Tombstones.filterLive(spark, s"$dir/postings",
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("bkt").isin(bkts: _*)), "doc_id")
+      .join(broadcast(qTerms), "term")
+    qslots.join(post, "term")
+      .select(col("qid"), col("doc_id"), col("slot"),
+        explode(col("pos")).as("p"))
+      .select(col("qid"), col("doc_id"),
+        (col("p").cast("long") - col("slot").cast("long")).as("base"),
+        col("slot"))
+      .groupBy(col("qid"), col("doc_id"), col("base"))
+      .agg(count(lit(1)).as("hits"))
+      .join(broadcast(qlen), "qid")
+      .filter(col("hits") === col("m"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n_occurrences"))
+  }
+
+  /** Unordered proximity probe over a POSITIONAL layout: documents
+    * where ALL distinct query terms co-occur within some `window`
+    * consecutive tokens, with the TIGHTEST such span reported — the
+    * "quoted-with-slop" relative of [[phraseSearch]] (plagiarism /
+    * decontamination sweeps tolerate reordering and inserted words;
+    * verbatim phrase match does not).
+    *
+    * The minimal cover is computed relationally (no per-doc sweep
+    * state): every probed position is a candidate window END; for each
+    * (end, term) the best start contribution is the term's latest
+    * position ≤ end; a window end where all `m` terms have one yields
+    * span `end − min(best) + 1`, and the per-doc minimum over ends is
+    * exact. Cost is O(Σ positions² per doc) over PROBED posting rows
+    * only — bounded by the query vocabulary's lists, never the corpus,
+    * and the oracle replays the identical joins.
+    *
+    * Output: `(qid, doc_id, min_span)`, min_span ≤ window — all-integer.
+    */
+  def proximitySearch(spark: SparkSession, dir: String, queries: DataFrame,
+      qidCol: String, textCol: String, window: Int): DataFrame = {
+    require(spark.read.parquet(s"$dir/postings")
+        .schema.fieldNames.contains("pos"),
+      "proximitySearch needs a positional layout: write(..., withPositions = true)")
+    val qterms = graft.CacheScope.cache(
+      queries.select(col(qidCol).as("qid"),
+        explode(array_distinct(Text.tokens(col(textCol)))).as("term")))
+    val qm = qterms.groupBy(col("qid")).agg(count(lit(1)).as("m"))
+    val nb = readBuckets(spark, dir)
+    val bkts = qterms.select(bkt(col("term"), nb).as("b")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val post = Tombstones.filterLive(spark, s"$dir/postings",
+        spark.read.parquet(s"$dir/postings")
+          .filter(col("bkt").isin(bkts: _*)), "doc_id")
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+    val tp = graft.CacheScope.cache(
+      qterms.join(post, "term")
+        .select(col("qid"), col("doc_id"), col("term"),
+          explode(col("pos")).as("p0"))
+        .select(col("qid"), col("doc_id"), col("term"),
+          col("p0").cast("long").as("p")))
+    val ends = tp.select(col("qid"), col("doc_id"), col("p").as("end"))
+      .distinct()
+    ends.join(tp, Seq("qid", "doc_id"))
+      .filter(col("p") <= col("end"))
+      .groupBy(col("qid"), col("doc_id"), col("end"), col("term"))
+      .agg(max(col("p")).as("bp"))
+      .groupBy(col("qid"), col("doc_id"), col("end"))
+      .agg(count(lit(1)).as("covered"), min(col("bp")).as("start"))
+      .join(broadcast(qm), "qid")
+      .filter(col("covered") === col("m"))
+      .select(col("qid"), col("doc_id"),
+        (col("end") - col("start") + lit(1L)).as("span"))
+      .groupBy(col("qid"), col("doc_id"))
+      .agg(min(col("span")).cast("long").as("min_span"))
+      .filter(col("min_span") <= window)
   }
 
   /** DuckDB-oracle CTE chain replaying [[searchTopK]] over `corpusCte`

@@ -896,6 +896,117 @@ object TextQueries {
       .orderBy(col("version"), col("qid"), col("rank"))
   }
 
+  /** Exact-phrase probe over POSITIONAL postings
+    * ([[graft.operators.TextIndex.phraseSearch]]) — the decontamination
+    * primitive ("does this eval question appear VERBATIM?") that
+    * bag-of-words BM25 cannot express. The index is written with
+    * per-posting token-offset arrays; each query is the first three
+    * tokens of a fixture document, one document is tombstoned so the
+    * mask provably reaches the phrase path, and matching is pure
+    * position arithmetic: slot i at offset p anchors base = p − i, a
+    * base with ALL m slots anchored is one verbatim occurrence. Probe
+    * cost is the query terms' posting lists + their offset arrays
+    * (bucket-pruned, broadcast-narrowed) — never a corpus scan — and
+    * the output is all-integer. The oracle replays tokenize-with-
+    * ordinality → slot join → base groupBy → m-of-m filter.
+    */
+  val phraseProbe: QuerySpec = QuerySpec.sql(
+    "q183_phrase_probe",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t != '') AS tk
+      |  FROM documents),
+      |tokpos AS (SELECT doc_id, unnest(tk) AS term,
+      |    CAST(unnest(range(len(tk))) AS BIGINT) AS p
+      |  FROM toks WHERE doc_id <> 2),
+      |qslots AS (SELECT doc_id AS qid, unnest(list_slice(tk, 1, 3)) AS term,
+      |    CAST(unnest(range(least(len(tk), 3))) AS BIGINT) AS slot
+      |  FROM toks WHERE doc_id < 5),
+      |qlen AS (SELECT qid, CAST(count(*) AS BIGINT) AS m
+      |  FROM qslots GROUP BY 1),
+      |hits AS (SELECT s.qid, d.doc_id, d.p - s.slot AS base,
+      |    CAST(count(*) AS BIGINT) AS h
+      |  FROM qslots s JOIN tokpos d USING (term) GROUP BY 1, 2, 3)
+      |SELECT h.qid, h.doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+      |FROM hits h JOIN qlen q USING (qid) WHERE h.h = q.m
+      |GROUP BY 1, 2
+      |ORDER BY qid, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.Scratch.fresh("q183") + "/text"
+    graft.operators.TextIndex.write(docs, "doc_id", "text", idx,
+      withPositions = true)
+    graft.operators.TextIndex.delete(spark, idx,
+      Seq(2L).toDF("doc_id"), "doc_id")
+    val queries = docs.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", slice(Text.tokens(col("text")), 1, 3)).as("text"))
+    graft.operators.TextIndex.phraseSearch(spark, idx, queries,
+        "qid", "text")
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
+  /** Unordered proximity probe
+    * ([[graft.operators.TextIndex.proximitySearch]]): all distinct query
+    * terms within an 8-token window, tightest span reported — the
+    * slop-tolerant relative of q183 (plagiarism/decontamination sweeps
+    * tolerate reordering and inserted words). Each query is two widely
+    * separated tokens of a fixture document (offsets 0 and 4, so the
+    * self-match span is exactly 5), and the minimal cover is computed
+    * relationally: every probed position is a candidate window end, the
+    * per-(end, term) latest-position-≤-end join gives the best start,
+    * m-of-m coverage gates the span, and the per-doc min is exact. The
+    * oracle replays the identical joins; all-integer output.
+    */
+  val proximityProbe: QuerySpec = QuerySpec.sql(
+    "q184_proximity_probe",
+    """WITH toks AS (SELECT doc_id,
+      |    list_filter(regexp_split_to_array(lower(text), '\s+'),
+      |      t -> t != '') AS tk
+      |  FROM documents),
+      |tokpos AS (SELECT doc_id, unnest(tk) AS term,
+      |    CAST(unnest(range(len(tk))) AS BIGINT) AS p
+      |  FROM toks),
+      |q AS (SELECT doc_id AS qid, list_distinct([tk[1], tk[5]]) AS qt
+      |  FROM toks WHERE doc_id < 6 AND len(tk) >= 5),
+      |qterms AS (SELECT qid, unnest(qt) AS term FROM q),
+      |qm AS (SELECT qid, CAST(count(*) AS BIGINT) AS m
+      |  FROM qterms GROUP BY 1),
+      |tp AS (SELECT s.qid, d.doc_id, d.term, d.p
+      |  FROM qterms s JOIN tokpos d USING (term)),
+      |ends AS (SELECT DISTINCT qid, doc_id, p AS e FROM tp),
+      |best AS (SELECT ends.qid, ends.doc_id, ends.e, tp.term,
+      |    max(tp.p) AS bp
+      |  FROM ends JOIN tp ON tp.qid = ends.qid
+      |    AND tp.doc_id = ends.doc_id AND tp.p <= ends.e
+      |  GROUP BY 1, 2, 3, 4),
+      |cov AS (SELECT qid, doc_id, e, CAST(count(*) AS BIGINT) AS covered,
+      |    min(bp) AS start
+      |  FROM best GROUP BY 1, 2, 3),
+      |spans AS (SELECT c.qid, c.doc_id, c.e - c.start + 1 AS span
+      |  FROM cov c JOIN qm USING (qid) WHERE c.covered = qm.m)
+      |SELECT qid, doc_id, CAST(min(span) AS BIGINT) AS min_span
+      |FROM spans GROUP BY 1, 2 HAVING min(span) <= 8
+      |ORDER BY qid, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val idx = graft.Scratch.fresh("q184") + "/text"
+    graft.operators.TextIndex.write(docs, "doc_id", "text", idx,
+      withPositions = true)
+    val queries = docs
+      .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
+      .filter(col("doc_id") < 6 && size(col("tk")) >= 5)
+      .select(col("doc_id").as("qid"),
+        concat_ws(" ", element_at(col("tk"), 1), element_at(col("tk"), 5))
+          .as("text"))
+    graft.operators.TextIndex.proximitySearch(spark, idx, queries,
+        "qid", "text", window = 8)
+      .orderBy(col("qid"), col("doc_id"))
+  }
+
   /** PII redaction ([[graft.functions.Text.redactPii]]) — the scrub every
     * training-data pipeline runs before anything else (emails, IPv4s,
     * phone-shaped numbers → typed placeholder tokens), plus per-rule match
@@ -1414,5 +1525,6 @@ object TextQueries {
       docChunks, corpusMix, repetition, sequencePack, sequenceSpans,
       temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
       bm25Health, bm25Versioned, piiRedact, nbQuality, bpeTrain, nbMaintained,
-      bigramScore, curationManifest, nbStreamed, percentileFilter)
+      bigramScore, curationManifest, nbStreamed, percentileFilter,
+      phraseProbe, proximityProbe)
 }

@@ -97,7 +97,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q178_authority_canonical", // signature + pair + PR edge/degree caches
     "q179_wap_publish",    // poisoned-orders cache across the admissions
     "q181_topic_profile",  // embeddings + assignment caches
-    "q182_hybrid_persisted" // embeddings + both persisted legs' probe caches
+    "q182_hybrid_persisted", // embeddings + both persisted legs' probe caches
+    "q183_phrase_probe",   // query-slot cache through the phrase probe
+    "q184_proximity_probe" // query-term + probed-position caches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

@@ -85,6 +85,24 @@ class AnnRouterSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
   }
 
+  test("routeTiers fails fast on an empty calibration slice instead of " +
+      "routing on NaN recalls") {
+    import spark.implicits._
+    val dim = 64
+    val fixture = (0L until 20L).map(i =>
+      (i, Array.tabulate(dim)(d => 0.01f * ((i + d) % 7))))
+      .toDF("vec_id", "embedding")
+    val queries = fixture.filter(col("vec_id") < 4)
+      .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+    val e = intercept[IllegalArgumentException] {
+      AnnRouter.routeTiers(fixture, "vec_id", "embedding", queries,
+        "qid", "qv", k = 3, refine = 2, widths = Seq(16), dim = dim,
+        target = 0.9, calFilter = col("qid") < 0) // matches nothing
+    }
+    assert(e.getMessage.contains("calFilter"))
+    graft.CacheScope.releaseAll()
+  }
+
   test("routeTiers picks the CHEAPEST qualifying tier, not the best") {
     // real fixture, permissive target: the binary tier (8 B/vec) prices
     // cheapest; assert the router's decision matches an independent

@@ -296,4 +296,105 @@ class TextIndexSpec extends SparkTestBase {
     assert(totalsRow(idx) === ((2L, 5L)))
     assert(liveIds(idx) === Set(1L, 3L))
   }
+
+  // --- positional layout / phrase probe ----------------------------------
+
+  private def phraseHits(idx: String, qs: Seq[(Long, String)])
+      : Map[(Long, Long), Long] = {
+    import spark.implicits._
+    TextIndex.phraseSearch(spark, idx, qs.toDF("qid", "text"),
+        "qid", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
+      .toMap
+  }
+
+  test("phrase probe: adjacency, multi-occurrence counts, and no " +
+      "bag-of-words false positives") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "the quick fox jumps the quick fox sleeps"), // phrase twice
+      (2L, "quick the fox"),                            // bag matches, order no
+      (3L, "the slow quick fox"),                       // not adjacent from 'the'
+      (4L, "a the quick fox b")).toDF("doc_id", "text") // once, mid-doc
+    val idx = graft.Scratch.fresh("ti_phrase") + "/idx"
+    TextIndex.write(d, "doc_id", "text", idx, withPositions = true)
+    val hits = phraseHits(idx, Seq((0L, "the quick fox")))
+    assert(hits === Map((0L, 1L) -> 2L, (0L, 4L) -> 1L))
+  }
+
+  test("phrase probe: a term repeated in the phrase must match at " +
+      "every one of its slots") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "x a b a y"),  // exact 'a b a'
+      (2L, "a b c a")     // both terms present, wrong offsets
+    ).toDF("doc_id", "text")
+    val idx = graft.Scratch.fresh("ti_phrase_rep") + "/idx"
+    TextIndex.write(d, "doc_id", "text", idx, withPositions = true)
+    assert(phraseHits(idx, Seq((0L, "a b a"))) === Map((0L, 1L) -> 1L))
+  }
+
+  test("phrase probe: appends inherit the positional encoding; " +
+      "tombstones mask the phrase path; plain layouts fail fast") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ti_phrase_life") + "/idx"
+    TextIndex.write(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, withPositions = true)
+    // append self-describes from the layout — no withPositions arg
+    TextIndex.append(Seq((2L, "x alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    assert(phraseHits(idx, Seq((0L, "alpha beta"))) ===
+      Map((0L, 1L) -> 1L, (0L, 2L) -> 1L))
+    TextIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
+    assert(phraseHits(idx, Seq((0L, "alpha beta"))) === Map((0L, 2L) -> 1L))
+    // a layout without positions refuses the probe instead of silently
+    // returning nothing
+    val plain = graft.Scratch.fresh("ti_phrase_plain") + "/idx"
+    TextIndex.write(Seq((1L, "alpha beta")).toDF("doc_id", "text"),
+      "doc_id", "text", plain)
+    val e = intercept[IllegalArgumentException] {
+      phraseHits(plain, Seq((0L, "alpha beta")))
+    }
+    assert(e.getMessage.contains("positional"))
+  }
+
+  test("proximity probe: tightest span, window gate, order-free") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "alpha x x x beta"),        // span 5
+      (2L, "beta alpha"),              // reordered, span 2
+      (3L, "alpha x x x x x x x beta"),// span 9 > window 8 -> dropped
+      (4L, "alpha y beta z alpha beta") // tightest is 2 (positions 4,5)
+    ).toDF("doc_id", "text")
+    val idx = graft.Scratch.fresh("ti_prox") + "/idx"
+    TextIndex.write(d, "doc_id", "text", idx, withPositions = true)
+    val got = TextIndex.proximitySearch(spark, idx,
+        Seq((0L, "alpha beta")).toDF("qid", "text"), "qid", "text",
+        window = 8)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(got === Map(1L -> 5L, 2L -> 2L, 4L -> 2L))
+    // a duplicated query term collapses to one slot: every doc with the
+    // term matches at span 1
+    val one = TextIndex.proximitySearch(spark, idx,
+        Seq((0L, "alpha alpha")).toDF("qid", "text"), "qid", "text",
+        window = 8)
+      .collect().map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(one === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L))
+    graft.CacheScope.releaseAll()
+  }
+
+  test("phrase probe: compact preserves positions (phrase answers " +
+      "unchanged after the physical rewrite)") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ti_phrase_compact") + "/idx"
+    TextIndex.write(Seq(
+        (1L, "p q r"), (2L, "z p q r z"), (3L, "q p r"))
+      .toDF("doc_id", "text"), "doc_id", "text", idx, withPositions = true)
+    TextIndex.delete(spark, idx, Seq(3L).toDF("doc_id"), "doc_id")
+    val before = phraseHits(idx, Seq((0L, "p q r")))
+    TextIndex.compact(spark, idx)
+    assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
+    assert(phraseHits(idx, Seq((0L, "p q r"))) === before)
+    assert(before === Map((0L, 1L) -> 1L, (0L, 2L) -> 1L))
+  }
 }
