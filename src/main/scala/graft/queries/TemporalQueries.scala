@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.QuerySpec
 import graft.functions.Stable
-import graft.operators.AsOfJoin
+import graft.operators.{AsOfJoin, Scd2}
 import graft.sources.Tables
 
 /** Temporal operators beyond the reference's surface (SURVEY.md §2c/§2e
@@ -325,9 +325,128 @@ object TemporalQueries {
       .orderBy(col("ts"), col("event_id"))
   }
 
+  // Shared SCD2 oracle pieces: the change log is events deduped to one
+  // row per (user_id, ts) — equal-timestamp changes have no defined
+  // order in any engine, so the keep-max-event_id rule is part of the
+  // replayed contract.
+  private def scd2LogSql(src: String): String =
+    s"""c0 AS (
+      |  SELECT user_id, ts, event_type, round(value, 2) AS value,
+      |    row_number() OVER (PARTITION BY user_id, ts
+      |      ORDER BY event_id DESC) AS rn
+      |  FROM events WHERE user_id IS NOT NULL AND ts IS NOT NULL$src),
+      |c AS (SELECT user_id, ts, event_type, value FROM c0 WHERE rn = 1),
+      |d AS (SELECT user_id, event_type, value, ts AS valid_from,
+      |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts) AS valid_to,
+      |    CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts)
+      |      AS BIGINT) AS version
+      |  FROM c)""".stripMargin
+
+  private def scd2Log(spark: org.apache.spark.sql.SparkSession,
+      dir: String, src: org.apache.spark.sql.Column): org.apache.spark.sql.DataFrame =
+    Tables.load(spark, dir, "events")
+      .filter(col("user_id").isNotNull && col("ts").isNotNull && src)
+      .withColumn("rn", row_number().over(Window
+        .partitionBy(col("user_id"), col("ts"))
+        .orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("ts"), col("event_type"),
+        round(col("value"), 2).as("value"))
+
+  /** SCD2 build ([[Scd2.build]]): the change log becomes history-
+    * preserving interval rows — `[valid_from, valid_to)` per key in
+    * time order, a version sequence, and a current flag. This is the
+    * type-2 tier above the reference's type-1 MERGE (q06/q60): the
+    * upsert forgets, this remembers. One hash partition on the key +
+    * an in-partition sort (the q36 island shape); the oracle replays
+    * the dedup rule and the lead/row_number windows.
+    */
+  val scd2Build: QuerySpec = QuerySpec.sql(
+    "q185_scd2_build",
+    s"""WITH ${scd2LogSql("")}
+      |SELECT user_id, event_type, value, valid_from, valid_to, version,
+      |  valid_to IS NULL AS is_current
+      |FROM d ORDER BY user_id, version""".stripMargin
+  ) { (spark, dir) =>
+    Scd2.build(scd2Log(spark, dir, lit(true)), Seq("user_id"), "ts")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"), col("valid_to"), col("version"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  /** Point-in-time enrichment ([[Scd2.pointInTime]]): each purchase
+    * joined to the dim version covering its event time — the
+    * "which profile did this user have WHEN they bought" join that a
+    * plain type-1 dim answers wrongly by construction. The dim is the
+    * SCD2 chain over the user's CLICK history, so fact timestamps fall
+    * strictly inside intervals (not on their boundaries). Equi-join on
+    * the key with the interval predicate residual: per-key fanout is
+    * the version count, never a quadratic candidate space; intervals
+    * partition time, so every fact matches at most once — no dedup
+    * needed after the join.
+    */
+  val scd2PointInTime: QuerySpec = QuerySpec.sql(
+    "q186_scd2_pit",
+    s"""WITH ${scd2LogSql(" AND event_type = 'click'")},
+      |f AS (SELECT event_id, user_id, ts FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL
+      |    AND ts IS NOT NULL)
+      |SELECT f.event_id, f.user_id, f.ts, d.version,
+      |  d.value AS click_value
+      |FROM f LEFT JOIN d ON f.user_id = d.user_id
+      |  AND f.ts >= d.valid_from
+      |  AND (d.valid_to IS NULL OR f.ts < d.valid_to)
+      |ORDER BY f.event_id""".stripMargin
+  ) { (spark, dir) =>
+    val dim = Scd2.build(
+      scd2Log(spark, dir, col("event_type") === "click")
+        .withColumnRenamed("value", "click_value")
+        .drop("event_type"),
+      Seq("user_id"), "ts")
+    val facts = Tables.load(spark, dir, "events")
+      .filter(col("event_type") === "purchase" &&
+        col("user_id").isNotNull && col("ts").isNotNull)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    Scd2.pointInTime(facts, dim, Seq("user_id"), "ts")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        col("version"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  /** Incremental SCD2 maintenance ([[Scd2.merge]]): an existing chain
+    * built from part of the change log absorbs the remaining changes as
+    * a batch — touched keys' chains replay and re-version through
+    * broadcast semi/anti joins against the bounded touched-key set,
+    * untouched history never shuffles — and the result is
+    * BIT-IDENTICAL to a fresh build over the full log (the oracle),
+    * the maintained ≡ fresh discipline every index family here pins,
+    * now for the warehouse dim tier.
+    */
+  val scd2Merge: QuerySpec = QuerySpec.sql(
+    "q187_scd2_merge",
+    s"""WITH ${scd2LogSql("")}
+      |SELECT user_id, event_type, value, valid_from, valid_to, version,
+      |  valid_to IS NULL AS is_current
+      |FROM d ORDER BY user_id, version""".stripMargin
+  ) { (spark, dir) =>
+    val log = scd2Log(spark, dir, lit(true))
+      .transform(graft.CacheScope.cache)
+    val existing = Scd2.build(
+      log.filter(abs(hash(col("user_id"), col("ts"))) % 5 =!= 0),
+      Seq("user_id"), "ts")
+    val batch = log.filter(abs(hash(col("user_id"), col("ts"))) % 5 === 0)
+    Scd2.merge(existing, batch, Seq("user_id"), "ts")
+      .select(col("user_id"), col("event_type"), col("value"),
+        col("valid_from"), col("valid_to"), col("version"),
+        col("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(asofLastClick, sessionGaps, topEventsPerUser, clickWindowJoin,
-      sessionStats, errorFollowup, typedSessions, stitchedRolling)
+      sessionStats, errorFollowup, typedSessions, stitchedRolling,
+      scd2Build, scd2PointInTime, scd2Merge)
 }
 
 /** Typed rows for [[TemporalQueries.typedSessions]]. */

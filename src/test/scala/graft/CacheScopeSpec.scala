@@ -99,7 +99,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q181_topic_profile",  // embeddings + assignment caches
     "q182_hybrid_persisted", // embeddings + both persisted legs' probe caches
     "q183_phrase_probe",   // query-slot cache through the phrase probe
-    "q184_proximity_probe" // query-term + probed-position caches
+    "q184_proximity_probe", // query-term + probed-position caches
+    "q187_scd2_merge"      // shared change-log cache across build + merge
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
