@@ -22,9 +22,10 @@ import graft.functions.Stable
   * contribution sums ride the decimal grid ([[Stable.sumD]]), so ranks
   * are bit-reproducible across partition counts — which is what lets a
   * DuckDB oracle replay the unrolled iterations exactly. Driver holds
-  * nothing. Each round's rank frame goes through
-  * [[graft.CacheScope.cacheTruncated]], so the analyzed plan stays a
-  * constant-size tree however many rounds run (the same discipline as
+  * nothing. Each round's rank frame is plan-truncated (rebuilt over its
+  * own row RDD — cached too in the convergence loop, where each round
+  * materializes twice), so the analyzed plan stays a constant-size tree
+  * however many rounds run (the same discipline as
   * [[ConnectedComponents]] — without it the tree grows with the
   * iteration count and every analyzer/canonicalizer walk pays for it).
   *
@@ -41,20 +42,31 @@ object PageRank {
 
   /** One iteration step: `r' = (1−d)/n + d · Σ_in r_u/deg_u` over the
     * full node universe (zero contribution coalesced in, see contract).
+    *
+    * The returned frame is plan-TRUNCATED (rebuilt over its own row
+    * RDD, one LogicalRDD node) so the analyzed tree stays constant-size
+    * however many rounds run — but whether it is also PERSISTED is the
+    * caller's choice: the fixed-iteration path runs ONE action over a
+    * linear lineage (each round's RDD evaluates exactly once inside it,
+    * so a persist per round is pure overhead — round 11 measured it at
+    * ~½ the query's wall), while the convergence path materializes each
+    * round twice (delta check + next round) and caches.
     */
   private def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
-      n1: DataFrame, r: DataFrame, damping: Double): DataFrame = {
+      n1: DataFrame, r: DataFrame, damping: Double,
+      cached: Boolean): DataFrame = {
     val contrib = edges
       .join(r.withColumnRenamed("node", "__s"), "__s")
       .join(deg, "__s")
       .groupBy(col("__t"))
       .agg(Stable.sumD(col("rank") / col("deg")).as("s"))
-    graft.CacheScope.cacheTruncated(
-      nodes.join(contrib, Seq("__t"), "left")
-        .crossJoin(broadcast(n1))
-        .select(col("__t").as("node"),
-          (lit(1.0 - damping) / col("n") +
-            lit(damping) * coalesce(col("s"), lit(0.0))).as("rank")))
+    val next = nodes.join(contrib, Seq("__t"), "left")
+      .crossJoin(broadcast(n1))
+      .select(col("__t").as("node"),
+        (lit(1.0 - damping) / col("n") +
+          lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
+    if (cached) graft.CacheScope.cacheTruncated(next)
+    else next.sparkSession.createDataFrame(next.rdd, next.schema)
   }
 
   private def prepare(edges0: DataFrame, srcCol: String, dstCol: String)
@@ -67,9 +79,8 @@ object PageRank {
     // so deg's keys ARE the nodes
     val nodes = deg.select(col("__s").as("__t"))
     val n1 = deg.agg(count(lit(1)).cast("double").as("n"))
-    val r0 = graft.CacheScope.cacheTruncated(
-      deg.crossJoin(broadcast(n1))
-        .select(col("__s").as("node"), (lit(1.0) / col("n")).as("rank")))
+    val r0 = deg.crossJoin(broadcast(n1))
+      .select(col("__s").as("node"), (lit(1.0) / col("n")).as("rank"))
     (edges, deg, nodes, n1, r0)
   }
 
@@ -79,7 +90,7 @@ object PageRank {
     val (edges, deg, nodes, n1, r0) = prepare(edges0, srcCol, dstCol)
     var r = r0
     (1 to iters).foreach { _ =>
-      r = step(edges, deg, nodes, n1, r, damping)
+      r = step(edges, deg, nodes, n1, r, damping, cached = false)
     }
     r.join(deg.withColumnRenamed("__s", "node"), "node")
       .select(col("node"), col("deg"), col("rank"))
@@ -104,7 +115,7 @@ object PageRank {
     var rounds = 0
     var delta = Double.MaxValue
     while (delta >= tol && rounds < maxIters) {
-      val next = step(edges, deg, nodes, n1, r, damping)
+      val next = step(edges, deg, nodes, n1, r, damping, cached = true)
       delta = next.join(r.withColumnRenamed("rank", "prev"), "node")
         .agg(Stable.sumD(abs(col("rank") - col("prev"))).as("d"))
         .head().getDouble(0)

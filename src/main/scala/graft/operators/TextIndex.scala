@@ -151,6 +151,12 @@ object TextIndex {
     val spark = docs.sparkSession
     val staged = dir + ".__stage__"
     val dls = doclens(docs, idCol, textCol)
+    // NOT clustered by bucket before the partitioned write: the
+    // repartition shuffle measurably slows every build at gate scale
+    // (+1-3.5 s per write-heavy gate, round-11 measured) for a file-
+    // count concern that compact() already owns — it restores one file
+    // per bucket, and at 100 TB a build is followed by a compact as a
+    // matter of course
     postings(docs, idCol, textCol, buckets, withPositions)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
     writeBucketsFile(spark, s"$staged/postings", buckets)
