@@ -113,6 +113,19 @@ object Bench {
     if (r == r.toLong) r.toLong.toString else r.toString
   }
 
+  /** Extracts the per-query map from any BENCH artifact (sidecar or
+    * BENCH_rN.json). The driver re-serializes BENCH files
+    * pretty-printed (": " with a space) while Bench's own output is
+    * compact — accept both, or the map silently parses empty and the
+    * inflation check no-ops (caught in round 7). -1 marks a failed
+    * query, not a time.
+    */
+  private[graft] def parseQs(s: String): Map[String, Double] =
+    "\"(q\\d+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(s)
+      .map(m => m.group(1) -> m.group(2).toDouble)
+      .filter(_._2 > 0)
+      .toMap
+
   private[graft] def renderSidecar(results: Seq[QueryResult],
       sfDir: String): String = {
     val qs = results
@@ -122,11 +135,43 @@ object Bench {
     s"""{"sf":"$sfDir","queries":$qs}"""
   }
 
+  /** Pointwise-min ratchet: a fresh sweep's number replaces the
+    * committed record only when it IMPROVES on it. The sidecar is the
+    * best-ever-observed baseline the NEXT round's inflation check reads
+    * — min is monotone, so the ratchet never loosens, and a sweep run
+    * inside a contention window (round 11: every number 1.5-3x high)
+    * can no longer replace the whole baseline wholesale and silently
+    * widen what future regressions hide under. A query new to the suite
+    * (or previously failed, recorded -1) takes the fresh number; a real
+    * accepted slowdown needs an explicit quiet-host reset
+    * (SPARK_GRAFT_BENCH_RESET_BASELINE=1).
+    */
+  private[graft] def ratchet(fresh: Seq[QueryResult],
+      committed: Map[String, Double]): Seq[QueryResult] =
+    fresh.map { r =>
+      committed.get(short(r.name)) match {
+        case Some(p) if p > 0 && p < r.best => r.copy(best = p)
+        case _ => r
+      }
+    }
+
   private[graft] def writeSidecar(results: Seq[QueryResult],
-      sfDir: String): Unit =
-    java.nio.file.Files.write(java.nio.file.Paths.get(SidecarPath),
-      (renderSidecar(results, sfDir) + "\n")
+      sfDir: String): Unit = {
+    val path = java.nio.file.Paths.get(SidecarPath)
+    val committed: Map[String, Double] =
+      if (sys.env.get("SPARK_GRAFT_BENCH_RESET_BASELINE").contains("1"))
+        Map.empty
+      else if (!java.nio.file.Files.exists(path)) Map.empty
+      else {
+        val s = new String(java.nio.file.Files.readAllBytes(path))
+        // a different-sf sidecar is no baseline: overwrite, never min
+        if (s.contains("\"sf\":\"" + sfDir + "\"")) parseQs(s)
+        else Map.empty
+      }
+    java.nio.file.Files.write(path,
+      (renderSidecar(ratchet(results, committed), sfDir) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
 
   private[graft] def renderLine(results: Seq[QueryResult], runs: Int,
       sfDir: String, sweepRetried: Boolean): String = {
@@ -142,25 +187,33 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_.best).filterNot(_.isInfinity).sum
     val retried = if (sweepRetried) ""","sweep_retried":true""" else ""
+    // Flag COUNTS survive EVERY degradation tier (round 11: the name
+    // arrays silently rendered [] under the cap, so a sweep whose
+    // inflation detector fired on dozens of queries machine-read as a
+    // clean one — 431 s committed as trustworthy). A consumer keying on
+    // contended_n/flaky_n/inflated_n can always tell "clean sweep" from
+    // "names dropped for space"; degraded tiers keep the first few
+    // names so the worst offenders stay attributable.
+    val counts = s""","contended_n":${contendedNames.size},"flaky_n":${flakyNames.size},"inflated_n":${inflatedNames.size}"""
     // `errors` counts every query with ANY failed run — all-runs-failed
     // (also in `failed`, reported -1) AND intermittent ones (also in
     // `flaky`, reporting their successful-run min)
-    def line(queries: String, flagNames: Boolean, extra: String) = {
-      def arr(ns: Seq[String]) = if (flagNames) names(ns) else "[]"
-      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${arr(contendedNames)},"flaky":${arr(flakyNames)},"inflated":${arr(inflatedNames)},"runs":$runs,"agg":"min","sf":"$sfDir"$retried$extra}"""
+    def line(queries: String, nameCap: Int, extra: String) = {
+      def arr(ns: Seq[String]) = names(ns.take(nameCap))
+      s"""{"metric":"total","value":${ms3(total)},"unit":"sec","queries":$queries,"errors":${failed.size + flakyNames.size},"failed":${names(failed)},"contended":${arr(contendedNames)},"flaky":${arr(flakyNames)},"inflated":${arr(inflatedNames)}$counts,"runs":$runs,"agg":"min","sf":"$sfDir"$retried$extra}"""
     }
-    val full = line(qsAt(3), flagNames = true, "")
+    val full = line(qsAt(3), Int.MaxValue, "")
     if (full.length <= Cap) full
     else {
       val over = s"line was ${full.length} chars"
       val tierUnit = Map(2 -> "10ms", 1 -> "100ms", 0 -> "1s")
       val tiers =
-        line(qsAt(3), flagNames = false,
-          s""","warning":"flag names omitted: $over"""") ::
-        List(2, 1, 0).map(d => line(qsAt(d), flagNames = false,
-          s""","warning":"flag names omitted, times rounded to ${tierUnit(d)}: $over""""))
+        line(qsAt(3), 3,
+          s""","warning":"flag names capped at 3 (see _n counts): $over"""") ::
+        List(2, 1, 0).map(d => line(qsAt(d), 3,
+          s""","warning":"flag names capped at 3 (see _n counts), times rounded to ${tierUnit(d)}: $over""""))
       tiers.find(_.length <= Cap).getOrElse(
-        line("{}", flagNames = false,
+        line("{}", 3,
           s""","warning":"queries omitted: $over""""))
     }
   }
@@ -224,15 +277,6 @@ object Bench {
     // the known one-line format (only the per-query map has q-prefixed
     // keys), so no JSON library is needed.
     val prior: Map[String, Double] = {
-      def parseQs(s: String): Map[String, Double] =
-        // the driver re-serializes BENCH files pretty-printed (": " with
-        // a space), while Bench's own output is compact — accept both,
-        // or the prior map silently parses empty and the inflation
-        // check no-ops (caught in round 7)
-        "\"(q\\d+)\"\\s*:\\s*(-?[0-9.]+)".r.findAllMatchIn(s)
-          .map(m => m.group(1) -> m.group(2).toDouble)
-          .filter(_._2 > 0) // -1 marks a failed query, not a time
-          .toMap
       // preferred yardstick: the committed full-precision sidecar — but
       // ONLY when its sf matches this run's (a local sf0.01 iteration
       // overwrites the sidecar; its times must never become the sf0.1

@@ -41,17 +41,40 @@ class BenchContractSpec extends AnyFunSuite {
     assert(retried.contains("\"sweep_retried\":true"), retried)
   }
 
-  test("bounded-tail degradation drops flag names before the query map") {
-    // enough flagged queries that the full line overflows the cap
+  test("flag COUNTS survive every tier; degraded tiers keep first names") {
+    // round-11 regression: a >Cap sweep rendered contended/flaky/
+    // inflated as [] — a fully contention-poisoned 431 s artifact
+    // machine-read as a clean one. Counts must survive degradation.
     val many = (1 to 120).map(i => QueryResult(f"q$i%03d_name", 1.0,
       contended = true, flaky = false, inflated = true))
     val line = Bench.renderLine(many, 3, "sfX", sweepRetried = false)
     assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
     // per-query map survives (feeds next round's inflation check)…
     assert(line.contains("\"q001\":1"), line)
-    // …while the diagnostic name arrays were emptied and flagged
-    assert(line.contains("\"contended\":[]"), line)
-    assert(line.contains("flag names omitted"), line)
+    // …counts are unambiguous even with names capped…
+    assert(line.contains("\"contended_n\":120"), line)
+    assert(line.contains("\"inflated_n\":120"), line)
+    assert(line.contains("\"flaky_n\":0"), line)
+    // …and the first few names stay attributable
+    assert(line.contains("\"contended\":[\"q001\",\"q002\",\"q003\"]"), line)
+    assert(line.contains("flag names capped"), line)
+  }
+
+  test("flag counts present on the full (uncapped) line too") {
+    val line = Bench.renderLine(base, 3, "sfX", sweepRetried = false)
+    assert(line.contains("\"contended_n\":1"), line)
+    assert(line.contains("\"flaky_n\":1"), line)
+    assert(line.contains("\"inflated_n\":1"), line)
+  }
+
+  test("last-resort tier (queries omitted) still carries flag counts") {
+    // force even the 1s tier over the cap: thousands of queries
+    val many = (1 to 2000).map(i => QueryResult(f"q$i%04d_name", 1.0,
+      contended = true, flaky = false, inflated = false))
+    val line = Bench.renderLine(many, 3, "sfX", sweepRetried = false)
+    assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
+    assert(line.contains("\"queries\":{}"), line)
+    assert(line.contains("\"contended_n\":2000"), line)
   }
 
   test("round-8 regression: ~140 ms-precision queries keep the map by " +
@@ -108,6 +131,41 @@ class BenchContractSpec extends AnyFunSuite {
     // slow queries degrade at least as hard as fast ones
     assert(Bench.extraRuns(3.5, 0.86 * B, B) == 1)
     assert(Bench.extraRuns(3.5, 1.01 * B, B) == 0)
+  }
+
+  test("sidecar ratchet: committed minima never loosen pointwise") {
+    // round-11 advice: a contended sweep replaced the whole baseline
+    // with numbers 1.5-3x high, silently widening what future
+    // regressions hide under. min(old, new) is monotone — never looser.
+    val committed = Map("q01" -> 1.0, "q02" -> 5.0, "q03" -> 7.0,
+      "q04" -> 2.0)
+    val merged = Bench.ratchet(base, committed)
+    def bestOf(n: String) = merged.find(_.name.startsWith(n)).get.best
+    assert(bestOf("q01") == 1.0) // old faster record kept
+    assert(bestOf("q02") == 2.0) // fresh improvement taken
+    assert(bestOf("q04") == 2.0) // old faster record kept
+    // a fresh FAILURE keeps the committed record as the yardstick —
+    // the failure itself is reported in the BENCH line's failed array
+    assert(bestOf("q03") == 7.0)
+  }
+
+  test("ratchet: a query absent from the baseline takes the fresh value") {
+    val merged = Bench.ratchet(base, Map.empty)
+    assert(merged.find(_.name.startsWith("q03")).get.best.isInfinity)
+    assert(merged.find(_.name.startsWith("q01")).get.best == 1.5)
+  }
+
+  test("ratchet ignores failed markers and keeps fresh on new queries") {
+    val committed = Map("q03" -> -1.0) // -1 = previously failed, not a time
+    val merged = Bench.ratchet(base, committed)
+    assert(merged.find(_.name.startsWith("q03")).get.best.isInfinity)
+  }
+
+  test("parseQs reads compact and pretty-printed maps, skips -1") {
+    val compact = """{"sf":"x","queries":{"q01":1.5,"q03":-1}}"""
+    val pretty = "{\n  \"q01\": 1.5,\n  \"q03\": -1\n}"
+    assert(Bench.parseQs(compact) == Map("q01" -> 1.5))
+    assert(Bench.parseQs(pretty) == Map("q01" -> 1.5))
   }
 
   test("sidecar carries the FULL-precision map and the run's sf") {
