@@ -25,12 +25,26 @@ object Sessions {
     * Residue on tmpfs stays bounded for the same reason Scratch's is:
     * temp checkpoints are force-deleted on query stop and Scratch
     * layouts are overwrite-per-name.
+    *
+    * The redirect also moves `spark.local.dir` SHUFFLE SPILL onto RAM —
+    * and spill happens exactly under memory pressure, so on a host with
+    * a small /dev/shm that converts a slow run into ENOSPC/OOM. Guard:
+    * redirect only when the tmpfs has real headroom
+    * ([[MinTmpfsHeadroomBytes]] usable), else keep the disk default.
     */
+  private[graft] val MinTmpfsHeadroomBytes: Long = 8L << 30
+
+  private[graft] def tmpfsHasHeadroom(p: java.nio.file.Path): Boolean =
+    try java.nio.file.Files.getFileStore(p).getUsableSpace >=
+      MinTmpfsHeadroomBytes
+    catch { case _: java.io.IOException => false }
+
   private lazy val scratchToTmpfs: Unit = {
     val shm = java.nio.file.Paths.get("/dev/shm")
     if (sys.env.getOrElse("SPARK_GRAFT_TMPFS", "1") != "0" &&
         java.nio.file.Files.isDirectory(shm) &&
-        java.nio.file.Files.isWritable(shm)) {
+        java.nio.file.Files.isWritable(shm) &&
+        tmpfsHasHeadroom(shm)) {
       val d = shm.resolve("graft_tmp")
       java.nio.file.Files.createDirectories(d)
       sys.props("java.io.tmpdir") = d.toString

@@ -9,17 +9,25 @@ import graft.functions.Text
   * treated as opaque `binary` payloads with typed metadata, plus decode /
   * feature-extract / frame-sample stages.
   *
-  * The decode step is a STUB — no image/audio codec libraries exist in
-  * this environment — but everything Spark-side is real and tested:
-  * binary columns, metadata structs, the per-partition batched decode
-  * pattern, and deterministic pseudo-features that the DuckDB oracle can
-  * reproduce. Swapping [[FakeCodec]] for a real codec (JavaCV, TwelveMonkeys,
-  * a JNI binding) changes no plumbing.
+  * Two decode tiers:
   *
-  * Scale shape: decode is per-row work behind [[Dataset.mapPartitions]] —
-  * the codec initializes ONCE per partition (the expensive part with real
-  * codecs), then streams the iterator. No shuffle; parallelism = input
-  * partitions; payload bytes never hit the driver.
+  *  - REAL: binary netpbm P6 images ([[ppmAssets]] encodes genuine P6
+  *    blobs — ASCII header, '#' comments, raw RGB bytes — from a
+  *    deterministic pixel formula; [[graft.expressions.PpmDecode]] /
+  *    [[graft.expressions.PpmLumaGrid]] parse the header and aggregate
+  *    the pixel BYTES as codegen kernels). The DuckDB oracle replays the
+  *    generating formula, so any off-by-one in the byte-level parse
+  *    breaks the gate. Heavier codecs (JPEG/H.264) need a library this
+  *    environment lacks, but they slot into the same column shapes.
+  *  - STUB: deterministic hash-derived pseudo-metadata ([[decodeSeed]],
+  *    [[fakeFeatures]], [[frameCount]]) kept for the block-checksum and
+  *    frame-sampling plumbing whose physics don't depend on pixels.
+  *
+  * Scale shape: decode is per-row work inside the scan stage (codegen
+  * expressions — no shuffle, no UDF boundary) or behind
+  * [[Dataset.mapPartitions]] where a real codec object needs
+  * per-partition init ([[decodePpmPartitioned]]); payload bytes never
+  * hit the driver.
   *
   * `mapPartitions` here is the Scala-native equivalent of PySpark's
   * `mapInPandas` (this is a Scala library — no Python worker exists to
@@ -35,9 +43,6 @@ object Multimodal {
   /** Typed asset row: opaque payload + metadata. */
   case class Asset(asset_id: Long, kind: String, payload: Array[Byte],
       n_bytes: Int)
-
-  case class DecodedAsset(asset_id: Long, kind: String, n_bytes: Int,
-      seed: Long, features: Array[Double], n_frames: Int)
 
   /** Build a binary asset table from the `documents` fixture: the text
     * payload stands in for encoded media bytes; `kind` is derived
@@ -114,36 +119,97 @@ object Multimodal {
       .withColumn("frame_seed", col(seedCol) + col("frame_idx"))
   }
 
+  // ------------------------------------------------------------------
+  // REAL tier: binary netpbm P6 (see class doc and graft.expressions.Netpbm)
+  // ------------------------------------------------------------------
+
+  /** Deterministic pixel formula for the synthetic image corpus: byte
+    * `i` of asset `d`'s raw RGB stream is `(d·31 + i·7 + (i² mod 251))
+    * mod 256`. Chosen to be exactly replayable as BIGINT arithmetic in
+    * the oracle (all operands non-negative, so `%` agrees across
+    * engines) while exercising the full 0–255 byte range.
+    */
+  def ppmPixelByte(assetId: Column, i: Column): Column =
+    (assetId * 31L + i * 7L + (i * i) % 251L) % 256L
+
+  /** Image dimensions per asset: 16–32 × 12–22 (small enough that the
+    * oracle's per-pixel replay stays cheap; the decode kernels are
+    * O(bytes) regardless).
+    */
+  def ppmWidth(assetId: Column): Column = (lit(16L) + assetId % 17L).cast("int")
+  def ppmHeight(assetId: Column): Column = (lit(12L) + assetId % 11L).cast("int")
+
+  /** Encode a REAL binary P6 blob per document: ASCII header (every
+    * 5th asset carries a `# g` comment line — the published netpbm
+    * grammar allows comments anywhere in header whitespace, and the
+    * gate must prove the parser skips them), then `w·h·3` raw bytes
+    * from [[ppmPixelByte]] packed by the
+    * [[graft.expressions.PackBytes]] kernel (builtins can't make
+    * arbitrary bytes: `chr()` detours through UTF-8). Columns:
+    * `asset_id, kind, width, height, payload, n_bytes`.
+    */
+  def ppmAssets(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val w = ppmWidth(d)
+    val h = ppmHeight(d)
+    val nBytes = (w.cast("long") * h * 3L)
+    val header = concat(lit("P6\n"), w.cast("string"), lit(" "),
+      h.cast("string"),
+      when(d % 5L === 0L, lit("\n# g\n255\n")).otherwise(lit("\n255\n")))
+    val pixels = graft.expressions.Netpbm.packBytesColumn(
+      transform(sequence(lit(0L), nBytes - 1L),
+        i => ppmPixelByte(d, i).cast("int")))
+    docs.select(
+      d.as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (Text.charHash(col("source")) % 3 + 1).cast("int")).as("kind"),
+      w.as("width"), h.as("height"),
+      concat(header.cast("binary"), pixels).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+  }
+
+  /** Header + channel sums from the payload BYTES (codegen kernel). */
+  def ppmDecode(payload: Column): Column =
+    graft.expressions.Netpbm.decodeColumn(payload)
+
+  /** `gw × gh` mean-luminance feature grid from the payload bytes. */
+  def ppmLumaGrid(payload: Column, gw: Int, gh: Int): Column =
+    graft.expressions.Netpbm.lumaGridColumn(payload, gw, gh)
+
+  case class PpmDecoded(asset_id: Long, kind: String, valid: Boolean,
+      width: Int, height: Int, maxval: Int, n_px: Long,
+      r_sum: Long, g_sum: Long, b_sum: Long)
+
   /** The batched-decode pattern: one codec instance per PARTITION (real
     * codecs are expensive to open), streamed over the iterator — the
-    * Scala twin of a `mapInPandas` batch UDF. Produces exactly the same
-    * values as the expression stubs above (asserted in the spec).
+    * Scala twin of a `mapInPandas` batch UDF. Decodes the same real P6
+    * bytes as [[ppmDecode]] (asserted equal in the spec); the expression
+    * form is preferred in queries (stays inside whole-stage codegen),
+    * this form is the integration seam a library-backed codec plugs
+    * into.
     */
-  def decodePartitioned(assets: Dataset[Asset]): Dataset[DecodedAsset] = {
+  def decodePpmPartitioned(assets: Dataset[Asset]): Dataset[PpmDecoded] = {
     import assets.sparkSession.implicits._
     assets.mapPartitions { it =>
-      val codec = FakeCodec.open() // once per partition
+      val codec = PpmCodec.open() // once per partition
       it.map(codec.decode)
     }
   }
 }
 
-/** Stand-in for a real media codec; `open()` models per-partition codec
-  * initialization. Deterministic: mirrors the expression-level stubs.
+/** Real P6 codec over the shared [[graft.expressions.Netpbm]] parse
+  * kernels; `open()` models per-partition codec initialization.
   */
-final class FakeCodec private () {
-  import Multimodal._
+final class PpmCodec private () {
 
-  def decode(a: Multimodal.Asset): Multimodal.DecodedAsset = {
-    val seed = graft.expressions.PolyHash.hash(
-      new String(a.payload, java.nio.charset.StandardCharsets.UTF_8))
-    val features = Array.tabulate(FeatureDims)(
-      i => (seed * (i + 1) % 1009).toDouble / 1009.0)
-    val frames = math.ceil(a.n_bytes.toDouble / FrameChunkBytes).toLong.toInt
-    Multimodal.DecodedAsset(a.asset_id, a.kind, a.n_bytes, seed, features, frames)
+  def decode(a: Multimodal.Asset): Multimodal.PpmDecoded = {
+    val r = graft.expressions.Netpbm.decode(a.payload)
+    Multimodal.PpmDecoded(a.asset_id, a.kind, r.getBoolean(0), r.getInt(1),
+      r.getInt(2), r.getInt(3), r.getLong(4), r.getLong(5), r.getLong(6),
+      r.getLong(7))
   }
 }
 
-object FakeCodec {
-  def open(): FakeCodec = new FakeCodec()
+object PpmCodec {
+  def open(): PpmCodec = new PpmCodec()
 }

@@ -76,7 +76,20 @@ object PageRank {
     val deg = graft.CacheScope.cache(
       edges.groupBy(col("__s")).agg(count(lit(1)).as("deg")))
     // node universe: out-degree >= 1 for every node per the contract,
-    // so deg's keys ARE the nodes
+    // so deg's keys ARE the nodes. ENFORCE the contract instead of
+    // trusting it: a node appearing only as a destination (a sink)
+    // would be silently dropped from the rank frame and the mass sent
+    // to it would vanish — ranks no longer sum to 1, with no error.
+    // One distinct+anti pass over the (cached) edge frame, bounded by
+    // the edge count, failing fast with the remedy in the message.
+    val sink = edges.select(col("__t")).distinct()
+      .join(deg.select(col("__s").as("__t")), Seq("__t"), "left_anti")
+      .limit(1).collect()
+    require(sink.isEmpty,
+      s"PageRank contract violated: node '${sink.headOption.map(_.get(0)).orNull}' " +
+        "appears only as a destination (out-degree 0) — its incoming " +
+        "mass would silently vanish. Totalize upstream: add self-loops " +
+        "for sinks or drop edges into them before calling.")
     val nodes = deg.select(col("__s").as("__t"))
     val n1 = deg.agg(count(lit(1)).cast("double").as("n"))
     val r0 = deg.crossJoin(broadcast(n1))

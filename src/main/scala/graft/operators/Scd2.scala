@@ -43,10 +43,22 @@ object Scd2 {
       .withColumnRenamed(tsCol, "valid_from")
   }
 
+  /** Broadcast bound for the touched-key set, in DISTINCT KEY ROWS. A
+    * normal change batch touches a sliver of the dimension and the set
+    * broadcasts (exchange-free pass-through for untouched history); a
+    * batch that touches most keys — a full reload or backfill — would
+    * make that broadcast dimension-sized and OOM the driver, so past
+    * the bound the hint is dropped and AQE picks the join (shuffled —
+    * slower, but it completes). Key rows are key columns only (tens of
+    * bytes), so 2M rows stays well inside the default broadcast budget.
+    */
+  private[operators] val MaxBroadcastTouchedKeys: Long = 2L << 20
+
   /** Fold a new change batch into an existing SCD2 frame: the touched
     * keys' chains are replayed from (their existing rows ∪ the batch)
     * and re-versioned; untouched keys pass through an anti-join against
-    * the broadcast touched-key set without moving. The result is
+    * the bounded-broadcast touched-key set without moving (see
+    * [[MaxBroadcastTouchedKeys]]). The result is
     * bit-identical to [[build]] over the full change log — maintained ≡
     * fresh, the lifecycle discipline every index family here pins.
     * Batch rows must be new (keys, ts) pairs: re-stating an existing
@@ -54,13 +66,19 @@ object Scd2 {
     * the one-row-per-(keys, ts) contract.
     */
   def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String],
-      tsCol: String): DataFrame = {
-    val touched = batch.select(keys.map(col): _*).distinct()
-    val untouched = existing.join(broadcast(touched), keys, "left_anti")
+      tsCol: String,
+      maxBroadcastKeys: Long = MaxBroadcastTouchedKeys): DataFrame = {
+    val distinctKeys = batch.select(keys.map(col): _*).distinct()
+    // one cheap count over the batch decides the shape; the cost is
+    // bounded by the batch itself, never the dimension
+    val touched =
+      if (distinctKeys.count() <= maxBroadcastKeys) broadcast(distinctKeys)
+      else distinctKeys
+    val untouched = existing.join(touched, keys, "left_anti")
     val attrs = existing.columns.filterNot(c =>
       keys.contains(c) || Seq("valid_from", "valid_to", "version",
         "is_current").contains(c)).toSeq
-    val replay = existing.join(broadcast(touched), keys, "left_semi")
+    val replay = existing.join(touched, keys, "left_semi")
       .select((keys.map(col) ++ attrs.map(col) ++
         Seq(col("valid_from").as(tsCol))): _*)
       .unionByName(batch.select((keys.map(col) ++ attrs.map(col) ++

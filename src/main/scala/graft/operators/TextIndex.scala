@@ -70,29 +70,38 @@ object TextIndex {
   private def bkt(term: Column, buckets: Int): Column =
     pmod(xxhash64(term), lit(buckets.toLong)).cast("int")
 
-  /** The layout's bucket modulus lives IN the postings directory
-    * (`postings/_buckets`, one integer) so it travels atomically with
-    * every publish swap — a probe or append computing `bkt` with a
-    * stale modulus would prune the WRONG directories and silently miss
-    * postings, so the modulus is part of the layout, never a constant
-    * the caller has to know ([[growBucketsIfHot]] changes it).
+  /** The layout's bucket modulus AND positional flag live IN the
+    * postings directory (`postings/_buckets`: line 1 the modulus, line
+    * 2 `pos=true|false`) so they travel atomically with every publish
+    * swap — a probe or append computing `bkt` with a stale modulus
+    * would prune the WRONG directories and silently miss postings, and
+    * sniffing the positional flag from parquet footers cost an extra
+    * file-listing pass per append/phrase/proximity call on an index
+    * that can hold millions of files at 100 TB (round-11 advice). A
+    * layout written before the flag existed reads as non-positional.
     */
-  def readBuckets(spark: SparkSession, dir: String): Int = {
+  def readLayout(spark: SparkSession, dir: String): (Int, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings/_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     require(fs.exists(p), s"$dir/postings/_buckets missing — not a " +
       "TextIndex layout (or a pre-modulus one; rebuild via write())")
     val in = fs.open(p)
-    try scala.io.Source.fromInputStream(in).mkString.trim.toInt
-    finally in.close()
+    val lines =
+      try scala.io.Source.fromInputStream(in).getLines()
+        .map(_.trim).filter(_.nonEmpty).toList
+      finally in.close()
+    (lines.head.toInt, lines.exists(_ == "pos=true"))
   }
 
+  def readBuckets(spark: SparkSession, dir: String): Int =
+    readLayout(spark, dir)._1
+
   private def writeBucketsFile(spark: SparkSession, postingsDir: String,
-      buckets: Int): Unit = {
+      buckets: Int, withPositions: Boolean): Unit = {
     val p = new org.apache.hadoop.fs.Path(s"$postingsDir/_buckets")
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(p, true)
-    try out.write(s"$buckets\n".getBytes("UTF-8"))
+    try out.write(s"$buckets\npos=$withPositions\n".getBytes("UTF-8"))
     finally out.close()
   }
 
@@ -159,7 +168,7 @@ object TextIndex {
     // matter of course
     postings(docs, idCol, textCol, buckets, withPositions)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
-    writeBucketsFile(spark, s"$staged/postings", buckets)
+    writeBucketsFile(spark, s"$staged/postings", buckets, withPositions)
     dls.write.mode("overwrite").parquet(s"$staged/doclens")
     totalsRow(dls).write.mode("overwrite").parquet(s"$staged/stats")
     Tables.publish(spark, staged, dir)
@@ -186,9 +195,8 @@ object TextIndex {
     // the layout self-describes its encoding: a positional index's
     // appended rows must carry positions too, or a later phrase probe
     // would silently miss the appended docs
-    val withPos = spark.read.parquet(s"$dir/postings")
-      .schema.fieldNames.contains("pos")
-    postings(batch, idCol, textCol, readBuckets(spark, dir), withPos)
+    val (nb, withPos) = readLayout(spark, dir)
+    postings(batch, idCol, textCol, nb, withPos)
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
     dls.write.mode("append").parquet(s"$dir/doclens")
     totalsRow(dls).write.mode("append").parquet(s"$dir/stats")
@@ -257,9 +265,11 @@ object TextIndex {
     val stagedP = post + ".__tmp__"
     livePost.repartition(col("bkt"))
       .write.mode("overwrite").partitionBy("bkt").parquet(stagedP)
-    // the modulus is unchanged by compaction but must travel with the
-    // staged layout — the publish swap replaces the whole directory
-    writeBucketsFile(spark, stagedP, readBuckets(spark, dir))
+    // the modulus and positional flag are unchanged by compaction but
+    // must travel with the staged layout — the publish swap replaces
+    // the whole directory
+    val (nb, withPos) = readLayout(spark, dir)
+    writeBucketsFile(spark, stagedP, nb, withPos)
     Tombstones.carryInto(spark, post, snap, stagedP)
 
     // stage doclens BEFORE the postings publish clears the applied
@@ -306,7 +316,7 @@ object TextIndex {
       maxPostingsPerBucket: Long): DataFrame = {
     import spark.implicits._
     val post = s"$dir/postings"
-    val before = readBuckets(spark, dir)
+    val (before, withPos) = readLayout(spark, dir)
     // signal over ALL rows (masked ones included): a probe's bucket
     // scan pays for tombstoned rows too until a compact drops them
     val rows = spark.read.parquet(post)
@@ -325,7 +335,7 @@ object TextIndex {
       rows.withColumn("bkt", bkt(col("term"), after))
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(staged)
-      writeBucketsFile(spark, staged, after)
+      writeBucketsFile(spark, staged, after, withPos)
       Tombstones.carryInto(spark, post, Set.empty, staged)
       Tables.publish(spark, staged, post)
     }
@@ -443,14 +453,13 @@ object TextIndex {
     */
   def phraseSearch(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, textCol: String): DataFrame = {
-    require(spark.read.parquet(s"$dir/postings")
-        .schema.fieldNames.contains("pos"),
+    val (nb, withPos) = readLayout(spark, dir)
+    require(withPos,
       "phraseSearch needs a positional layout: write(..., withPositions = true)")
     val qslots = graft.CacheScope.cache(
       queries.select(col(qidCol).as("qid"),
         posexplode(Text.tokens(col(textCol))).as(Seq("slot", "term"))))
     val qlen = qslots.groupBy(col("qid")).agg(count(lit(1)).as("m"))
-    val nb = readBuckets(spark, dir)
     val bkts = qslots.select(bkt(col("term"), nb).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val qTerms = qslots.select(col("term")).distinct()
@@ -492,14 +501,13 @@ object TextIndex {
     */
   def proximitySearch(spark: SparkSession, dir: String, queries: DataFrame,
       qidCol: String, textCol: String, window: Int): DataFrame = {
-    require(spark.read.parquet(s"$dir/postings")
-        .schema.fieldNames.contains("pos"),
+    val (nb, withPos) = readLayout(spark, dir)
+    require(withPos,
       "proximitySearch needs a positional layout: write(..., withPositions = true)")
     val qterms = graft.CacheScope.cache(
       queries.select(col(qidCol).as("qid"),
         explode(array_distinct(Text.tokens(col(textCol)))).as("term")))
     val qm = qterms.groupBy(col("qid")).agg(count(lit(1)).as("m"))
-    val nb = readBuckets(spark, dir)
     val bkts = qterms.select(bkt(col("term"), nb).as("b")).distinct()
       .collect().map(_.getInt(0)).toSeq
     val post = Tombstones.filterLive(spark, s"$dir/postings",

@@ -6,76 +6,110 @@ import graft.QuerySpec
 import graft.multimodal.Multimodal
 import graft.sources.Tables
 
-/** Multimodal plumbing exercised end-to-end (north-star extension): build
-  * binary assets, decode (stubbed — see [[Multimodal]]), extract pseudo
-  * features, frame-sample, and roll up per kind. The DuckDB oracle
-  * reproduces the deterministic stubs byte-for-byte.
+/** Multimodal tier exercised end-to-end (north-star extension): encode
+  * REAL binary netpbm P6 images, decode them at the byte level with the
+  * codegen kernels ([[graft.expressions.PpmDecode]] — q30/q31), and run
+  * block-checksum dedup over binary payloads (q77). The DuckDB oracle
+  * replays the pixel-generating formula, never the parse — so the
+  * byte-level decode is what the hash compare actually verifies.
   */
 object MultimodalQueries {
 
-  private val charHashText = graft.functions.Text.charHashSql("text")
   private val charHashSource = graft.functions.Text.charHashSql("source")
 
-  /** Per-asset decode: payload bytes → seed, 4 pseudo-features, frame
-    * count, with kind + size metadata.
+  /** DuckDB CTEs replaying the synthetic image corpus by its generating
+    * formula ([[Multimodal.ppmPixelByte]]): per-asset dimensions and
+    * per-channel byte sums. The SPARK side never sees the formula at
+    * decode time — it parses the actual P6 header and sums the actual
+    * payload bytes ([[graft.expressions.PpmDecode]]) — so any
+    * off-by-one in the byte-level parse (comment skip, the single
+    * whitespace before raw data, channel interleave) hash-mismatches.
+    */
+  private def ppmSumsCtes: String =
+    s"""dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    CAST(16 + doc_id % 17 AS INT) AS width,
+      |    CAST(12 + doc_id % 11 AS INT) AS height
+      |  FROM documents),
+      |sums AS (
+      |  SELECT asset_id, kind, width, height,
+      |    CAST(width AS BIGINT) * height AS n_px,
+      |    CAST(list_sum([(asset_id*31 + i*7 + (i*i)%251) % 256
+      |      FOR i IN range(0, CAST(width AS BIGINT)*height*3) IF i % 3 = 0]) AS BIGINT) AS r_sum,
+      |    CAST(list_sum([(asset_id*31 + i*7 + (i*i)%251) % 256
+      |      FOR i IN range(0, CAST(width AS BIGINT)*height*3) IF i % 3 = 1]) AS BIGINT) AS g_sum,
+      |    CAST(list_sum([(asset_id*31 + i*7 + (i*i)%251) % 256
+      |      FOR i IN range(0, CAST(width AS BIGINT)*height*3) IF i % 3 = 2]) AS BIGINT) AS b_sum
+      |  FROM dims)""".stripMargin
+
+  /** Per-asset REAL image decode: P6 header fields and per-channel
+    * means computed from the payload bytes by the codegen kernel, with
+    * the encoded blob's exact length cross-checked (header arithmetic:
+    * magic + dimension digits + optional comment + one separator +
+    * `3·w·h` samples).
     */
   val assetDecode: QuerySpec = QuerySpec.sql(
     "q30_asset_decode",
-    s"""WITH assets AS (
-      |  SELECT doc_id AS asset_id,
-      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
-      |    octet_length(CAST(text AS BLOB)) AS n_bytes,
-      |    $charHashText AS seed
-      |  FROM documents)
-      |SELECT asset_id, kind, CAST(n_bytes AS INT) AS n_bytes, seed,
-      |  round(CAST(seed * 1 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f1,
-      |  round(CAST(seed * 2 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f2,
-      |  round(CAST(seed * 3 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f3,
-      |  round(CAST(seed * 4 % 1009 AS DOUBLE) / 1009.0 + 1e-9, 6) AS f4,
-      |  CAST(ceil(n_bytes / 64.0) AS BIGINT) AS n_frames
-      |FROM assets
+    s"""WITH $ppmSumsCtes
+      |SELECT asset_id, kind, TRUE AS valid, width, height,
+      |  CAST(255 AS INT) AS maxval, n_px, r_sum, g_sum, b_sum,
+      |  CAST(3 + length(CAST(width AS VARCHAR)) + 1
+      |    + length(CAST(height AS VARCHAR)) + 5
+      |    + CASE WHEN asset_id % 5 = 0 THEN 4 ELSE 0 END
+      |    + n_px * 3 AS INT) AS n_bytes,
+      |  round(CAST(r_sum AS DOUBLE) / n_px + 1e-9, 6) AS r_mean,
+      |  round(CAST(g_sum AS DOUBLE) / n_px + 1e-9, 6) AS g_mean,
+      |  round(CAST(b_sum AS DOUBLE) / n_px + 1e-9, 6) AS b_mean
+      |FROM sums
       |ORDER BY asset_id""".stripMargin
   ) { (spark, dir) =>
-    val a = Multimodal.assets(Tables.load(spark, dir, "documents"))
-      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
-      .withColumn("features", Multimodal.fakeFeatures(col("seed")))
-      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
-    a.select(col("asset_id"), col("kind"), col("n_bytes"), col("seed"),
-        round(element_at(col("features"), 1) + lit(1e-9), 6).as("f1"),
-        round(element_at(col("features"), 2) + lit(1e-9), 6).as("f2"),
-        round(element_at(col("features"), 3) + lit(1e-9), 6).as("f3"),
-        round(element_at(col("features"), 4) + lit(1e-9), 6).as("f4"),
-        col("n_frames"))
+    Multimodal.ppmAssets(Tables.load(spark, dir, "documents"))
+      .withColumn("d", Multimodal.ppmDecode(col("payload")))
+      .select(col("asset_id"), col("kind"),
+        col("d.valid").as("valid"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.maxval").as("maxval"), col("d.n_px").as("n_px"),
+        col("d.r_sum").as("r_sum"), col("d.g_sum").as("g_sum"),
+        col("d.b_sum").as("b_sum"), col("n_bytes"),
+        round(col("d.r_sum").cast("double") / col("d.n_px") + lit(1e-9), 6)
+          .as("r_mean"),
+        round(col("d.g_sum").cast("double") / col("d.n_px") + lit(1e-9), 6)
+          .as("g_mean"),
+        round(col("d.b_sum").cast("double") / col("d.n_px") + lit(1e-9), 6)
+          .as("b_mean"))
       .orderBy(col("asset_id"))
   }
 
-  /** Per-kind rollup of the decoded assets — the "profile your media
-    * corpus before training" scan.
+  /** Per-kind rollup of the REAL decoded corpus — the "profile your
+    * media corpus before training" scan, now over parsed headers and
+    * summed pixel bytes rather than payload sizes.
     */
   val kindProfile: QuerySpec = QuerySpec.sql(
     "q31_kind_profile",
-    s"""WITH assets AS (
-      |  SELECT doc_id AS asset_id,
-      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
-      |    octet_length(CAST(text AS BLOB)) AS n_bytes
-      |  FROM documents)
+    s"""WITH $ppmSumsCtes
       |SELECT kind, count(*) AS n_assets,
-      |  CAST(sum(n_bytes) AS BIGINT) AS total_bytes,
-      |  ${graft.functions.Stable.avg4Sql("n_bytes")} AS avg_bytes,
-      |  CAST(max(n_bytes) AS INT) AS max_bytes,
-      |  CAST(sum(CAST(ceil(n_bytes / 64.0) AS BIGINT)) AS BIGINT) AS total_frames
-      |FROM assets
+      |  CAST(count(*) AS BIGINT) AS n_valid,
+      |  CAST(sum(n_px) AS BIGINT) AS total_px,
+      |  CAST(max(width) AS INT) AS max_width,
+      |  CAST(min(height) AS INT) AS min_height,
+      |  round(CAST(sum(r_sum + g_sum + b_sum) AS DOUBLE)
+      |    / (3.0 * sum(n_px)) + 1e-9, 6) AS mean_luma
+      |FROM sums
       |GROUP BY kind
       |ORDER BY kind""".stripMargin
   ) { (spark, dir) =>
-    Multimodal.assets(Tables.load(spark, dir, "documents"))
-      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
+    Multimodal.ppmAssets(Tables.load(spark, dir, "documents"))
+      .withColumn("d", Multimodal.ppmDecode(col("payload")))
       .groupBy(col("kind"))
       .agg(count(lit(1)).as("n_assets"),
-        sum(col("n_bytes")).cast("long").as("total_bytes"),
-        graft.functions.Stable.avg4(col("n_bytes")).as("avg_bytes"),
-        max(col("n_bytes")).as("max_bytes"),
-        sum(col("n_frames")).as("total_frames"))
+        sum(when(col("d.valid"), 1L).otherwise(0L)).as("n_valid"),
+        sum(col("d.n_px")).as("total_px"),
+        max(col("d.width")).as("max_width"),
+        min(col("d.height")).as("min_height"),
+        round((sum(col("d.r_sum") + col("d.g_sum") + col("d.b_sum"))
+            .cast("double") / (lit(3.0) * sum(col("d.n_px"))))
+          + lit(1e-9), 6).as("mean_luma"))
       .orderBy(col("kind"))
   }
 

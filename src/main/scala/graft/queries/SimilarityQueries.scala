@@ -2077,21 +2077,50 @@ object SimilarityQueries {
 
   /** Media near-dup gating through the ANN tier — the embedding-side
     * media dedup a real curation pipeline runs NEXT TO q122's exact
-    * block-checksum gate: per-asset feature vectors (the deterministic
-    * [[graft.multimodal.Multimodal]] decode stub — swap in a real
-    * encoder, nothing else changes) are indexed by the q58 IVF
-    * quantizer, a bounded probe batch searches its nProbe cells, and
-    * the cosine neighborhood flags near-dup media that differ in bytes
-    * (re-encodes, metadata edits) which checksums can never see. The
-    * oracle rebuilds the features in SQL and replays the unrolled-Lloyd
-    * chain over them, so feature extraction + training + probe + gate
-    * all hash-match.
+    * block-checksum gate: per-asset feature vectors come from REAL
+    * pixel bytes (the 2×2 mean-luminance grid
+    * [[graft.expressions.PpmLumaGrid]] computes over each decoded P6
+    * payload — means survive the byte-level re-encodes checksums trip
+    * on), are indexed by the q58 IVF quantizer, a bounded probe batch
+    * searches its nProbe cells, and the cosine neighborhood flags
+    * near-dup media. The oracle rebuilds the features by replaying the
+    * pixel-generating formula per grid cell — never the parse — then
+    * replays the unrolled-Lloyd chain over them, so byte decode +
+    * feature extraction + training + probe + gate all hash-match.
     */
+  /** DuckDB replay of the 2×2 mean-luminance media features
+    * ([[graft.expressions.PpmLumaGrid]] over [[graft.multimodal
+    * .Multimodal.ppmAssets]]'s real P6 blobs): per grid cell, the
+    * pixel-generating formula summed over the cell's pixels — the
+    * oracle never parses bytes, so the Spark side's byte-level decode
+    * is what the hash compare verifies. Shared by q139 and q188.
+    */
+  private def lumaAssetCte: String = {
+    def cellOf(p: String) = s"(($p // w) * 2 // h) * 2 + (($p % w) * 2 // w)"
+    def pix(j: String) = s"(doc_id*31 + ($j)*7 + (($j)*($j))%251) % 256"
+    s"""SELECT doc_id AS vec_id,
+      |    [CAST(
+      |       list_sum([ (${pix("3*p")} + ${pix("3*p+1")} + ${pix("3*p+2")})
+      |          FOR p IN range(0, CAST(w AS BIGINT)*h) IF ${cellOf("p")} = c ])
+      |       / (3.0 * len([1 FOR p IN range(0, CAST(w AS BIGINT)*h)
+      |                     IF ${cellOf("p")} = c]))
+      |     AS FLOAT) FOR c IN range(0, 4)] AS embedding
+      |  FROM (SELECT doc_id, 16 + doc_id % 17 AS w, 12 + doc_id % 11 AS h
+      |        FROM documents) s""".stripMargin
+  }
+
+  /** Spark side of [[lumaAssetCte]]: features from the ACTUAL payload
+    * bytes via the codegen grid kernel.
+    */
+  private def lumaFeatures(spark: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame =
+    graft.multimodal.Multimodal.ppmAssets(Tables.load(spark, dir, "documents"))
+      .select(col("asset_id").as("vec_id"),
+        graft.multimodal.Multimodal.ppmLumaGrid(col("payload"), 2, 2)
+          .cast("array<float>").as("embedding"))
+
   val mediaAnnGate: QuerySpec = {
-    val assetCte =
-      s"""SELECT doc_id AS vec_id,
-        |    [CAST(CAST(seed * i % 1009 AS DOUBLE) / 1009.0 AS FLOAT) FOR i IN [1, 2, 3, 4]] AS embedding
-        |  FROM (SELECT doc_id, ${graft.functions.Text.charHashSql("text")} AS seed FROM documents) s""".stripMargin
+    val assetCte = lumaAssetCte
     QuerySpec.sql(
       "q139_media_ann",
       s"""SELECT qid, neighbor, cosine, cosine >= 0.9995 AS near_dup
@@ -2099,12 +2128,7 @@ object SimilarityQueries {
           dim = 4, nQueries = 10, corpusCte = assetCte)}) t
         |ORDER BY qid, cosine DESC, neighbor""".stripMargin
     ) { (spark, dir) =>
-      import graft.multimodal.Multimodal
-      val feats = Multimodal.assets(Tables.load(spark, dir, "documents"))
-        .withColumn("seed", Multimodal.decodeSeed(col("payload")))
-        .select(col("asset_id").as("vec_id"),
-          Multimodal.fakeFeatures(col("seed")).cast("array<float>")
-            .as("embedding"))
+      val feats = lumaFeatures(spark, dir)
       val queries = feats.filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.IvfAnn.search(feats, "vec_id", "embedding",
@@ -2719,9 +2743,10 @@ object SimilarityQueries {
       val emb = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
         .select(col("vec_id"), col("embedding")))
       val root = graft.Scratch.fresh("q182")
-      val tIdx = root + "/text"
       val bIdx = root + "/bq"
-      graft.operators.TextIndex.write(docs, "doc_id", "text", tIdx)
+      // copy-on-write from the shared immutable base (this gate deletes)
+      val tIdx = graft.Scratch.cloneBase(
+        SharedIndexes.textFull(spark, dir), "q182_text")
       graft.operators.TextIndex.delete(spark, tIdx,
         deleted.toDF("doc_id"), "doc_id")
       graft.operators.BinaryQuantizer.writeIndex(emb, "vec_id",
@@ -2740,6 +2765,90 @@ object SimilarityQueries {
           k = kLeg, refine = refine)
         .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("dist"), col("neighbor"))).cast("long"))
+        .select(col("qid"), col("neighbor").as("doc_id"), col("rk"))
+      val contrib = (f: org.apache.spark.sql.DataFrame) => f.select(
+        col("qid"), col("doc_id"),
+        (lit(1.0) / (lit(60L) + col("rk")).cast("double")).as("c"))
+      contrib(bmLeg).unionByName(contrib(vLeg))
+        .groupBy(col("qid"), col("doc_id"))
+        .agg(graft.functions.Stable.sumD(col("c")).as("rrf"))
+        .withColumn("rank", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rrf").desc, col("doc_id"))).cast("long"))
+        .filter(col("rank") <= kOut)
+        .select(col("qid"), col("rank"), col("doc_id"),
+          round(col("rrf") + lit(1e-9), 6).as("rrf"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
+  /** CROSS-MODAL retrieval — q182's fusion machinery joined ACROSS
+    * modalities on the asset↔document link (asset_id = doc_id): the
+    * keyword leg probes the persisted BM25 inverted index over the
+    * documents' TEXT, the media leg runs the q139 IVF search over
+    * feature vectors decoded from the linked assets' PIXEL BYTES
+    * ([[graft.expressions.PpmLumaGrid]] over real P6 payloads), and
+    * RRF fuses per query: a candidate surfaces whether it matches in
+    * words or in pixels. Completes the multimodal story decode →
+    * features → index → fused serving.
+    *
+    * Determinism across engines: each leg's top-k set is its own
+    * gate-proven chain (BM25 rank; IVF unrounded-cosine top-k); WITHIN
+    * the fused legs the media rank is recomputed over the 4-decimal
+    * ROUNDED cosine (ties → neighbor id) so both engines rank on
+    * identical decimal surfaces. Scale shape: text probe is bucket-
+    * pruned to query vocabulary, media probe scans nProbe cells, fusion
+    * touches only `nQ · kLeg` rows per leg — nothing corpus-sized
+    * shuffles after the two index probes.
+    */
+  val crossModalRrf: QuerySpec = {
+    val (nQ, kLeg, kOut) = (6, 10, 5)
+    QuerySpec.sql(
+      "q188_crossmodal_rrf",
+      s"""WITH ${graft.operators.TextIndex.bm25CtesSql(
+          "SELECT doc_id, text FROM documents",
+          s"SELECT doc_id AS qid, text FROM documents WHERE doc_id < $nQ")},
+        |bmrank AS (SELECT qid, doc_id, row_number() OVER (PARTITION BY qid
+        |    ORDER BY score DESC, doc_id) AS rk FROM scored),
+        |vrank AS (
+        |  SELECT qid, neighbor AS doc_id, row_number() OVER (
+        |      PARTITION BY qid ORDER BY cosine DESC, neighbor) AS rk
+        |  FROM (${ivfOracleSql(clusters = 8, nProbe = 2, iters = 2,
+            k = kLeg, dim = 4, nQueries = nQ, corpusCte = lumaAssetCte)}) vt),
+        |legs AS (
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM bmrank WHERE rk <= $kLeg
+        |  UNION ALL
+        |  SELECT qid, doc_id, 1.0 / CAST(60 + rk AS DOUBLE) AS c
+        |  FROM vrank),
+        |fused AS (SELECT qid, doc_id,
+        |    ${graft.functions.Stable.sumDSql("c")} AS rrf
+        |  FROM legs GROUP BY 1, 2),
+        |ranked AS (SELECT *, row_number() OVER (PARTITION BY qid
+        |    ORDER BY rrf DESC, doc_id) AS rk FROM fused)
+        |SELECT qid, CAST(rk AS BIGINT) AS rank, doc_id,
+        |  round(rrf + 1e-9, 6) AS rrf
+        |FROM ranked WHERE rk <= $kOut
+        |ORDER BY qid, rank""".stripMargin
+    ) { (spark, dir) =>
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.load(spark, dir, "documents")
+        .select(col("doc_id"), col("text"))
+      // read-only probe of the shared immutable base — no clone needed
+      val tIdx = SharedIndexes.textFull(spark, dir)
+      val bmLeg = graft.operators.TextIndex.searchTopK(spark, tIdx,
+          docs.filter(col("doc_id") < nQ)
+            .select(col("doc_id").as("qid"), col("text")),
+          "qid", "text", k = kLeg)
+        .select(col("qid"), col("doc_id"), col("rank").as("rk"))
+      val feats = lumaFeatures(spark, dir)
+      val vQueries = feats.filter(col("vec_id") < nQ)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val vLeg = graft.operators.IvfAnn.search(feats, "vec_id", "embedding",
+          vQueries, "qid", "qv", k = kLeg, clusters = 8, nProbe = 2,
+          iters = 2)
+        .withColumn("rcos", round(col("cosine") + lit(1e-9), 4))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rcos").desc, col("neighbor"))).cast("long"))
         .select(col("qid"), col("neighbor").as("doc_id"), col("rk"))
       val contrib = (f: org.apache.spark.sql.DataFrame) => f.select(
         col("qid"), col("doc_id"),
@@ -3044,6 +3153,6 @@ object SimilarityQueries {
     ivfPqResidualIndex, ivfPqResidualRefined, ivfPqRetrain, ivfPqVersioned,
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
     bqIndex, bqRecall, annRouted, hybridRrf, hybridPersisted,
-    mrlRefined, mrlRecall,
+    crossModalRrf, mrlRefined, mrlRecall,
     tierRouted, topicProfile)
 }

@@ -827,8 +827,10 @@ object TextQueries {
   ) { (spark, dir) =>
     val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
-    val idx = graft.Scratch.fresh("q163") + "/text"
-    graft.operators.TextIndex.write(docs, "doc_id", "text", idx)
+    // copy-on-write from the shared immutable full-corpus base (this
+    // gate MUTATES its layout: the grow rewrites postings)
+    val idx = graft.Scratch.cloneBase(
+      SharedIndexes.textFull(spark, dir), "q163")
     // the decision leg: trips at every gate SF and doubles the modulus;
     // everything after this line serves through the grown layout
     graft.operators.TextIndex.growBucketsIfHot(spark, idx, GrowBudget)
@@ -878,8 +880,10 @@ object TextQueries {
     val root = graft.Scratch.fresh("q164") + "/text_versions"
     val v0 = Snapshots.commit(spark, root)(d => graft.operators.TextIndex
       .write(docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", d))
-    val v1 = Snapshots.commit(spark, root)(d => graft.operators.TextIndex
-      .write(docs, "doc_id", "text", d))
+    // v1 is the full corpus — the shared immutable base, copied into
+    // the version directory (publishing an already-built generation)
+    val v1 = Snapshots.commit(spark, root)(d =>
+      graft.Scratch.copyDir(SharedIndexes.textFull(spark, dir), d))
     def searchV(v: Long) = graft.operators.TextIndex.searchTopK(spark,
         Snapshots.versionPath(root, v),
         docs.filter(col("doc_id") < 4)
@@ -935,9 +939,9 @@ object TextQueries {
     import spark.implicits._
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val idx = graft.Scratch.fresh("q183") + "/text"
-    graft.operators.TextIndex.write(docs, "doc_id", "text", idx,
-      withPositions = true)
+    // copy-on-write from the shared POSITIONAL base (this gate deletes)
+    val idx = graft.Scratch.cloneBase(
+      SharedIndexes.textFull(spark, dir, withPositions = true), "q183")
     graft.operators.TextIndex.delete(spark, idx,
       Seq(2L).toDF("doc_id"), "doc_id")
     val queries = docs.filter(col("doc_id") < 5)
@@ -993,9 +997,8 @@ object TextQueries {
   ) { (spark, dir) =>
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text"))
-    val idx = graft.Scratch.fresh("q184") + "/text"
-    graft.operators.TextIndex.write(docs, "doc_id", "text", idx,
-      withPositions = true)
+    // read-only probe of the shared POSITIONAL base — no clone needed
+    val idx = SharedIndexes.textFull(spark, dir, withPositions = true)
     val queries = docs
       .select(col("doc_id"), Text.tokens(col("text")).as("tk"))
       .filter(col("doc_id") < 6 && size(col("tk")) >= 5)

@@ -28,21 +28,49 @@ class MultimodalSpec extends SparkTestBase {
     assert(a === b)
   }
 
-  test("partition-batched codec decode matches the expression stubs") {
+  private def ppmAssetsDf = Multimodal.ppmAssets(
+    spark.read.parquet(s"$sfDir/documents.parquet"))
+
+  test("ppm assets encode REAL P6 blobs: magic, header dims, payload " +
+      "length, and pixel bytes match the generating formula") {
+    val rows = ppmAssetsDf
+      .select("asset_id", "width", "height", "payload").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val d = r.getLong(0); val w = r.getInt(1); val h = r.getInt(2)
+      val b = r.getAs[Array[Byte]](3)
+      assert(b(0) == 'P' && b(1) == '6', s"asset $d: bad magic")
+      val hdr = graft.expressions.Netpbm.parseHeader(b)
+      assert(hdr != null, s"asset $d: unparseable header")
+      assert(hdr(0) == w && hdr(1) == h && hdr(2) == 255)
+      assert(b.length == hdr(3) + 3 * w * h, s"asset $d: payload length")
+      // spot-check raw bytes against the formula at both ends
+      Seq(0, 3 * w * h - 1).foreach { i =>
+        val expect = ((d * 31 + i.toLong * 7 + (i.toLong * i) % 251) % 256).toInt
+        assert((b(hdr(3) + i) & 0xFF) == expect, s"asset $d byte $i")
+      }
+    }
+  }
+
+  test("partition-batched codec decode matches the codegen expression " +
+      "over the same real P6 bytes") {
     import spark.implicits._
-    val typed = assetsDf.as[Asset]
-    val viaPartitions = Multimodal.decodePartitioned(typed)
-      .select(col("asset_id"), col("seed"), col("features"), col("n_frames"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getSeq[Double](2).toList, r.getInt(3))).toSet
-    val viaExpressions = assetsDf
-      .withColumn("seed", Multimodal.decodeSeed(col("payload")))
-      .withColumn("features", Multimodal.fakeFeatures(col("seed")))
-      .withColumn("n_frames", Multimodal.frameCount(col("n_bytes")))
-      .select(col("asset_id"), col("seed"), col("features"), col("n_frames"))
-      .collect().map(r => (r.getLong(0), r.getLong(1),
-        r.getSeq[Double](2).toList, r.getLong(3).toInt)).toSet
-    assert(viaPartitions === viaExpressions)
+    val typed = ppmAssetsDf
+      .select(col("asset_id"), col("kind"), col("payload"),
+        octet_length(col("payload")).as("n_bytes")).as[Asset]
+    val viaPartitions = Multimodal.decodePpmPartitioned(typed)
+      .collect().map(r => (r.asset_id, r.valid, r.width, r.height,
+        r.maxval, r.n_px, r.r_sum, r.g_sum, r.b_sum)).toSet
+    val viaExpression = ppmAssetsDf
+      .withColumn("d", Multimodal.ppmDecode(col("payload")))
+      .select(col("asset_id"), col("d.valid"), col("d.width"),
+        col("d.height"), col("d.maxval"), col("d.n_px"), col("d.r_sum"),
+        col("d.g_sum"), col("d.b_sum"))
+      .collect().map(r => (r.getLong(0), r.getBoolean(1), r.getInt(2),
+        r.getInt(3), r.getInt(4), r.getLong(5), r.getLong(6),
+        r.getLong(7), r.getLong(8))).toSet
+    assert(viaPartitions === viaExpression)
+    assert(viaExpression.forall(_._2), "every encoded asset must decode")
   }
 
   test("resize scales dimension metadata and size estimate deterministically") {

@@ -54,6 +54,20 @@ class PageRankSpec extends SparkTestBase {
     graft.CacheScope.releaseAll()
   }
 
+  test("a sink node (in-edges only, out-degree 0) fails fast with the " +
+      "contract message instead of silently losing its mass") {
+    // 0 -> 1, 0 -> 2, 1 -> 2: node 2 is never a src. Pre-guard it was
+    // silently dropped from the rank frame and ranks stopped summing
+    // to 1 — the dual of the source-only asymmetry fixed in round 11.
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L)).toDF("src", "dst")
+    val e = intercept[IllegalArgumentException] {
+      PageRank.ranks(edges, "src", "dst", iters = 1, damping = 0.85)
+        .collect()
+    }
+    assert(e.getMessage.contains("out-degree 0"), e.getMessage)
+    graft.CacheScope.releaseAll()
+  }
+
   test("analyzed plan size is constant in the iteration count") {
     val edges = sym(Seq((0L, 1L), (1L, 2L), (2L, 3L)))
     def planNodes(iters: Int): Int =

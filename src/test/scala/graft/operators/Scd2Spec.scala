@@ -52,6 +52,22 @@ class Scd2Spec extends SparkTestBase {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("merge past the broadcast bound degrades to a shuffle join " +
+      "(backfill batch) with identical results") {
+    val early = log.filter(col("ts") < lit(ts("2024-02-15 00:00:00")))
+    val batch = log.filter(col("ts") >= lit(ts("2024-02-15 00:00:00")))
+    // bound of 0 forces the no-hint branch: the driver must never be
+    // asked to hold a dimension-sized touched set
+    val merged = Scd2.merge(Scd2.build(early, Seq("user_id"), "ts"),
+      batch, Seq("user_id"), "ts", maxBroadcastKeys = 0L)
+    val fresh = Scd2.build(log, Seq("user_id"), "ts")
+    assert(merged.collect().map(_.toString).sorted.toSeq ===
+      fresh.collect().map(_.toString).sorted.toSeq)
+    // no broadcast hint anywhere in the logical plan on this branch
+    val logical = merged.queryExecution.optimizedPlan.toString
+    assert(!logical.toLowerCase.contains("broadcast"), logical.take(2000))
+  }
+
   test("point-in-time join: boundary at valid_from is the NEW version, " +
       "facts before the first version keep nulls") {
     val dim = Scd2.build(log, Seq("user_id"), "ts")

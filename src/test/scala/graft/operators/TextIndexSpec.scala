@@ -287,6 +287,38 @@ class TextIndexSpec extends SparkTestBase {
     assert(searchRows(idx) === masked)
   }
 
+  test("positional flag lives in the layout metadata and survives " +
+      "grow + compact; a pre-flag one-line file reads non-positional") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ti_layout") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", idx, withPositions = true)
+    assert(TextIndex.readLayout(spark, idx) === (TextIndex.Buckets, true))
+    // the flag travels through every layout-rewriting lifecycle verb
+    TextIndex.growBucketsIfHot(spark, idx, 8L)
+    assert(TextIndex.readLayout(spark, idx) === (TextIndex.Buckets * 2, true))
+    TextIndex.delete(spark, idx, Seq(2L).toDF("doc_id"), "doc_id")
+    TextIndex.compact(spark, idx)
+    assert(TextIndex.readLayout(spark, idx) === (TextIndex.Buckets * 2, true))
+    // appends into a positional layout keep carrying positions (the
+    // flag, not a parquet-footer sniff, decides)
+    TextIndex.append(Seq((100L, "alpha beta alpha")).toDF("doc_id", "text"),
+      "doc_id", "text", idx)
+    val appended = spark.read.parquet(s"$idx/postings")
+      .filter(col("doc_id") === 100L && col("term") === "alpha")
+      .select("pos").collect().head.getSeq[Int](0)
+    assert(appended === Seq(0, 2))
+    // non-positional build reads as such…
+    val idx2 = graft.Scratch.fresh("ti_layout2") + "/idx"
+    TextIndex.write(docs, "doc_id", "text", idx2)
+    assert(TextIndex.readLayout(spark, idx2) === (TextIndex.Buckets, false))
+    // …and a legacy one-line _buckets file (pre-flag layout) does too
+    val p = new org.apache.hadoop.fs.Path(s"$idx2/postings/_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write("64\n".getBytes("UTF-8")); out.close()
+    assert(TextIndex.readLayout(spark, idx2) === (64, false))
+  }
+
   test("zero-token documents are invisible to the index and to stats") {
     import spark.implicits._
     val d = Seq((1L, "alpha beta"), (2L, "   "), (3L, "beta gamma beta"))
