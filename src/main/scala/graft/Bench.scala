@@ -24,6 +24,9 @@ object Bench {
 
   val SpreadThreshold = 2.0
   val InflationThreshold = 1.5
+  // a query flags inflated only when BOTH the ratio and this absolute
+  // delta are exceeded — sub-second queries jitter 1.5x on GC alone
+  val MinInflationDeltaSec = 0.8
   // more inflated queries than this in one sweep = the whole sweep sat
   // in a contention window; rerun it all rather than trust 120
   // individually-poisoned numbers (round 7 committed 9 inflated entries)
@@ -80,6 +83,14 @@ object Bench {
   }
 
   def short(name: String): String = name.takeWhile(_ != '_')
+
+  /** The cross-round regression test: ratio AND absolute-delta gated
+    * (see [[InflationThreshold]]/[[MinInflationDeltaSec]]). Pure so
+    * `BenchContractSpec` pins the triage rule.
+    */
+  private[graft] def isInflated(t: Double, prior: Option[Double]): Boolean =
+    prior.exists(p => t.isFinite && t > p * InflationThreshold &&
+      t - p > MinInflationDeltaSec)
 
   /** The harness capturing Bench's stdout keeps only a bounded tail; the
     * JSON line must fit entirely inside it or it can't be parsed. Keys
@@ -143,14 +154,19 @@ object Bench {
     * can no longer replace the whole baseline wholesale and silently
     * widen what future regressions hide under. A query new to the suite
     * (or previously failed, recorded -1) takes the fresh number; a real
-    * accepted slowdown needs an explicit quiet-host reset
-    * (SPARK_GRAFT_BENCH_RESET_BASELINE=1).
+    * accepted slowdown needs an explicit quiet-host reset: whole-file
+    * via SPARK_GRAFT_BENCH_RESET_BASELINE=1, or per-query via
+    * SPARK_GRAFT_BENCH_RESET_QUERIES=q30,q31 (for queries whose
+    * SEMANTICS changed under an unchanged name — their old records
+    * measure a different computation and must not stick).
     */
   private[graft] def ratchet(fresh: Seq[QueryResult],
-      committed: Map[String, Double]): Seq[QueryResult] =
+      committed: Map[String, Double],
+      reset: Set[String] = Set.empty): Seq[QueryResult] =
     fresh.map { r =>
       committed.get(short(r.name)) match {
-        case Some(p) if p > 0 && p < r.best => r.copy(best = p)
+        case Some(p) if p > 0 && p < r.best && !reset(short(r.name)) =>
+          r.copy(best = p)
         case _ => r
       }
     }
@@ -168,8 +184,10 @@ object Bench {
         if (s.contains("\"sf\":\"" + sfDir + "\"")) parseQs(s)
         else Map.empty
       }
+    val reset = sys.env.getOrElse("SPARK_GRAFT_BENCH_RESET_QUERIES", "")
+      .split(",").map(_.trim).filter(_.nonEmpty).toSet
     java.nio.file.Files.write(path,
-      (renderSidecar(ratchet(results, committed), sfDir) + "\n")
+      (renderSidecar(ratchet(results, committed, reset), sfDir) + "\n")
         .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
@@ -207,11 +225,24 @@ object Bench {
     else {
       val over = s"line was ${full.length} chars"
       val tierUnit = Map(2 -> "10ms", 1 -> "100ms", 0 -> "1s")
+      // past the whole-second tier (first overflowed by round 12's 188
+      // queries), keep only the SLOW queries — at 1 s precision a
+      // sub-second entry carries no information, while the multi-second
+      // index-lifecycle gates are exactly what a regression reader
+      // needs; the sidecar keeps the full map regardless
+      val slow = results.filter(r => r.best.isInfinity || r.best >= 1.0)
+      val nFast = results.size - slow.size
+      def slowQs = slow
+        .map(r => "\"" + short(r.name) + "\":" +
+          (if (r.best.isInfinity) -1 else ms3(r.best, 1)))
+        .mkString("{", ",", "}")
       val tiers =
         line(qsAt(3), 3,
           s""","warning":"flag names capped at 3 (see _n counts): $over"""") ::
         List(2, 1, 0).map(d => line(qsAt(d), 3,
-          s""","warning":"flag names capped at 3 (see _n counts), times rounded to ${tierUnit(d)}: $over""""))
+          s""","warning":"flag names capped at 3 (see _n counts), times rounded to ${tierUnit(d)}: $over"""")) :::
+        List(line(slowQs, 3,
+          s""","fast_omitted":$nFast,"warning":"only queries >= 1 s kept (full map in sidecar): $over""""))
       tiers.find(_.length <= Cap).getOrElse(
         line("{}", 3,
           s""","warning":"queries omitted: $over""""))
@@ -349,10 +380,14 @@ object Bench {
           else mn
         // cross-round check (uniform contention is spread-invisible):
         // re-measure once if this round's best is >1.5x the prior
-        // committed record; keep the flag only if it STAYS above
+        // committed record AND the absolute delta is material (>0.8 s —
+        // the documented triage rule; without the floor a 0.22 s query
+        // flags on 0.12 s of GC jitter, and the best-ever ratchet
+        // baseline makes that noise PERMANENT: round 12's first sweep
+        // read inflated_n=35, almost all sub-second). Keep the flag
+        // only if it STAYS above after the re-measure.
         val priorT = prior.get(short(name))
-        val overPrior = (t: Double) =>
-          priorT.exists(p => t.isFinite && t > p * InflationThreshold)
+        val overPrior = (t: Double) => isInflated(t, priorT)
         val best =
           if (overPrior(spreadBest) && elapsedSec() < budgetSec)
             math.min(spreadBest, timedRun(name, fn))

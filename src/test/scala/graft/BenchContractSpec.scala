@@ -67,6 +67,36 @@ class BenchContractSpec extends AnyFunSuite {
     assert(line.contains("\"inflated_n\":1"), line)
   }
 
+  test("inflation triage rule: ratio AND absolute delta must both trip") {
+    // 0.22 s -> 0.34 s is 1.5x but pure GC jitter: not inflated
+    assert(!Bench.isInflated(0.34, Some(0.224)))
+    // 2x but only +0.5 s absolute: not inflated
+    assert(!Bench.isInflated(1.0, Some(0.5)))
+    // 2x AND +1.5 s: inflated
+    assert(Bench.isInflated(3.0, Some(1.5)))
+    // big absolute delta but under the ratio: not inflated
+    assert(!Bench.isInflated(11.0, Some(10.0)))
+    assert(!Bench.isInflated(Double.PositiveInfinity, Some(1.0)))
+    assert(!Bench.isInflated(9.0, None))
+  }
+
+  test("round-12 regression: when even the 1 s tier overflows, the slow " +
+      "queries keep full detail and the fast ones report a count") {
+    // 230-query shape: 200 sub-second + 30 multi-second lifecycle gates
+    // (the whole-second tier overflows the cap at this count)
+    val fast = (1 to 200).map(i => QueryResult(f"q$i%03d_name", 0.4,
+      contended = false, flaky = false, inflated = false))
+    val slow = (201 to 230).map(i => QueryResult(f"q$i%03d_name",
+      5.678, contended = false, flaky = false, inflated = false))
+    val line = Bench.renderLine(fast ++ slow, 3, "/root/testdata/sf0.1",
+      sweepRetried = false)
+    assert(line.length <= Bench.Cap, s"line ${line.length} > cap")
+    assert(!line.contains("\"queries\":{}"), line)
+    assert(line.contains("\"q201\":5.7"), line) // slow entry survives
+    assert(!line.contains("\"q001\""), line) // fast entry dropped
+    assert(line.contains("\"fast_omitted\":200"), line)
+  }
+
   test("last-resort tier (queries omitted) still carries flag counts") {
     // force even the 1s tier over the cap: thousands of queries
     val many = (1 to 2000).map(i => QueryResult(f"q$i%04d_name", 1.0,
@@ -153,6 +183,14 @@ class BenchContractSpec extends AnyFunSuite {
     val merged = Bench.ratchet(base, Map.empty)
     assert(merged.find(_.name.startsWith("q03")).get.best.isInfinity)
     assert(merged.find(_.name.startsWith("q01")).get.best == 1.5)
+  }
+
+  test("ratchet reset list: a renamed-semantics query takes the fresh " +
+      "value even when the stale record is lower") {
+    val committed = Map("q01" -> 0.1, "q02" -> 0.1)
+    val merged = Bench.ratchet(base, committed, reset = Set("q01"))
+    assert(merged.find(_.name.startsWith("q01")).get.best == 1.5) // fresh
+    assert(merged.find(_.name.startsWith("q02")).get.best == 0.1) // ratcheted
   }
 
   test("ratchet ignores failed markers and keeps fresh on new queries") {

@@ -283,6 +283,80 @@ class PlanQualitySpec extends SparkTestBase {
     } finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
   }
 
+  // --- pins for the sweep's most expensive queries (round-11 verdict
+  // item 7): the documented plan shape that justifies each one's cost
+  // must survive refactors as an assertion, not prose. Constructing
+  // these queries runs their index builds at sf0.001 (cheap); the
+  // probe/result frame is what gets pinned.
+
+  private def pinnedPlanOf(name: String): String =
+    try planOf(name)
+    finally { graft.CacheScope.releaseAll(); spark.catalog.clearCache() }
+
+  test("q160/q162/q163/q164 text-index probes are partition-pruned to " +
+      "query buckets and never sort-merge") {
+    Seq("q160_bm25_index", "q162_bm25_stream", "q163_bm25_health",
+        "q164_bm25_versioned").foreach { name =>
+      val plan = pinnedPlanOf(name)
+      assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+        s"$name probe lost its bucket pruning:\n${plan.take(2000)}")
+      assert(!plan.contains("SortMergeJoin"), s"$name: ${plan.take(2000)}")
+    }
+  }
+
+  test("q163's 1-row cross joins stay bounded broadcasts (health facts " +
+      "+ BM25 stats rows, never a data-sized nested loop)") {
+    val plan = pinnedPlanOf("q163_bm25_health")
+    // every BNLJ in this plan carries a 1-row side by construction: the
+    // health-facts crossJoin plus the n/avgdl stats rows the BM25
+    // scorer rides (5 in the serve chain at round 12). A regression
+    // that crosses anything data-sized shows up as growth here or as a
+    // CartesianProduct (pinned in the sweep test).
+    assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 6,
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
+  test("q177/q178 PageRank iterations: per-round frames are plan-" +
+      "truncated (no join towers), pair generation hash-joins on the " +
+      "shingle") {
+    Seq("q177_neardup_pagerank", "q178_authority_canonical").foreach { n =>
+      val plan = pinnedPlanOf(n)
+      assert(!plan.contains("BroadcastNestedLoopJoin") ||
+        "BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+        s"$n: ${plan.take(2000)}")
+      // the final frame joins rank (a truncated LogicalRDD) to deg — a
+      // SCAN of truncated state, never the unrolled iteration tree
+      assert(plan.contains("Scan ExistingRDD"), s"$n: ${plan.take(2000)}")
+    }
+  }
+
+  test("q55's component output joins back on hashed keys (no pairwise " +
+      "pass survives into the served frame)") {
+    val plan = pinnedPlanOf("q55_dedup_groups")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan.take(2000))
+  }
+
+  test("q131/q149 LSH lifecycle probes stay hash joins (1-row stats " +
+      "broadcast is the only nested loop allowed)") {
+    Seq("q131_lsh_sequential", "q149_lsh_rollover_cycle").foreach { n =>
+      val plan = pinnedPlanOf(n)
+      assert("BroadcastNestedLoopJoin".r.findAllIn(plan).size <= 1,
+        s"$n probe degenerated to nested loop:\n${plan.take(2000)}")
+      assert(!plan.contains("CartesianProduct"), s"$n: ${plan.take(2000)}")
+    }
+  }
+
+  test("q188's cross-modal fusion: text leg partition-pruned, no " +
+      "sort-merge join anywhere in the fused plan") {
+    val plan = pinnedPlanOf("q188_crossmodal_rrf")
+    assert(plan.contains("PartitionFilters") && plan.contains("bkt"),
+      plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+    assert(plan.contains("nearest_cell"), plan.take(2000))
+  }
+
   test("no query plan contains a cartesian product") {
     // θ-joins must plan as broadcast nested loop, never cartesian.
     // Release per query (in finally, so one failure can't strand caches):
