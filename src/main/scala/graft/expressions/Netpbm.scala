@@ -37,11 +37,18 @@ object Netpbm {
     * byte before the raw RGB samples (one byte per sample — maxval
     * must be < 256; 2-byte-sample P6 is rejected as unsupported).
     */
-  def parseHeader(b: Array[Byte]): Array[Int] = {
-    if (b == null || b.length < 2 || b(0) != 'P' || b(1) != '6') return null
+  def parseHeader(b: Array[Byte]): Array[Int] = parseHeaderAt(b, 0)
+
+  /** [[parseHeader]] from an arbitrary offset — the frame walker for
+    * concatenated-P6 video streams ([[streamDecode]]) re-parses each
+    * frame's header where the previous frame's samples ended.
+    */
+  def parseHeaderAt(b: Array[Byte], start: Int): Array[Int] = {
+    if (b == null || b.length < start + 2 ||
+      b(start) != 'P' || b(start + 1) != '6') return null
     def isWs(c: Byte): Boolean =
       c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == 11
-    var i = 2
+    var i = start + 2
     val vals = new Array[Int](3)
     var v = 0
     while (v < 3) {
@@ -133,6 +140,51 @@ object Netpbm {
       if (cnts(c) == 0L) 0.0 else sums(c).toDouble / (3.0 * cnts(c))))
   }
 
+  val StreamSchema: StructType = StructType(Seq(
+    StructField("valid", BooleanType, nullable = false),
+    StructField("n_frames", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("n_px_total", LongType, nullable = false),
+    StructField("first_luma_sum", LongType, nullable = false),
+    StructField("last_luma_sum", LongType, nullable = false)))
+
+  /** Decode a VIDEO stream of concatenated P6 frames (the public
+    * `image2pipe` ppm convention): walk frame headers back-to-back,
+    * require constant dimensions (as real fixed-geometry streams do),
+    * and fold per-frame luminance for the FIRST and LAST frames — the
+    * temporal-drift signal a scene-change / static-clip filter gates
+    * on. The stream must end exactly on a frame boundary; anything
+    * else (mid-stream parse failure, trailing bytes, zero frames,
+    * dimension change) is `valid=false`.
+    */
+  def streamDecode(b: Array[Byte]): InternalRow = {
+    def invalid = new GenericInternalRow(
+      Array[Any](false, 0L, 0, 0, 0L, 0L, 0L))
+    if (b == null || b.length == 0) return invalid
+    var off = 0
+    var n = 0L
+    var w = -1; var ht = -1
+    var firstLuma = 0L; var lastLuma = 0L
+    while (off < b.length) {
+      val hdr = parseHeaderAt(b, off)
+      if (hdr == null) return invalid
+      if (w < 0) { w = hdr(0); ht = hdr(1) }
+      else if (w != hdr(0) || ht != hdr(1)) return invalid
+      val bytes = 3 * w * ht
+      var s = 0L
+      var i = hdr(3)
+      val end = hdr(3) + bytes
+      while (i < end) { s += b(i) & 0xFF; i += 1 }
+      if (n == 0L) firstLuma = s
+      lastLuma = s
+      n += 1
+      off = end
+    }
+    new GenericInternalRow(Array[Any](true, n, w, ht,
+      n * w.toLong * ht, firstLuma, lastLuma))
+  }
+
   /** Low 8 bits of each int → one byte (null elements → 0). The encode
     * side's missing builtin: Spark has no array<int> → binary kernel,
     * and `chr()`-concat detours through UTF-8 (code points ≥ 128 become
@@ -151,6 +203,9 @@ object Netpbm {
 
   def decodeColumn(payload: Column): Column =
     ColumnGlue.toColumn(PpmDecode(ColumnGlue.toExpression(payload)))
+
+  def streamDecodeColumn(payload: Column): Column =
+    ColumnGlue.toColumn(PpmStreamDecode(ColumnGlue.toExpression(payload)))
 
   def lumaGridColumn(payload: Column, gw: Int, gh: Int): Column =
     ColumnGlue.toColumn(
@@ -178,6 +233,28 @@ case class PpmDecode(child: Expression) extends UnaryExpression {
     defineCodeGen(ctx, ev, c => s"graft.expressions.Netpbm.decode($c)")
 
   protected override def withNewChildInternal(newChild: Expression): PpmDecode =
+    copy(child = newChild)
+}
+
+/** Concatenated-P6 video stream walk (see [[Netpbm.streamDecode]]). */
+case class PpmStreamDecode(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case BinaryType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"ppm_stream_decode requires a binary payload, got $t")
+  }
+  override def dataType: DataType = Netpbm.StreamSchema
+  override def prettyName: String = "ppm_stream_decode"
+
+  protected override def nullSafeEval(input: Any): Any =
+    Netpbm.streamDecode(input.asInstanceOf[Array[Byte]])
+
+  protected override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.expressions.Netpbm.streamDecode($c)")
+
+  protected override def withNewChildInternal(
+      newChild: Expression): PpmStreamDecode =
     copy(child = newChild)
 }
 

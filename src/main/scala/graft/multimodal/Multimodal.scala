@@ -176,6 +176,107 @@ object Multimodal {
   def ppmLumaGrid(payload: Column, gw: Int, gh: Int): Column =
     graft.expressions.Netpbm.lumaGridColumn(payload, gw, gh)
 
+  // ------------------------------------------------------------------
+  // REAL tier, video: concatenated P6 frames (image2pipe ppm stream)
+  // ------------------------------------------------------------------
+
+  /** Video fixture geometry/formula: every asset is `2 + d mod 4`
+    * frames of 8×6 RGB; byte `i` of frame `f` is
+    * `(d·31 + f·17 + i·7) mod 256` — frame-dependent so the first/last
+    * luminance drift is a real temporal signal, BIGINT-replayable.
+    */
+  val VideoW = 8
+  val VideoH = 6
+  def videoFrames(assetId: Column): Column = lit(2L) + assetId % 4L
+  def videoPixelByte(assetId: Column, f: Column, i: Column): Column =
+    (assetId * 31L + f * 17L + i * 7L) % 256L
+
+  /** Encode a REAL ppm video stream per document: `videoFrames(d)` P6
+    * frames back-to-back, each with its own ASCII header — the layout
+    * `ffmpeg -f image2pipe -vcodec ppm` produces. Columns: `asset_id,
+    * kind, n_frames, payload, n_bytes`.
+    */
+  def videoAssets(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val hdr = array(s"P6\n$VideoW $VideoH\n255\n".map(c => lit(c.toInt)): _*)
+    val frameBytes = lit(3L * VideoW * VideoH)
+    val stream = flatten(transform(
+      sequence(lit(0L), videoFrames(d) - 1L),
+      f => concat(hdr, transform(sequence(lit(0L), frameBytes - 1L),
+        i => videoPixelByte(d, f, i).cast("int")))))
+    docs.select(
+      d.as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (Text.charHash(col("source")) % 3 + 1).cast("int")).as("kind"),
+      videoFrames(d).as("n_frames"),
+      graft.expressions.Netpbm.packBytesColumn(stream).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+  }
+
+  /** Frame walk + first/last luminance from the payload BYTES. */
+  def videoDecode(payload: Column): Column =
+    graft.expressions.Netpbm.streamDecodeColumn(payload)
+
+  // ------------------------------------------------------------------
+  // REAL tier, audio: RIFF/WAVE PCM (see graft.expressions.Wav)
+  // ------------------------------------------------------------------
+
+  /** Deterministic 16-bit sample formula for the synthetic audio
+    * corpus: sample `i` of asset `d` is `(d·57 + i·13) mod 4001 − 2000`
+    * (signed, ±2000) — BIGINT-replayable in the oracle, sign-rich so
+    * zero-crossing counts are a real signal.
+    */
+  def wavSample(assetId: Column, i: Column): Column =
+    (assetId * 57L + i * 13L) % 4001L - 2000L
+
+  def wavRate(assetId: Column): Column =
+    (lit(8000L) + (assetId % 3L) * 4000L).cast("int")
+  def wavSampleCount(assetId: Column): Column = lit(400L) + assetId % 300L
+
+  private def le2(x: Column): Column = array(
+    pmod(x, lit(256L)).cast("int"),
+    pmod(shiftright(x, 8), lit(256L)).cast("int"))
+  private def le4(x: Column): Column = array(
+    pmod(x, lit(256L)).cast("int"),
+    pmod(shiftright(x, 8), lit(256L)).cast("int"),
+    pmod(shiftright(x, 16), lit(256L)).cast("int"),
+    pmod(shiftright(x, 24), lit(256L)).cast("int"))
+  private def ascii(s: String): Column =
+    array(s.map(c => lit(c.toInt)): _*)
+
+  /** Encode a REAL RIFF/WAVE PCM blob per document: canonical 44-byte
+    * header (RIFF size, `fmt ` PCM mono 16-bit block, `data` size — all
+    * little-endian, built with the same [[graft.expressions.PackBytes]]
+    * kernel as the image tier) followed by [[wavSample]] samples as
+    * 16-bit LE. Columns: `asset_id, kind, sample_rate, n_samples,
+    * payload, n_bytes`.
+    */
+  def wavAssets(docs: DataFrame): DataFrame = {
+    val d = col("doc_id")
+    val n = wavSampleCount(d)
+    val rate = wavRate(d).cast("long")
+    val dataSize = n * 2L
+    val headerInts = concat(
+      ascii("RIFF"), le4(dataSize + 36L), ascii("WAVE"),
+      ascii("fmt "), le4(lit(16L)), le2(lit(1L)), le2(lit(1L)),
+      le4(rate), le4(rate * 2L), le2(lit(2L)), le2(lit(16L)),
+      ascii("data"), le4(dataSize))
+    val sampleBytes = flatten(transform(sequence(lit(0L), n - 1L),
+      i => le2(pmod(wavSample(d, i), lit(65536L)))))
+    docs.select(
+      d.as("asset_id"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (Text.charHash(col("source")) % 3 + 1).cast("int")).as("kind"),
+      wavRate(d).as("sample_rate"), n.as("n_samples"),
+      graft.expressions.Netpbm.packBytesColumn(
+        concat(headerInts, sampleBytes)).as("payload"))
+      .withColumn("n_bytes", octet_length(col("payload")))
+  }
+
+  /** Header + loudness/shape facts from the payload BYTES (codegen). */
+  def wavDecode(payload: Column): Column =
+    graft.expressions.Wav.decodeColumn(payload)
+
   case class PpmDecoded(asset_id: Long, kind: String, valid: Boolean,
       width: Int, height: Int, maxval: Int, n_px: Long,
       r_sum: Long, g_sum: Long, b_sum: Long)

@@ -166,5 +166,101 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
-  val all: Seq[QuerySpec] = Seq(assetDecode, kindProfile, binaryBlocks)
+  /** Per-asset REAL audio decode: the RIFF/WAVE PCM kernel
+    * ([[graft.expressions.WavDecode]]) chunk-walks the actual header
+    * bytes and folds the actual 16-bit LE samples into loudness/shape
+    * facts (sum |s|, peak, zero crossings — the filters an audio
+    * curation pipeline gates on). As with q30, the oracle replays the
+    * SAMPLE FORMULA, never the parse: a wrong chunk offset, endianness
+    * slip, or sign-extension bug hash-mismatches. All-integer except
+    * the rounded mean.
+    */
+  val audioDecode: QuerySpec = QuerySpec.sql(
+    "q189_audio_decode",
+    s"""WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    8000 + (doc_id % 3) * 4000 AS rate,
+      |    400 + doc_id % 300 AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT asset_id, kind, rate, n,
+      |    [(asset_id*57 + i*13) % 4001 - 2000
+      |     FOR i IN range(0, n)] AS smp
+      |  FROM a)
+      |SELECT asset_id, kind, TRUE AS valid, CAST(1 AS INT) AS channels,
+      |  CAST(rate AS INT) AS sample_rate, CAST(16 AS INT) AS bits,
+      |  CAST(n AS BIGINT) AS n_samples,
+      |  CAST(n * 1000 // rate AS BIGINT) AS duration_ms,
+      |  CAST(list_sum(list_transform(smp, x -> abs(x))) AS BIGINT) AS sum_abs,
+      |  CAST(list_max(list_transform(smp, x -> abs(x))) AS INT) AS peak,
+      |  CAST(len([i FOR i IN range(1, n) IF smp[i] * smp[i+1] < 0])
+      |    AS BIGINT) AS zero_crossings,
+      |  round(CAST(list_sum(list_transform(smp, x -> abs(x))) AS DOUBLE)
+      |    / n + 1e-9, 6) AS mean_abs
+      |FROM s
+      |ORDER BY asset_id""".stripMargin
+  ) { (spark, dir) =>
+    Multimodal.wavAssets(Tables.load(spark, dir, "documents"))
+      .withColumn("d", Multimodal.wavDecode(col("payload")))
+      .select(col("asset_id"), col("kind"),
+        col("d.valid").as("valid"), col("d.channels").as("channels"),
+        col("d.sample_rate").as("sample_rate"), col("d.bits").as("bits"),
+        col("d.n_samples").as("n_samples"),
+        col("d.duration_ms").as("duration_ms"),
+        col("d.sum_abs").as("sum_abs"), col("d.peak").as("peak"),
+        col("d.zero_crossings").as("zero_crossings"),
+        round(col("d.sum_abs").cast("double") / col("d.n_samples")
+          + lit(1e-9), 6).as("mean_abs"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** Per-asset REAL video probe: the concatenated-P6 stream kernel
+    * ([[graft.expressions.PpmStreamDecode]]) walks actual frame headers
+    * back-to-back and folds first/last-frame luminance — the temporal
+    * drift a static-clip / scene-change filter gates on. Oracle replays
+    * the frame formula; a frame-boundary slip (header length, byte
+    * stride) hash-mismatches. All-integer except the rounded drift.
+    */
+  val videoProbe: QuerySpec = QuerySpec.sql(
+    "q190_video_probe",
+    s"""WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |s AS (
+      |  SELECT asset_id, kind, nf,
+      |    CAST(list_sum([(asset_id*31 + i*7) % 256
+      |      FOR i IN range(0, 144)]) AS BIGINT) AS first_luma,
+      |    CAST(list_sum([(asset_id*31 + (nf-1)*17 + i*7) % 256
+      |      FOR i IN range(0, 144)]) AS BIGINT) AS last_luma
+      |  FROM a)
+      |SELECT asset_id, kind, TRUE AS valid,
+      |  CAST(nf AS BIGINT) AS n_frames,
+      |  CAST(8 AS INT) AS width, CAST(6 AS INT) AS height,
+      |  CAST(nf * 48 AS BIGINT) AS n_px_total,
+      |  first_luma, last_luma,
+      |  round(abs(CAST(last_luma AS DOUBLE) - first_luma) / 144.0
+      |    + 1e-9, 6) AS luma_drift
+      |FROM s
+      |ORDER BY asset_id""".stripMargin
+  ) { (spark, dir) =>
+    Multimodal.videoAssets(Tables.load(spark, dir, "documents"))
+      .withColumn("d", Multimodal.videoDecode(col("payload")))
+      .select(col("asset_id"), col("kind"),
+        col("d.valid").as("valid"),
+        col("d.n_frames").as("n_frames"),
+        col("d.width").as("width"), col("d.height").as("height"),
+        col("d.n_px_total").as("n_px_total"),
+        col("d.first_luma_sum").as("first_luma"),
+        col("d.last_luma_sum").as("last_luma"),
+        round(abs(col("d.last_luma_sum").cast("double")
+            - col("d.first_luma_sum")) / lit(144.0) + lit(1e-9), 6)
+          .as("luma_drift"))
+      .orderBy(col("asset_id"))
+  }
+
+  val all: Seq[QuerySpec] =
+    Seq(assetDecode, kindProfile, binaryBlocks, audioDecode, videoProbe)
 }

@@ -75,6 +75,28 @@ class NetpbmSpec extends SparkTestBase {
     assert(one.toDoubleArray().toSeq === Seq(60.0, 0.0, 0.0, 0.0))
   }
 
+  test("streamDecode walks concatenated frames; rejects dimension " +
+      "changes, trailing bytes, and empty payloads") {
+    val f0 = ppm("P6\n2 1\n255\n", Array(10, 20, 30, 40, 50, 60)) // luma 210
+    val f1 = ppm("P6\n2 1\n255\n", Array(1, 2, 3, 4, 5, 6)) // luma 21
+    val f2 = ppm("P6\n2 1\n255\n", Array(0, 0, 0, 0, 0, 9)) // luma 9
+    val r = Netpbm.streamDecode(f0 ++ f1 ++ f2)
+    assert(r.getBoolean(0))
+    assert((r.getLong(1), r.getInt(2), r.getInt(3)) === (3L, 2, 1))
+    assert(r.getLong(4) === 6L) // 3 frames x 2 px
+    assert((r.getLong(5), r.getLong(6)) === (210L, 9L))
+    // single frame: first == last
+    val one = Netpbm.streamDecode(f0)
+    assert(one.getBoolean(0) && one.getLong(5) === one.getLong(6))
+    // a frame with different dims mid-stream is a broken container
+    val other = ppm("P6\n1 1\n255\n", Array(7, 8, 9))
+    assert(!Netpbm.streamDecode(f0 ++ other).getBoolean(0))
+    // trailing garbage after the last frame boundary
+    assert(!Netpbm.streamDecode(f0 ++ "junk".getBytes).getBoolean(0))
+    assert(!Netpbm.streamDecode(Array[Byte]()).getBoolean(0))
+    assert(!Netpbm.streamDecode(null).getBoolean(0))
+  }
+
   test("packBytes: low 8 bits, null elements -> 0, empty -> empty") {
     import spark.implicits._
     val out = Seq(Tuple1(Seq(0, 1, 255, 256, 257, -1)))
