@@ -261,6 +261,96 @@ object MultimodalQueries {
       .orderBy(col("asset_id"))
   }
 
-  val all: Seq[QuerySpec] =
-    Seq(assetDecode, kindProfile, binaryBlocks, audioDecode, videoProbe)
+  /** REAL resize → decode round trip: every asset's P6 payload is
+    * nearest-neighbor-resized to 8×6 BY THE BYTE KERNEL
+    * ([[graft.expressions.PpmResize]] — the output is itself a
+    * decodable P6 blob), then the RESIZED bytes are decoded and their
+    * channel sums served. The oracle replays the floor-mapping
+    * coordinate arithmetic (`sx = ox·w/8`, `sy = oy·h/6`) over the
+    * pixel formula — a resize stride/offset slip or a header slip in
+    * the EMITTED blob hash-mismatches. Replaces the round-11 metadata-
+    * only resize stub with actual pixel work.
+    */
+  val resizeDecode: QuerySpec = QuerySpec.sql(
+    "q191_resize_decode",
+    s"""WITH dims AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    CAST(16 + doc_id % 17 AS INT) AS width,
+      |    CAST(12 + doc_id % 11 AS INT) AS height
+      |  FROM documents),
+      |sums AS (
+      |  SELECT asset_id, kind,
+      |    CAST(list_sum(list_transform(
+      |      [3*(((p//8) * height // 6) * width + ((p%8) * width // 8)) + 0
+      |       FOR p IN range(0, 48)],
+      |      j -> (asset_id*31 + j*7 + (j*j)%251) % 256)) AS BIGINT) AS r_sum,
+      |    CAST(list_sum(list_transform(
+      |      [3*(((p//8) * height // 6) * width + ((p%8) * width // 8)) + 1
+      |       FOR p IN range(0, 48)],
+      |      j -> (asset_id*31 + j*7 + (j*j)%251) % 256)) AS BIGINT) AS g_sum,
+      |    CAST(list_sum(list_transform(
+      |      [3*(((p//8) * height // 6) * width + ((p%8) * width // 8)) + 2
+      |       FOR p IN range(0, 48)],
+      |      j -> (asset_id*31 + j*7 + (j*j)%251) % 256)) AS BIGINT) AS b_sum
+      |  FROM dims)
+      |SELECT asset_id, kind, TRUE AS valid, CAST(8 AS INT) AS width,
+      |  CAST(6 AS INT) AS height, CAST(48 AS BIGINT) AS n_px,
+      |  r_sum, g_sum, b_sum,
+      |  round(CAST(r_sum + g_sum + b_sum AS DOUBLE) / 144.0 + 1e-9, 6)
+      |    AS luma_mean
+      |FROM sums
+      |ORDER BY asset_id""".stripMargin
+  ) { (spark, dir) =>
+    Multimodal.ppmAssets(Tables.load(spark, dir, "documents"))
+      .withColumn("small",
+        graft.expressions.Netpbm.resizeColumn(col("payload"), 8, 6))
+      .withColumn("d", Multimodal.ppmDecode(col("small")))
+      .select(col("asset_id"), col("kind"),
+        col("d.valid").as("valid"), col("d.width").as("width"),
+        col("d.height").as("height"), col("d.n_px").as("n_px"),
+        col("d.r_sum").as("r_sum"), col("d.g_sum").as("g_sum"),
+        col("d.b_sum").as("b_sum"),
+        round((col("d.r_sum") + col("d.g_sum") + col("d.b_sum"))
+            .cast("double") / lit(144.0) + lit(1e-9), 6).as("luma_mean"))
+      .orderBy(col("asset_id"))
+  }
+
+  /** REAL frame sampling: every 2nd frame of each video stream is
+    * decoded BY OFFSET WALK ([[graft.expressions.PpmSampleFrames]] —
+    * skipped frames cost a header parse + jump, exactly how a seekable
+    * container subsamples) and served as one row per sampled frame.
+    * Replaces the byte-count frame stub with actual per-frame pixel
+    * work; the oracle replays the frame formula for sampled indices.
+    */
+  val frameSample: QuerySpec = QuerySpec.sql(
+    "q192_frame_sample",
+    s"""WITH a AS (
+      |  SELECT doc_id AS asset_id,
+      |    (['image', 'audio', 'video'])[CAST($charHashSource % 3 + 1 AS INT)] AS kind,
+      |    2 + doc_id % 4 AS nf
+      |  FROM documents),
+      |f AS (
+      |  SELECT asset_id, kind,
+      |    unnest([f FOR f IN range(0, nf) IF f % 2 = 0]) AS f
+      |  FROM a)
+      |SELECT asset_id, kind, CAST(f AS BIGINT) AS frame_idx,
+      |  round(CAST(list_sum([(asset_id*31 + f*17 + i*7) % 256
+      |      FOR i IN range(0, 144)]) AS DOUBLE) / 144.0 + 1e-9, 6)
+      |    AS luma_mean
+      |FROM f
+      |ORDER BY asset_id, frame_idx""".stripMargin
+  ) { (spark, dir) =>
+    Multimodal.videoAssets(Tables.load(spark, dir, "documents"))
+      .select(col("asset_id"), col("kind"),
+        posexplode(graft.expressions.Netpbm
+          .sampleFrameLumasColumn(col("payload"), 2)).as(Seq("pos", "luma")))
+      .select(col("asset_id"), col("kind"),
+        (col("pos") * 2L).cast("long").as("frame_idx"),
+        round(col("luma") + lit(1e-9), 6).as("luma_mean"))
+      .orderBy(col("asset_id"), col("frame_idx"))
+  }
+
+  val all: Seq[QuerySpec] = Seq(assetDecode, kindProfile, binaryBlocks,
+    audioDecode, videoProbe, resizeDecode, frameSample)
 }

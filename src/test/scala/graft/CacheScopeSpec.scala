@@ -100,7 +100,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q182_hybrid_persisted", // embeddings + both persisted legs' probe caches
     "q183_phrase_probe",   // query-slot cache through the phrase probe
     "q184_proximity_probe", // query-term + probed-position caches
-    "q187_scd2_merge"      // shared change-log cache across build + merge
+    "q187_scd2_merge",     // shared change-log cache across build + merge
+    "q188_crossmodal_rrf"  // IvfAnn corpus + query caches on the media leg
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

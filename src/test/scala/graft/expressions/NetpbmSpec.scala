@@ -97,6 +97,35 @@ class NetpbmSpec extends SparkTestBase {
     assert(!Netpbm.streamDecode(null).getBoolean(0))
   }
 
+  test("resize: nearest-neighbor floor mapping, output is itself a " +
+      "decodable P6; malformed input -> empty bytes") {
+    // 4x2 image (pixel p bytes = 3p+1..3p+3) resized to 2x1:
+    // out(0,0) <- src(0,0)=pixel0 (1,2,3); out(1,0) <- src(2,0)=pixel2 (7,8,9)
+    val img = ppm("P6\n4 2\n255\n", (1 to 24).toArray)
+    val small = Netpbm.resize(img, 2, 1)
+    assert(Netpbm.parseHeader(small).take(3).toSeq === Seq(2, 1, 255))
+    val d = Netpbm.decode(small)
+    assert(d.getBoolean(0))
+    assert((d.getLong(5), d.getLong(6), d.getLong(7)) === (8L, 10L, 12L))
+    // upscale also works (pixel replication)
+    val big = Netpbm.decode(Netpbm.resize(img, 8, 4))
+    assert(big.getBoolean(0) && big.getLong(4) === 32L)
+    assert(Netpbm.resize("junk".getBytes, 2, 2).isEmpty)
+  }
+
+  test("sampleFrameLumas decodes only every stride-th frame, in order") {
+    val f0 = ppm("P6\n2 1\n255\n", Array(10, 20, 30, 40, 50, 60)) // mean 35
+    val f1 = ppm("P6\n2 1\n255\n", Array(1, 2, 3, 4, 5, 6)) // mean 3.5
+    val f2 = ppm("P6\n2 1\n255\n", Array(0, 0, 0, 0, 0, 9)) // mean 1.5
+    val s = f0 ++ f1 ++ f2
+    assert(Netpbm.sampleFrameLumas(s, 2).toDoubleArray().toSeq ===
+      Seq(35.0, 1.5))
+    assert(Netpbm.sampleFrameLumas(s, 1).toDoubleArray().toSeq ===
+      Seq(35.0, 3.5, 1.5))
+    assert(Netpbm.sampleFrameLumas(s, 3).toDoubleArray().toSeq === Seq(35.0))
+    assert(Netpbm.sampleFrameLumas("junk".getBytes, 2).numElements() === 0)
+  }
+
   test("packBytes: low 8 bits, null elements -> 0, empty -> empty") {
     import spark.implicits._
     val out = Seq(Tuple1(Seq(0, 1, 255, 256, 257, -1)))
