@@ -1625,11 +1625,53 @@ object DedupQueries {
     }
   }
 
+  /** LEAKAGE-FREE train/val/test assignment — the split step q69's
+    * decontamination check exists to audit, done right at source:
+    * hashing raw doc_ids into splits (the q41 shape) lets two NEAR
+    * DUPLICATES land on opposite sides of the train/eval fence, which
+    * is exactly the leak that inflates benchmarks. Here the split is a
+    * function of the near-duplicate COMPONENT (q55's LSH → Jaccard →
+    * connected-components chain, shared `componentCtesSql` oracle), so
+    * every member of a duplicate group — including singletons, whose
+    * component is their own id — moves as one unit: no component can
+    * straddle splits, by construction rather than by audit. The
+    * portable hash keeps the 80/10/10 assignment deterministic across
+    * engines and re-runs. Cost on top of the q55 grouping: one
+    * projection — the assignment itself is shuffle-free.
+    */
+  val leakageSplit: QuerySpec = QuerySpec.sql(
+    "q195_leakage_split",
+    s"""WITH RECURSIVE t AS (SELECT doc_id, $tokSql AS toks FROM documents),
+      |$componentCtesSql,
+      |sp AS (SELECT doc_id, component,
+      |    ((component % 1000003) * 2654435761) % 100 AS b
+      |  FROM cc)
+      |SELECT doc_id, component,
+      |  CASE WHEN b < 80 THEN 'train'
+      |       WHEN b < 90 THEN 'val'
+      |       ELSE 'test' END AS split
+      |FROM sp
+      |ORDER BY doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+    val withSh = docs.select(col("doc_id"),
+      MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
+    val pairs = MinHashLSH.nearDupPairs(withSh, "doc_id", "sh", threshold = 0.6)
+      .select(col("id1"), col("id2"))
+    val b = (col("component") % 1000003L) * 2654435761L % 100
+    graft.operators.ConnectedComponents
+      .dedupGroups(docs, "doc_id", pairs, "id1", "id2")
+      .select(col("doc_id"), col("component"),
+        when(b < 80, "train").when(b < 90, "val").otherwise("test")
+          .as("split"))
+      .orderBy(col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(exactDedup, ngramJaccard, minhashLsh, simhash, dedupGroups,
       decontamination, canonicalPick, lshIndexAppend, spanScrub,
       lshSkewReport, lshSequential, lshForget, spanScrubMaintained,
       lshVersioned, lshBucketedAdmission, lshTieredServing, lshStreamed,
       lshRebucket, lshRolloverCycle, simhashIndex, containment,
-      nearDupRank, authorityCanonical)
+      nearDupRank, authorityCanonical, leakageSplit)
 }

@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 
 import graft.QuerySpec
 import graft.functions.Text
-import graft.operators.{Dedup, Sketches}
+import graft.operators.{Dedup, SequencePack, Sketches}
 import graft.sources.Tables
 
 /** Training-data SELECTION tier over the `documents` fixture: the two
@@ -775,8 +775,100 @@ object SamplingQueries {
     }
   }
 
+  /** Model sequence length for q193/q194 — small enough that the
+    * fixture corpus packs into a few thousand sequences, so boundary
+    * arithmetic (documents crossing sequences) is exercised densely.
+    */
+  private val SeqLen = 128
+
+  /** Shared oracle fragment for q193/q194: the concat-and-chunk packing
+    * chain (token counts → global running offsets → per-sequence
+    * contribution spans), ONE copy so the manifest cannot diverge from
+    * the packing it summarizes. Ends with
+    * `c(seq_id, doc_id, n_tokens, start_off, end_off, tok_start, tok_len)`.
+    */
+  private val packCtesSql =
+    s"""t AS (SELECT doc_id, CAST(len($tokSql) AS BIGINT) AS n_tokens
+      |       FROM documents),
+      |o AS (SELECT doc_id, n_tokens,
+      |    CAST(sum(n_tokens) OVER (ORDER BY doc_id) AS BIGINT) AS end_off
+      |  FROM t WHERE n_tokens > 0),
+      |s AS (SELECT *, end_off - n_tokens AS start_off FROM o),
+      |f AS (SELECT doc_id, n_tokens, start_off, end_off,
+      |    unnest(range(start_off // $SeqLen, (end_off - 1) // $SeqLen + 1)) AS sq
+      |  FROM s),
+      |c AS (SELECT CAST(sq AS BIGINT) AS seq_id, doc_id, n_tokens,
+      |    start_off, end_off,
+      |    greatest(start_off, sq * $SeqLen) - sq * $SeqLen AS tok_start,
+      |    least(end_off, (sq + 1) * $SeqLen) - greatest(start_off, sq * $SeqLen) AS tok_len
+      |  FROM f)""".stripMargin
+
+  /** Concat-and-chunk sequence packing ([[graft.operators.SequencePack]]
+    * over [[graft.operators.PrefixSum]]): the token stream in doc_id
+    * order is cut into `SeqLen`-token model sequences, documents
+    * crossing boundaries — one row per (sequence, document)
+    * contribution with its global span and in-sequence offset. The
+    * oracle replays the identical arithmetic on a plain global-window
+    * cumsum; the Spark side computes the SAME offsets through the
+    * two-phase distributed scan (no single-partition window), so the
+    * hash compare certifies the stitch is exact, not just plausible.
+    */
+  val sequencePack: QuerySpec = QuerySpec.sql(
+    "q193_sequence_pack",
+    s"""WITH $packCtesSql
+      |SELECT seq_id, doc_id, n_tokens, start_off, end_off, tok_start, tok_len
+      |FROM c
+      |ORDER BY seq_id, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    SequencePack.pack(docs, "doc_id", "n_tokens", SeqLen, buckets = 8)
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
+  /** The packing MANIFEST a training job actually consumes: per
+    * sequence, how many documents contribute, how many arrive whole vs
+    * truncated-at-a-boundary, the filled token count and fill ratio
+    * (exactly 1.0 everywhere but the final partial sequence — the
+    * no-padding invariant), and the contributing doc_id span. One
+    * `groupBy(seq_id)` over the q193 contribution rows; at 100 TB the
+    * manifest is ~total_tokens/SeqLen rows, partial-aggregated.
+    */
+  val packManifest: QuerySpec = QuerySpec.sql(
+    "q194_pack_manifest",
+    s"""WITH $packCtesSql
+      |SELECT seq_id,
+      |  count(*) AS n_docs,
+      |  CAST(sum(CASE WHEN tok_len = n_tokens THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_whole_docs,
+      |  CAST(sum(tok_len) AS BIGINT) AS n_filled,
+      |  round(CAST(sum(tok_len) AS DOUBLE) / $SeqLen + 1e-9, 4) AS fill_ratio,
+      |  min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      |FROM c
+      |GROUP BY seq_id
+      |ORDER BY seq_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+    SequencePack.pack(docs, "doc_id", "n_tokens", SeqLen, buckets = 8)
+      .groupBy(col("seq_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("tok_len") === col("n_tokens"), 1L).otherwise(0L))
+          .as("n_whole_docs"),
+        sum(col("tok_len")).as("n_filled"),
+        round(sum(col("tok_len")).cast("double") / SeqLen + lit(1e-9), 4)
+          .as("fill_ratio"),
+        min(col("doc_id")).as("first_doc"),
+        max(col("doc_id")).as("last_doc"))
+      .orderBy(col("seq_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
-      decontaminatedCuration, scrubbedBudgetSelect, ingestCycle)
+      decontaminatedCuration, scrubbedBudgetSelect, ingestCycle,
+      sequencePack, packManifest)
 }
