@@ -89,6 +89,31 @@ object BpeTrainer {
     seqs.withColumn("seq", merged)
   }
 
+  /** Corpus ENCODE with a trained merge table — the apply half the
+    * train half exists for: a tokenizer is trained once (on a sample or
+    * the corpus) and then encodes EVERY document. Work splits the same
+    * way the training does: the merges replay over the VOCABULARY frame
+    * (`rounds` fold projections over ≤ distinct words — never corpus
+    * tokens), and the corpus-sized part is one explode + equi-join of
+    * word instances against the per-word segmentation (AQE broadcasts
+    * the vocabulary when it fits; co-partitioned on `word` otherwise)
+    * + a partial-aggregated per-doc rollup. Per document: word
+    * instances, BPE token count, and the tokens-per-word ratio — the
+    * fertility statistic tokenizer evaluations report.
+    */
+  def encode(docs: DataFrame, idCol: String, textCol: String,
+      merges: Seq[Merge]): DataFrame = {
+    val segmented = merges.foldLeft(initSeqs(wordCounts(docs, textCol)))(applyMerge)
+    val wordTok = segmented
+      .select(col("word"), size(split(col("seq"), " ")).cast("long").as("__wt"))
+    docs.select(col(idCol), explode(Text.tokens(col(textCol))).as("word"))
+      .join(wordTok, "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("__wt")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        round(col("n_bpe_tokens").cast("double") / col("n_words") + lit(1e-9), 4))
+  }
+
   /** Run `rounds` merges. Returns the learned merge table (in order) and
     * the final `(word, cnt, seq)` segmentation frame.
     */

@@ -54,10 +54,16 @@ object SequencePack {
     * Empty documents (`nTokCol` = 0) occupy no tokens and emit no rows.
     */
   def pack(docs: DataFrame, idCol: String, nTokCol: String, seqLen: Int,
-      buckets: Int = 32): DataFrame = {
+      buckets: Int = 32, base: Long = 0L): DataFrame = {
     require(seqLen >= 1, s"SequencePack.pack needs seqLen >= 1, got $seqLen")
+    require(base >= 0, s"SequencePack.pack needs base >= 0, got $base")
     val withEnd = PrefixSum.running(
-      docs.filter(col(nTokCol) > 0), idCol, nTokCol, "end_off", buckets)
+        docs.filter(col(nTokCol) > 0), idCol, nTokCol, "end_off", buckets)
+      // a non-zero base resumes an existing stream: offsets continue
+      // from the persisted tail, BEFORE the span arithmetic, so a batch
+      // landing mid-sequence fills that sequence rather than opening a
+      // fresh one
+      .withColumn("end_off", col("end_off") + base)
     val spanned = withEnd
       .withColumn("start_off", col("end_off") - col(nTokCol).cast("long"))
       // integer floor-division on non-negative longs (matches SQL `//`)
@@ -73,4 +79,71 @@ object SequencePack {
         (segStart - col("seq_id") * seqLen).as("tok_start"),
         (segEnd - segStart).as("tok_len"))
   }
+
+  // ---- persisted packing lifecycle ---------------------------------
+  //
+  // A production packing run is INCREMENTAL: yesterday's corpus is
+  // already packed and shipped; today's batch must continue the stream,
+  // not repack it. The persisted layout holds the contribution rows
+  // plus a one-row meta (seqLen/buckets — immutable parameters, the
+  // TextIndex-modulus pattern). There is NO separate running-total
+  // state to keep consistent with the data: the stream tail IS
+  // max(end_off) of the stored rows and the admitted-key frontier is
+  // max(id) — both derived from the contributions themselves (parquet
+  // footer min/max stats make them metadata-cheap scans), so a crash
+  // between "data landed" and "state updated" cannot exist. Appends
+  // require strictly increasing keys (the same monotone contract a
+  // stream's source order gives for free); the batch is O(delta) work
+  // and lands as new files — stored sequences are never rewritten, and
+  // a batch landing mid-sequence fills that sequence's tail exactly.
+
+  /** Pack `docs` from offset 0 and persist as the stream's base
+    * (staged-publish swap — an interrupted write leaves any previous
+    * layout addressable).
+    */
+  def writePacked(docs: DataFrame, idCol: String, nTokCol: String,
+      seqLen: Int, dir: String, buckets: Int = 32): Unit = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val staged = dir + ".__write__"
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    pack(docs, idCol, nTokCol, seqLen, buckets)
+      .write.mode("overwrite").parquet(s"$staged/contrib")
+    Seq((seqLen, buckets)).toDF("seq_len", "buckets").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/meta")
+    graft.sources.Tables.publish(spark, staged, dir)
+  }
+
+  /** Continue the persisted stream with `delta` (all keys strictly
+    * above the stored frontier — fails fast otherwise). O(delta):
+    * reads two footer-stat aggregates and appends the batch's
+    * contribution rows.
+    */
+  def appendPacked(delta: DataFrame, idCol: String, nTokCol: String,
+      dir: String): Unit = {
+    val spark = delta.sparkSession
+    val meta = spark.read.parquet(s"$dir/meta").collect().head
+    val (seqLen, buckets) = (meta.getInt(0), meta.getInt(1))
+    val tail = spark.read.parquet(s"$dir/contrib")
+      .agg(max(col("end_off")).as("t"), max(col(idCol)).as("k"))
+      .collect().head
+    // an all-empty-docs base leaves no contributions: the stream starts
+    // at 0 and every key is above the (absent) frontier
+    val (base, frontier) =
+      if (tail.isNullAt(0)) (0L, Long.MinValue)
+      else (tail.getLong(0), tail.getLong(1))
+    val low = delta.agg(min(col(idCol))).collect().head
+    require(!low.isNullAt(0) && low.getLong(0) > frontier,
+      s"appendPacked needs all delta keys above the stored frontier " +
+        s"$frontier (stream order is monotone by contract); got min " +
+        s"${if (low.isNullAt(0)) "none" else low.getLong(0)}")
+    pack(delta, idCol, nTokCol, seqLen, buckets, base)
+      .write.mode("append").parquet(s"$dir/contrib")
+  }
+
+  /** The stream's contribution rows (all batches). */
+  def readPacked(spark: org.apache.spark.sql.SparkSession,
+      dir: String): DataFrame =
+    spark.read.parquet(s"$dir/contrib")
 }

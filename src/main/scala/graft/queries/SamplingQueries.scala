@@ -866,9 +866,45 @@ object SamplingQueries {
       .orderBy(col("seq_id"))
   }
 
+  /** INCREMENTAL packing lifecycle
+    * ([[graft.operators.SequencePack.writePacked]]/`appendPacked`/
+    * `readPacked`): the stream is packed in three strictly-increasing
+    * batches — base write then two O(delta) appends, each continuing
+    * from the persisted tail (max(end_off) of the stored rows; no
+    * separate running-total state to drift from the data) — and the
+    * union must be BIT-IDENTICAL to packing the whole corpus at once,
+    * which is exactly what the oracle replays (one global cumsum; the
+    * q107/q119 append-invisibility contract, here for the training
+    * layout itself). A batch landing mid-sequence fills that
+    * sequence's tail rather than opening a fresh one — the invariant
+    * that keeps incremental and one-shot layouts interchangeable.
+    */
+  val packLifecycle: QuerySpec = QuerySpec.sql(
+    "q197_pack_lifecycle",
+    s"""WITH $packCtesSql
+      |SELECT seq_id, doc_id, n_tokens, start_off, end_off, tok_start, tok_len
+      |FROM c
+      |ORDER BY seq_id, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .transform(graft.CacheScope.cache)
+    val root = graft.Scratch.fresh("q197") + "/packed"
+    SequencePack.writePacked(docs.filter(col("doc_id") < 200),
+      "doc_id", "n_tokens", SeqLen, root, buckets = 8)
+    SequencePack.appendPacked(
+      docs.filter(col("doc_id") >= 200 && col("doc_id") < 350),
+      "doc_id", "n_tokens", root)
+    SequencePack.appendPacked(docs.filter(col("doc_id") >= 350),
+      "doc_id", "n_tokens", root)
+    SequencePack.readPacked(spark, root)
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
       decontaminatedCuration, scrubbedBudgetSelect, ingestCycle,
-      sequencePack, packManifest)
+      sequencePack, packManifest, packLifecycle)
 }

@@ -1153,24 +1153,37 @@ object TextQueries {
     * driver holds only the O(rounds) merge decisions, the
     * [[graft.operators.CentroidState]] contract).
     */
+  /** Shared oracle fragments for q169/q196: the BPE train loop — per
+    * round a pair-count CTE (`b$r`, the 1-row argmax decision) and a
+    * `list_reduce` merge-application CTE (`s$r`) — ONE copy so the
+    * encode gate cannot drift from the training it replays (the
+    * `componentCtesSql` rationale). Assumes `s0(word, cnt, seq)` is in
+    * scope; ends with `s$rounds` holding the final segmentations.
+    */
+  private def bpePairCte(src: String, b: String): String =
+    s"""pp$b AS (SELECT cnt, unnest([{'x': toks[i], 'y': toks[i+1]}
+      |    FOR i IN range(1, len(toks))]) AS pr
+      |  FROM (SELECT cnt, string_split(seq, ' ') AS toks FROM $src)),
+      |$b AS (SELECT pr.x AS mx, pr.y AS my, CAST(sum(cnt) AS BIGINT) AS mc
+      |  FROM pp$b GROUP BY 1, 2 ORDER BY sum(cnt) DESC, pr.x, pr.y LIMIT 1)""".stripMargin
+
+  private def bpeMergeCte(prev: String, b: String, out: String): String =
+    s"""$out AS (SELECT word, cnt,
+      |  list_reduce(list_prepend('', string_split(seq, ' ')),
+      |    (acc, t) -> CASE WHEN acc != '' AND (acc = mx OR ends_with(acc, ' ' || mx)) AND t = my
+      |      THEN substr(acc, 1, length(acc) - length(mx)) || mx || my
+      |      ELSE CASE WHEN acc = '' THEN t ELSE acc || ' ' || t END END) AS seq
+      |  FROM $prev CROSS JOIN $b)""".stripMargin
+
+  private def bpeRoundsCtes(rounds: Int): String =
+    (1 to rounds).map { r =>
+      bpePairCte(s"s${r - 1}", s"b$r") + ",\n" +
+        bpeMergeCte(s"s${r - 1}", s"b$r", s"s$r")
+    }.mkString(",\n")
+
   val bpeTrain: QuerySpec = {
     val rounds = 3
-    def pairCte(src: String, b: String): String =
-      s"""pp$b AS (SELECT cnt, unnest([{'x': toks[i], 'y': toks[i+1]}
-        |    FOR i IN range(1, len(toks))]) AS pr
-        |  FROM (SELECT cnt, string_split(seq, ' ') AS toks FROM $src)),
-        |$b AS (SELECT pr.x AS mx, pr.y AS my, CAST(sum(cnt) AS BIGINT) AS mc
-        |  FROM pp$b GROUP BY 1, 2 ORDER BY sum(cnt) DESC, pr.x, pr.y LIMIT 1)""".stripMargin
-    def mergeCte(prev: String, b: String, out: String): String =
-      s"""$out AS (SELECT word, cnt,
-        |  list_reduce(list_prepend('', string_split(seq, ' ')),
-        |    (acc, t) -> CASE WHEN acc != '' AND (acc = mx OR ends_with(acc, ' ' || mx)) AND t = my
-        |      THEN substr(acc, 1, length(acc) - length(mx)) || mx || my
-        |      ELSE CASE WHEN acc = '' THEN t ELSE acc || ' ' || t END END) AS seq
-        |  FROM $prev CROSS JOIN $b)""".stripMargin
-    val roundsCtes = (1 to rounds).map { r =>
-      pairCte(s"s${r - 1}", s"b$r") + ",\n" + mergeCte(s"s${r - 1}", s"b$r", s"s$r")
-    }.mkString(",\n")
+    val roundsCtes = bpeRoundsCtes(rounds)
     val mergeCols = (1 to rounds)
       .map(r => s"b$r.mx || b$r.my AS merge$r").mkString(", ")
     val joins = (1 to rounds).map(r => s"CROSS JOIN b$r").mkString(" ")
@@ -1196,6 +1209,54 @@ object TextQueries {
       }
       seqs.select(col("word") +: col("cnt") +: col("seq") +: mergeCols: _*)
         .orderBy(col("cnt").desc, col("word"))
+    }
+  }
+
+  /** Corpus-wide BPE ENCODE with the q169-trained merge table
+    * ([[graft.operators.BpeTrainer.encode]]) — the apply half of the
+    * tokenizer story: training runs once, encoding runs on every
+    * document forever after. The merges replay over the VOCABULARY
+    * (3 fold projections over distinct words), and the corpus-sized
+    * work is one explode + word-instance equi-join against the
+    * per-word segmentation + a partial-aggregated per-doc rollup — at
+    * 100 TB the vocabulary side is sublinear in corpus size and the
+    * instance join co-partitions on `word` (broadcast under AQE when
+    * the vocabulary fits). Output is per-document word instances, BPE
+    * token count, and fertility (tokens per word — the statistic
+    * tokenizer evaluations report); the oracle replays the ENTIRE
+    * chain, training included, through the shared q169 CTEs, so a
+    * divergent merge decision in either engine breaks the hash even
+    * where totals happen to agree.
+    */
+  val bpeEncode: QuerySpec = {
+    val rounds = 3
+    QuerySpec.sql(
+      "q196_bpe_encode",
+      s"""WITH ex AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY word),
+        |s0 AS (SELECT word, cnt,
+        |  array_to_string(string_split(word, ''), ' ') AS seq FROM w),
+        |${bpeRoundsCtes(rounds)},
+        |wt AS (SELECT word,
+        |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS wt FROM s$rounds),
+        |inst AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents)
+        |SELECT inst.doc_id, count(*) AS n_words,
+        |  CAST(sum(wt.wt) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(wt.wt) AS DOUBLE) / count(*) + 1e-9, 4) AS fertility
+        |FROM inst JOIN wt ON inst.word = wt.word
+        |GROUP BY inst.doc_id
+        |ORDER BY inst.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.BpeTrainer
+      val docs = Tables.load(spark, dir, "documents")
+      val (merges, _) = BpeTrainer.train(docs, "text", rounds)
+      require(merges.length == rounds, s"expected $rounds merges")
+      BpeTrainer.encode(docs, "doc_id", "text", merges)
+        .orderBy(col("doc_id"))
     }
   }
 
@@ -1529,5 +1590,5 @@ object TextQueries {
       temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
       bm25Health, bm25Versioned, piiRedact, nbQuality, bpeTrain, nbMaintained,
       bigramScore, curationManifest, nbStreamed, percentileFilter,
-      phraseProbe, proximityProbe)
+      phraseProbe, proximityProbe, bpeEncode)
 }

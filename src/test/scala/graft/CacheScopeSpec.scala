@@ -101,7 +101,9 @@ class CacheScopeSpec extends SparkTestBase {
     "q183_phrase_probe",   // query-slot cache through the phrase probe
     "q184_proximity_probe", // query-term + probed-position caches
     "q187_scd2_merge",     // shared change-log cache across build + merge
-    "q188_crossmodal_rrf"  // IvfAnn corpus + query caches on the media leg
+    "q188_crossmodal_rrf", // IvfAnn corpus + query caches on the media leg
+    "q196_bpe_encode",     // per-round segmentation caches (train before encode)
+    "q197_pack_lifecycle"  // token-count frame cache across the three batches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

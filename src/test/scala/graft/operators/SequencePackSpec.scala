@@ -70,6 +70,33 @@ class SequencePackSpec extends SparkTestBase {
     assert(!packed.exists(_._3 == 0L))
   }
 
+  test("persisted lifecycle: base + appends equals one-shot pack") {
+    val dir = graft.Scratch.fresh("seqpack-spec") + "/packed"
+    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+      "doc_id", "n_tokens", 9, dir, buckets = 3)
+    SequencePack.appendPacked(
+      fixture.filter(col("doc_id") >= 150 && col("doc_id") < 320),
+      "doc_id", "n_tokens", dir)
+    SequencePack.appendPacked(fixture.filter(col("doc_id") >= 320),
+      "doc_id", "n_tokens", dir)
+    val incremental = SequencePack.readPacked(spark, dir)
+      .collect().map(_.toSeq).toSet
+    val oneShot = SequencePack.pack(fixture, "doc_id", "n_tokens", 9, 5)
+      .collect().map(_.toSeq).toSet
+    assert(incremental === oneShot)
+  }
+
+  test("appendPacked rejects keys at or below the stored frontier") {
+    val dir = graft.Scratch.fresh("seqpack-spec-mono") + "/packed"
+    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+      "doc_id", "n_tokens", 9, dir, buckets = 3)
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.appendPacked(fixture.filter(col("doc_id") >= 100),
+        "doc_id", "n_tokens", dir)
+    }
+    assert(e.getMessage.contains("frontier"))
+  }
+
   test("a document longer than several sequences spans them all") {
     val docs = Seq((1L, 5L), (2L, 40L), (3L, 2L)).toDF("doc_id", "n_tokens")
     val packed = SequencePack.pack(docs, "doc_id", "n_tokens", 10, buckets = 2)
