@@ -902,9 +902,69 @@ object SamplingQueries {
       .orderBy(col("seq_id"), col("doc_id"))
   }
 
+  /** Power-of-2 length ladder for q198 — the bucketed-batching shape
+    * inference servers use (pad within a bucket, never to the global
+    * max). All-integer, so bucket membership is engine-exact.
+    */
+  private val LengthLadder = Seq(16L, 32L, 64L, 128L, 256L, 512L, 1024L, 2048L)
+
+  /** Length-bucketed BATCHING audit — the inference-side complement of
+    * q194's training-side fill manifest: documents pad to their
+    * power-of-2 length bucket (over-long docs truncate at the ladder
+    * cap — the serving contract), and the report prices the padding a
+    * batch planner actually pays: per bucket, docs, kept vs padded
+    * tokens, the kept/(kept+pad) efficiency, and the batch count at a
+    * fixed batch size (tail batches run short — batch-granularity
+    * waste). One map-side-combinable aggregation producing ≤ ladder
+    * rows at any corpus size; bucket selection is an all-integer
+    * `array_min(filter(ladder, b >= n))` — no float log2 at bucket
+    * boundaries to skew across engines.
+    */
+  val lengthBuckets: QuerySpec = {
+    val cap = LengthLadder.last
+    val batchSize = 8
+    val ladderSql = LengthLadder.mkString("[", ", ", "]")
+    QuerySpec.sql(
+      "q198_length_buckets",
+      s"""WITH t AS (
+        |  SELECT CAST(least(len($tokSql), $cap) AS BIGINT) AS n
+        |  FROM documents),
+        |b AS (
+        |  SELECT n, CAST(list_min(list_filter($ladderSql, b -> b >= n)) AS BIGINT)
+        |    AS bucket_len
+        |  FROM t WHERE n > 0)
+        |SELECT bucket_len, count(*) AS n_docs,
+        |  CAST(sum(n) AS BIGINT) AS kept_tokens,
+        |  CAST(sum(bucket_len - n) AS BIGINT) AS pad_tokens,
+        |  round(CAST(sum(n) AS DOUBLE) / (sum(n) + sum(bucket_len - n)) + 1e-9, 4)
+        |    AS efficiency,
+        |  CAST((count(*) + ${batchSize - 1}) // $batchSize AS BIGINT) AS n_batches
+        |FROM b
+        |GROUP BY bucket_len
+        |ORDER BY bucket_len""".stripMargin
+    ) { (spark, dir) =>
+      val n = least(size(Text.tokens(col("text"))).cast("long"), lit(cap))
+      val pad = col("bucket_len") - col("n")
+      Tables.load(spark, dir, "documents")
+        .select(n.as("n"))
+        .filter(col("n") > 0)
+        .withColumn("bucket_len",
+          array_min(filter(typedlit(LengthLadder), b => b >= col("n"))))
+        .groupBy(col("bucket_len"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n")).as("kept_tokens"),
+          sum(pad).as("pad_tokens"),
+          round(sum(col("n")).cast("double")
+            / (sum(col("n")) + sum(pad)) + lit(1e-9), 4).as("efficiency"))
+        .withColumn("n_batches",
+          expr(s"(n_docs + ${batchSize - 1}) div $batchSize"))
+        .orderBy(col("bucket_len"))
+    }
+  }
+
   val all: Seq[QuerySpec] =
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
       decontaminatedCuration, scrubbedBudgetSelect, ingestCycle,
-      sequencePack, packManifest, packLifecycle)
+      sequencePack, packManifest, packLifecycle, lengthBuckets)
 }

@@ -186,6 +186,20 @@ class PlanQualitySpec extends SparkTestBase {
     } finally spark.catalog.clearCache()
   }
 
+  test("q193's global packing: bucket-partitioned window, two exchanges " +
+      "(bucket hash + presentation sort), no join") {
+    val plan = planOf("q193_sequence_pack")
+    assert("(?m)^\\s*\\+?-? ?Window ".r.findAllIn(plan).size === 1,
+      s"expected exactly one Window:\n$plan")
+    assert(plan.contains("windowspecdefinition(__bk"),
+      "the packing cumsum regressed off the bucket-partitioned window:\n" +
+        plan.take(2000))
+    assert("Exchange ".r.findAllIn(plan).size <= 2,
+      s"packing grew extra shuffles:\n$plan")
+    assert(!plan.contains("SortMergeJoin") &&
+      !plan.contains("CartesianProduct"), plan.take(2000))
+  }
+
   test("q84's stitched rolling window never plans an unpartitioned WindowExec") {
     val df = SparkEntry.queries("q84_stitched_rolling")(spark, sfDir)
     df.count() // materialize so AQE fixes the final plan
