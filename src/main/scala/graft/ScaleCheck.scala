@@ -294,6 +294,35 @@ object ScaleCheck {
           s""","buckets":$nb""")
       }
       CacheScope.releaseAll()
+
+      // ---- incremental packing append (q197 shape) ----
+      // a FIXED ~500-doc delta appended to a 1× vs N× persisted packed
+      // stream: the append packs only the delta (PrefixSum over delta
+      // rows) plus two column-pruned max aggregates over the stored
+      // contributions — so SHUFFLE must track the delta, while input
+      // bytes may grow only by the two pruned long columns of the
+      // stored tail scan
+      val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(col("doc_id"),
+          size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      val packBase = CacheScope.cache(
+        (0 until n).map { k =>
+          toks.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+            col("n_tokens"))
+        }.reduce(_ unionByName _))
+      val packBaseRows = packBase.count()
+      val packDir = Scratch.fresh(s"scalecheck_pack_$n") + "/packed"
+      graft.operators.SequencePack.writePacked(packBase, "doc_id",
+        "n_tokens", 128, packDir, buckets = 32)
+      val packDelta = toks.filter(col("doc_id") % 10 === 7)
+        .select((col("doc_id") + lit(900000000L)).as("doc_id"),
+          col("n_tokens"))
+      val mPack = Metrics.measure(spark) {
+        graft.operators.SequencePack.appendPacked(packDelta, "doc_id",
+          "n_tokens", packDir)
+      }
+      jline("pack_append", n, packBaseRows, mPack)
+      CacheScope.releaseAll()
     }
     spark.stop()
   }

@@ -89,9 +89,11 @@ object SequencePack {
   // TextIndex-modulus pattern). There is NO separate running-total
   // state to keep consistent with the data: the stream tail IS
   // max(end_off) of the stored rows and the admitted-key frontier is
-  // max(id) — both derived from the contributions themselves (parquet
-  // footer min/max stats make them metadata-cheap scans), so a crash
-  // between "data landed" and "state updated" cannot exist. Appends
+  // max(id) — both derived from the contributions themselves via
+  // column-pruned max aggregates (two long columns read, partial-agg
+  // to one row per partition; footer-cheap where parquet aggregate
+  // pushdown applies), so a crash between "data landed" and "state
+  // updated" cannot exist. Appends
   // require strictly increasing keys (the same monotone contract a
   // stream's source order gives for free); the batch is O(delta) work
   // and lands as new files — stored sequences are never rewritten, and

@@ -3144,6 +3144,84 @@ object SimilarityQueries {
     }
   }
 
+  /** MMR diversity re-rank ([[graft.operators.MmrRerank]]) over a brute
+    * top-12 shortlist: greedy λ·rel − (1−λ)·max-sim-to-selected pick of
+    * 4 per query — near-duplicate candidates cost their similarity to
+    * the already-picked copy, so the selection jumps topics instead of
+    * repeating them (retrieval's answer to corpus-side SemanticDedup).
+    * λ = 0.75 on purpose: both λ and 1−λ = 0.25 are exact binary
+    * doubles, so neither engine's constant parsing can skew an argmax.
+    * The oracle unrolls all 4 greedy rounds (the BPE-train pattern) —
+    * per round, the surviving candidates' max cosine against the
+    * picked-so-far set (max is order-independent, so list build order
+    * never matters), the λ-blend, a per-query argmax with id
+    * tie-break — so every DECISION, not just the final scores, must
+    * hash-match. The shortlist frame is queries·12 rows; each round is
+    * a bounded join + k=1 TopKPerKey — corpus size never enters.
+    */
+  val mmrRerank: QuerySpec = {
+    val lambda = "CAST(0.75 AS DOUBLE)"
+    val oneMinus = "CAST(0.25 AS DOUBLE)"
+    def roundCtes(r: Int): String = {
+      val prev = (1 to r - 1).map(i => s"SELECT * FROM p$i")
+        .mkString(" UNION ALL ")
+      s"""a${r - 1} AS (SELECT qid, list(id) AS ids, list(vec) AS vecs
+        |  FROM ($prev) GROUP BY qid),
+        |m$r AS (
+        |  SELECT c.qid, c.id, c.rel, c.vec,
+        |    $lambda * c.rel - $oneMinus *
+        |      list_max(list_transform(a.vecs, v -> ${Vectors.cosineSql("c.vec", "v")})) AS mmr
+        |  FROM sl c JOIN a${r - 1} a ON c.qid = a.qid
+        |  WHERE NOT list_contains(a.ids, c.id)),
+        |p$r AS (SELECT qid, id, rel, mmr, vec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY mmr DESC, id) AS rn FROM m$r) WHERE rn = 1)""".stripMargin
+    }
+    QuerySpec.sql(
+      "q199_mmr_rerank",
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qv FROM embeddings
+        |  WHERE vec_id < 10 AND ${Vectors.normSql("embedding")} > 0),
+        |scored AS (
+        |  SELECT qid, vec_id AS id, embedding AS vec,
+        |    ${Vectors.cosineSql("qv", "embedding")} AS rel
+        |  FROM q JOIN embeddings ON qid <> vec_id
+        |    AND ${Vectors.normSql("embedding")} > 0),
+        |sl AS (SELECT qid, id, vec, rel FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY rel DESC, id) AS rn FROM scored) WHERE rn <= 12),
+        |p1 AS (SELECT qid, id, rel, $lambda * rel AS mmr, vec FROM (
+        |    SELECT *, row_number() OVER (PARTITION BY qid
+        |      ORDER BY $lambda * rel DESC, id) AS rn FROM sl) WHERE rn = 1),
+        |${(2 to 4).map(roundCtes).mkString(",\n")}
+        |SELECT qid, rank, id AS neighbor,
+        |  round(rel + 1e-9, 4) AS relevance,
+        |  round(mmr + 1e-9, 4) AS mmr
+        |FROM (SELECT qid, id, rel, mmr, CAST(1 AS BIGINT) AS rank FROM p1
+        |  ${(2 to 4).map(r =>
+             s"UNION ALL SELECT qid, id, rel, mmr, CAST($r AS BIGINT) FROM p$r")
+             .mkString("\n  ")})
+        |ORDER BY qid, rank""".stripMargin
+    ) { (spark, dir) =>
+      val e = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
+        .filter(Vectors.norm(col("embedding")) > 0))
+      val q = e.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("qid"), col("embedding").as("qv"))
+      val sl = broadcast(q)
+        .join(e, col("qid") =!= col("vec_id"))
+        .select(col("qid"), col("vec_id").as("id"), col("embedding").as("vec"),
+          Vectors.cosine(col("qv"), col("embedding")).as("rel"))
+        .withColumn("rn", row_number().over(Window.partitionBy(col("qid"))
+          .orderBy(col("rel").desc, col("id"))))
+        .filter(col("rn") <= 12).drop("rn")
+      graft.operators.MmrRerank
+        .rerank(sl, "qid", "id", "rel", "vec", k = 4, lambda = 0.75)
+        .select(col("qid"), col("rank"), col("id").as("neighbor"),
+          round(col("rel") + lit(1e-9), 4).as("relevance"),
+          round(col("mmr") + lit(1e-9), 4).as("mmr"))
+        .orderBy(col("qid"), col("rank"))
+    }
+  }
+
   val all: Seq[QuerySpec] = Seq(
     embeddingNearDup, knnTopK, lshAnn, embeddingProfile, lshNearDup, ivfAnn,
     quantizedKnn, pqAnn, pqRefined, ivfPqAnn, retrieveDocs, nearDupRecall,
@@ -3154,5 +3232,5 @@ object SimilarityQueries {
     ivfPqStreamAppend, ivfPqRecall, sqSearch, sqIndex, bqSearch, bqRefined,
     bqIndex, bqRecall, annRouted, hybridRrf, hybridPersisted,
     crossModalRrf, mrlRefined, mrlRecall,
-    tierRouted, topicProfile)
+    tierRouted, topicProfile, mmrRerank)
 }

@@ -103,7 +103,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q187_scd2_merge",     // shared change-log cache across build + merge
     "q188_crossmodal_rrf", // IvfAnn corpus + query caches on the media leg
     "q196_bpe_encode",     // per-round segmentation caches (train before encode)
-    "q197_pack_lifecycle"  // token-count frame cache across the three batches
+    "q197_pack_lifecycle", // token-count frame cache across the three batches
+    "q199_mmr_rerank"      // embeddings + shortlist caches across the rounds
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {
