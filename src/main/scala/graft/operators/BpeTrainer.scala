@@ -114,6 +114,35 @@ object BpeTrainer {
         round(col("n_bpe_tokens").cast("double") / col("n_words") + lit(1e-9), 4))
   }
 
+  /** Persist a trained merge table as the tokenizer ARTIFACT — ordered
+    * `(ord, x, y, cnt)` rows through the staged-publish swap (an
+    * interrupted rewrite leaves any previous tokenizer addressable).
+    * The artifact is O(rounds) rows: the whole tokenizer ships as a
+    * table small enough to broadcast, version, and diff like any other
+    * model state here.
+    */
+  def writeMerges(spark: org.apache.spark.sql.SparkSession,
+      merges: Seq[Merge], dir: String): Unit = {
+    import spark.implicits._
+    val staged = dir + ".__write__"
+    val sp = new org.apache.hadoop.fs.Path(staged)
+    sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
+    merges.zipWithIndex
+      .map { case (m, i) => (i, m.x, m.y, m.count) }
+      .toDF("ord", "x", "y", "cnt").coalesce(1)
+      .write.mode("overwrite").parquet(s"$staged/merges")
+    graft.sources.Tables.publish(spark, staged, dir)
+  }
+
+  /** The stored merge table, in training order. */
+  def readMerges(spark: org.apache.spark.sql.SparkSession,
+      dir: String): Seq[Merge] =
+    spark.read.parquet(s"$dir/merges")
+      .orderBy(col("ord"))
+      .collect()
+      .map(r => Merge(r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq
+
   /** Run `rounds` merges. Returns the learned merge table (in order) and
     * the final `(word, cnt, seq)` segmentation frame.
     */

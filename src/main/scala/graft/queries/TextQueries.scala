@@ -1260,6 +1260,64 @@ object TextQueries {
     }
   }
 
+  /** Persisted tokenizer ARTIFACT lifecycle
+    * ([[graft.operators.BpeTrainer.writeMerges]]/`readMerges`): the
+    * production split q196 folds together — the tokenizer trains ONCE
+    * on its own split (even doc_ids here), ships as an O(rounds)-row
+    * merge table through the staged publish, and a later job loads the
+    * stored artifact to encode the WHOLE corpus, training-split words
+    * and never-seen words alike (BPE merges apply to any word — the
+    * open-vocabulary property that makes subword tokenizers shippable).
+    * The oracle replays BOTH chains: merge decisions induced over the
+    * training split's vocabulary, then those frozen decisions folded
+    * over the FULL corpus vocabulary — a drifted decision or a
+    * stale-artifact read breaks the hash.
+    */
+  val bpeArtifact: QuerySpec = {
+    val rounds = 3
+    val applyCtes = (1 to rounds)
+      .map(r => bpeMergeCte(s"a${r - 1}", s"b$r", s"a$r")).mkString(",\n")
+    QuerySpec.sql(
+      "q200_bpe_artifact",
+      s"""WITH ex AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |w AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM ex GROUP BY word),
+        |s0 AS (SELECT word, cnt,
+        |  array_to_string(string_split(word, ''), ' ') AS seq FROM w),
+        |${bpeRoundsCtes(rounds)},
+        |exf AS (SELECT unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents),
+        |wf AS (SELECT word, CAST(count(*) AS BIGINT) AS cnt FROM exf GROUP BY word),
+        |a0 AS (SELECT word, cnt,
+        |  array_to_string(string_split(word, ''), ' ') AS seq FROM wf),
+        |$applyCtes,
+        |wt AS (SELECT word,
+        |  CAST(len(string_split(seq, ' ')) AS BIGINT) AS wt FROM a$rounds),
+        |inst AS (SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\\s+'), x -> x != '')) AS word
+        |  FROM documents)
+        |SELECT inst.doc_id, count(*) AS n_words,
+        |  CAST(sum(wt.wt) AS BIGINT) AS n_bpe_tokens,
+        |  round(CAST(sum(wt.wt) AS DOUBLE) / count(*) + 1e-9, 4) AS fertility
+        |FROM inst JOIN wt ON inst.word = wt.word
+        |GROUP BY inst.doc_id
+        |ORDER BY inst.doc_id""".stripMargin
+    ) { (spark, dir) =>
+      import graft.operators.BpeTrainer
+      val docs = Tables.load(spark, dir, "documents")
+      val (merges, _) =
+        BpeTrainer.train(docs.filter(col("doc_id") % 2 === 0), "text", rounds)
+      require(merges.length == rounds, s"expected $rounds merges")
+      val root = graft.Scratch.fresh("q200") + "/tokenizer"
+      BpeTrainer.writeMerges(spark, merges, root)
+      BpeTrainer.encode(docs, "doc_id", "text",
+          BpeTrainer.readMerges(spark, root))
+        .orderBy(col("doc_id"))
+    }
+  }
+
   /** Persisted quality-model LIFECYCLE
     * ([[graft.operators.QualityClassifier.writeModel]]/`appendModel`/
     * `forgetModel`/`scoreIndexed`) — the index-maintenance story for the
@@ -1590,5 +1648,5 @@ object TextQueries {
       temperatureMix, mixMaterialize, unigramScore, bm25Index, bm25Streamed,
       bm25Health, bm25Versioned, piiRedact, nbQuality, bpeTrain, nbMaintained,
       bigramScore, curationManifest, nbStreamed, percentileFilter,
-      phraseProbe, proximityProbe, bpeEncode)
+      phraseProbe, proximityProbe, bpeEncode, bpeArtifact)
 }
