@@ -136,10 +136,13 @@ object SequencePack {
       if (tail.isNullAt(0)) (0L, Long.MinValue)
       else (tail.getLong(0), tail.getLong(1))
     val low = delta.agg(min(col(idCol))).collect().head
-    require(!low.isNullAt(0) && low.getLong(0) > frontier,
+    // an empty batch (idle micro-batch, empty range) is a no-op, not a
+    // contract violation — streams deliver them routinely
+    if (low.isNullAt(0)) return
+    require(low.getLong(0) > frontier,
       s"appendPacked needs all delta keys above the stored frontier " +
         s"$frontier (stream order is monotone by contract); got min " +
-        s"${if (low.isNullAt(0)) "none" else low.getLong(0)}")
+        s"${low.getLong(0)}")
     pack(delta, idCol, nTokCol, seqLen, buckets, base)
       .write.mode("append").parquet(s"$dir/contrib")
   }

@@ -902,6 +902,77 @@ object SamplingQueries {
       .orderBy(col("seq_id"), col("doc_id"))
   }
 
+  /** STREAMED packing maintenance — q197's appends arriving as a
+    * Structured Streaming source: three AvailableNow micro-batches,
+    * `foreachBatch` → [[graft.operators.SequencePack.appendPacked]],
+    * then one serve from the persisted stream. Unlike the commuting
+    * append families (q119 IVF, q162 BM25), packing appends DON'T
+    * commute — the stream tail is positional — so batch ORDER is part
+    * of the contract: the delta files carry strictly increasing key
+    * ranges and staggered modification times (the file source's
+    * `latestFirst=false` ordering key), mirroring the monotone arrival
+    * a real queue/ledger source gives for free. A violated order
+    * doesn't corrupt the layout — `appendPacked`'s frontier check
+    * fails the batch fast. The final layout must be bit-identical to
+    * the one-shot pack (same oracle as q193/q197).
+    */
+  val packStream: QuerySpec = QuerySpec.sql(
+    "q201_pack_stream",
+    s"""WITH $packCtesSql
+      |SELECT seq_id, doc_id, n_tokens, start_off, end_off, tok_start, tok_len
+      |FROM c
+      |ORDER BY seq_id, doc_id""".stripMargin
+  ) { (spark, dir) =>
+    val docs = Tables.load(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .transform(graft.CacheScope.cache)
+    val root = graft.Scratch.fresh("q201")
+    val packed = root + "/packed"
+    SequencePack.writePacked(docs.filter(col("doc_id") < 200),
+      "doc_id", "n_tokens", SeqLen, packed, buckets = 8)
+    // stage the delta as three strictly-increasing key ranges, one file
+    // each, with staggered mtimes so the file source replays them in
+    // arrival order
+    val conf = spark.sparkContext.hadoopConfiguration
+    val streamDir = new org.apache.hadoop.fs.Path(root + "/stream")
+    val fs = streamDir.getFileSystem(conf)
+    fs.mkdirs(streamDir)
+    // thirds of the remaining id range, so every batch is non-trivial
+    // at any fixture SF (empty batches are legal — appendPacked no-ops
+    // — but a gate should exercise real ones)
+    val maxId = docs.agg(max(col("doc_id"))).collect().head.getLong(0)
+    val step = math.max(1L, (maxId - 200L) / 3 + 1)
+    val bounds = Seq(
+      (200L, 200L + step), (200L + step, 200L + 2 * step),
+      (200L + 2 * step, Long.MaxValue))
+    bounds.zipWithIndex.foreach { case ((lo, hi), i) =>
+      val tmp = root + s"/stage$i"
+      docs.filter(col("doc_id") >= lo && col("doc_id") < hi)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = fs.globStatus(
+        new org.apache.hadoop.fs.Path(tmp + "/part-*.parquet")).head.getPath
+      val dst = new org.apache.hadoop.fs.Path(streamDir, f"batch$i%04d.parquet")
+      require(fs.rename(part, dst), s"could not stage $part")
+      fs.setTimes(dst, 1700000000000L + i * 60000L, -1)
+    }
+    val q = spark.readStream
+      .schema(spark.read.parquet(streamDir.toString).schema)
+      .option("maxFilesPerTrigger", 1)
+      .option("latestFirst", "false")
+      .parquet(streamDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        SequencePack.appendPacked(batch, "doc_id", "n_tokens", packed)
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    SequencePack.readPacked(spark, packed)
+      .orderBy(col("seq_id"), col("doc_id"))
+  }
+
   /** Power-of-2 length ladder for q198 — the bucketed-batching shape
     * inference servers use (pad within a bucket, never to the global
     * max). All-integer, so bucket membership is engine-exact.
@@ -966,5 +1037,5 @@ object SamplingQueries {
     Seq(stratifiedSample, tokenBudgetSelect, epochShuffle, weightedSample,
       curationPipeline, curationDiff, multimodalCuration,
       decontaminatedCuration, scrubbedBudgetSelect, ingestCycle,
-      sequencePack, packManifest, packLifecycle, lengthBuckets)
+      sequencePack, packManifest, packLifecycle, lengthBuckets, packStream)
 }

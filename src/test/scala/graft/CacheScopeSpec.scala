@@ -105,7 +105,8 @@ class CacheScopeSpec extends SparkTestBase {
     "q196_bpe_encode",     // per-round segmentation caches (train before encode)
     "q197_pack_lifecycle", // token-count frame cache across the three batches
     "q199_mmr_rerank",     // embeddings + shortlist caches across the rounds
-    "q200_bpe_artifact"    // per-round segmentation caches (split-trained)
+    "q200_bpe_artifact",   // per-round segmentation caches (split-trained)
+    "q201_pack_stream"     // token-count frame cache across staged batches
   )
 
   test("no engine cache survives releaseAll after a gate query materializes") {

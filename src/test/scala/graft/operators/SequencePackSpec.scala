@@ -86,6 +86,16 @@ class SequencePackSpec extends SparkTestBase {
     assert(incremental === oneShot)
   }
 
+  test("appendPacked treats an empty batch as a no-op (idle micro-batch)") {
+    val dir = graft.Scratch.fresh("seqpack-spec-empty") + "/packed"
+    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+      "doc_id", "n_tokens", 9, dir, buckets = 3)
+    val before = SequencePack.readPacked(spark, dir).count()
+    SequencePack.appendPacked(fixture.filter(col("doc_id") < 0),
+      "doc_id", "n_tokens", dir)
+    assert(SequencePack.readPacked(spark, dir).count() === before)
+  }
+
   test("appendPacked rejects keys at or below the stored frontier") {
     val dir = graft.Scratch.fresh("seqpack-spec-mono") + "/packed"
     SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
