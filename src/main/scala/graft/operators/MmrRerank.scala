@@ -61,16 +61,22 @@ object MmrRerank {
           lit(0.0)))
         .withColumn("__mmr",
           lit(lambda) * col(relCol) - lit(1.0 - lambda) * col("__maxsim"))
-      val pick = Dedup.topKPerKey(scored, Seq(qidCol),
-        Seq(col("__mmr").desc, col(idCol).asc), 1)
+      // cached: sel_{r} references sel_{r-1} twice (once through the
+      // pick, once directly), so an uncached chain doubles plan size
+      // per round and re-executes every earlier round's TopKPerKey
+      // from the final union — the join-tower failure the
+      // PageRank/Lloyd iterations also truncate. The cached frames are
+      // queries·1 rows each, k of them total.
+      val pick = graft.CacheScope.cache(Dedup.topKPerKey(scored, Seq(qidCol),
+        Seq(col("__mmr").desc, col(idCol).asc), 1))
       picks :+= pick.select(qid, lit(r.toLong).as("rank"), col(idCol),
         col(relCol), col("__mmr").as("mmr"))
-      sel = sel.join(
+      sel = graft.CacheScope.cache(sel.join(
           pick.select(qid, col(idCol).as("__pid"), col(vecCol).as("__pvec")),
           qidCol)
         .select(qid,
           concat(col("__ids"), array(col("__pid"))).as("__ids"),
-          concat(col("__vecs"), array(col("__pvec"))).as("__vecs"))
+          concat(col("__vecs"), array(col("__pvec"))).as("__vecs")))
     }
     picks.reduce(_ unionByName _)
   }

@@ -75,7 +75,15 @@ object PrefixSum {
       if (bnds.isEmpty) lit(0)
       else size(filter(typedlit(bnds), b => b <= key.cast("double")))
 
-    val bucketed = df.withColumn("__bk", bucket)
+    // Cached: the totals collect and the final windowed job would
+    // otherwise each recompute the input lineage from scratch — if
+    // that lineage were not bit-stable across recomputations (a
+    // sampled or rand()-derived key or value), the collected offsets
+    // could disagree with the rows the window job actually scans,
+    // which is silent corruption. The cache makes both phases read ONE
+    // materialization (and drops a redundant full scan in the
+    // bargain); it registers in CacheScope, so gate runners release it.
+    val bucketed = graft.CacheScope.cache(df.withColumn("__bk", bucket))
 
     // Per-bucket totals -> exclusive offsets. The agg's shuffle carries
     // at most `buckets` rows per upstream task (map-side combine); the

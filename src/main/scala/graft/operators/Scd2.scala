@@ -68,7 +68,11 @@ object Scd2 {
   def merge(existing: DataFrame, batch: DataFrame, keys: Seq[String],
       tsCol: String,
       maxBroadcastKeys: Long = MaxBroadcastTouchedKeys): DataFrame = {
-    val distinctKeys = batch.select(keys.map(col): _*).distinct()
+    // cached: the frame feeds three consumers (the shape-deciding
+    // count, the untouched anti-join, the replay semi-join) — uncached
+    // it would re-aggregate the batch per consumer
+    val distinctKeys =
+      graft.CacheScope.cache(batch.select(keys.map(col): _*).distinct())
     // one cheap count over the batch decides the shape; the cost is
     // bounded by the batch itself, never the dimension
     val touched =

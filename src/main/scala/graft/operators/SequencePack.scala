@@ -99,14 +99,34 @@ object SequencePack {
   // and lands as new files — stored sequences are never rewritten, and
   // a batch landing mid-sequence fills that sequence's tail exactly.
 
+  /** The persisted lifecycle's admission contract: no zero-token rows.
+    * The frontier is derived from stored CONTRIBUTION rows, and empty
+    * documents emit none — admitting one would leave its id outside the
+    * frontier, letting a later batch silently re-admit at-or-below it
+    * and break the incremental-equals-one-shot invariant. Empty docs
+    * carry no tokens to pack anyway; the caller filters them upstream,
+    * and this guard (one partial-aggregated count) turns a violation
+    * into a fail-fast instead of silent divergence.
+    */
+  private def requireNoEmptyDocs(docs: DataFrame, nTokCol: String,
+      op: String): Unit = {
+    val nEmpty = docs.filter(col(nTokCol) <= 0).count()
+    require(nEmpty == 0,
+      s"$op admits only n_tokens > 0 rows (the stored frontier cannot " +
+        s"cover token-less ids); got $nEmpty empty docs — filter them " +
+        "upstream")
+  }
+
   /** Pack `docs` from offset 0 and persist as the stream's base
     * (staged-publish swap — an interrupted write leaves any previous
-    * layout addressable).
+    * layout addressable). Input must be empty-doc-free
+    * ([[requireNoEmptyDocs]]).
     */
   def writePacked(docs: DataFrame, idCol: String, nTokCol: String,
       seqLen: Int, dir: String, buckets: Int = 32): Unit = {
     val spark = docs.sparkSession
     import spark.implicits._
+    requireNoEmptyDocs(docs, nTokCol, "writePacked")
     val staged = dir + ".__write__"
     val sp = new org.apache.hadoop.fs.Path(staged)
     sp.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(sp, true)
@@ -117,14 +137,23 @@ object SequencePack {
     graft.sources.Tables.publish(spark, staged, dir)
   }
 
-  /** Continue the persisted stream with `delta` (all keys strictly
-    * above the stored frontier — fails fast otherwise). O(delta):
-    * reads two footer-stat aggregates and appends the batch's
-    * contribution rows.
+  /** Continue the persisted stream with `delta` (empty-doc-free, all
+    * keys strictly above the stored frontier — fails fast otherwise).
+    * O(delta): two column-pruned tail aggregates plus packing and
+    * appending the batch's contribution rows. The batch lands as a
+    * plain multi-file append — same per-batch commit exposure as every
+    * other O(delta) append family here (TextIndex postings, IVF cell
+    * files): a driver crash mid-commit can leave part of ONE batch
+    * visible, which the monotone-key contract then surfaces loudly
+    * (the retry's lower keys trip the frontier check) rather than
+    * silently double-admitting. What the derived-from-data tail
+    * ELIMINATES is the other, quieter failure: a separate running
+    * total drifting from the rows actually stored.
     */
   def appendPacked(delta: DataFrame, idCol: String, nTokCol: String,
       dir: String): Unit = {
     val spark = delta.sparkSession
+    requireNoEmptyDocs(delta, nTokCol, "appendPacked")
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     val (seqLen, buckets) = (meta.getInt(0), meta.getInt(1))
     val tail = spark.read.parquet(s"$dir/contrib")

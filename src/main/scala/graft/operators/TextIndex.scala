@@ -78,7 +78,11 @@ object TextIndex {
     * sniffing the positional flag from parquet footers cost an extra
     * file-listing pass per append/phrase/proximity call on an index
     * that can hold millions of files at 100 TB (round-11 advice). A
-    * layout written before the flag existed reads as non-positional.
+    * layout written before the flag existed (modulus-only `_buckets`)
+    * falls back to the old one-time schema sniff — assuming
+    * non-positional would let appends write `pos`-less rows into a
+    * positional directory and turn phrase probes away from an index
+    * that actually has positions.
     */
   def readLayout(spark: SparkSession, dir: String): (Int, Boolean) = {
     val p = new org.apache.hadoop.fs.Path(s"$dir/postings/_buckets")
@@ -90,7 +94,11 @@ object TextIndex {
       try scala.io.Source.fromInputStream(in).getLines()
         .map(_.trim).filter(_.nonEmpty).toList
       finally in.close()
-    (lines.head.toInt, lines.exists(_ == "pos=true"))
+    val withPos =
+      if (lines.exists(_.startsWith("pos="))) lines.contains("pos=true")
+      else spark.read.parquet(s"$dir/postings").schema.fieldNames
+        .contains("pos")
+    (lines.head.toInt, withPos)
   }
 
   def readBuckets(spark: SparkSession, dir: String): Int =

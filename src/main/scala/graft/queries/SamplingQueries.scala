@@ -889,6 +889,7 @@ object SamplingQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0) // lifecycle admission contract
       .transform(graft.CacheScope.cache)
     val root = graft.Scratch.fresh("q197") + "/packed"
     SequencePack.writePacked(docs.filter(col("doc_id") < 200),
@@ -926,6 +927,7 @@ object SamplingQueries {
     val docs = Tables.load(spark, dir, "documents")
       .select(col("doc_id"),
         size(Text.tokens(col("text"))).cast("long").as("n_tokens"))
+      .filter(col("n_tokens") > 0) // lifecycle admission contract
       .transform(graft.CacheScope.cache)
     val root = graft.Scratch.fresh("q201")
     val packed = root + "/packed"

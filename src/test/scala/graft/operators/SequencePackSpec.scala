@@ -70,14 +70,18 @@ class SequencePackSpec extends SparkTestBase {
     assert(!packed.exists(_._3 == 0L))
   }
 
+  // the persisted lifecycle admits only n_tokens > 0 rows (the frontier
+  // is derived from contribution rows, which empty docs don't emit)
+  private def packable = fixture.filter(col("n_tokens") > 0)
+
   test("persisted lifecycle: base + appends equals one-shot pack") {
     val dir = graft.Scratch.fresh("seqpack-spec") + "/packed"
-    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+    SequencePack.writePacked(packable.filter(col("doc_id") < 150),
       "doc_id", "n_tokens", 9, dir, buckets = 3)
     SequencePack.appendPacked(
-      fixture.filter(col("doc_id") >= 150 && col("doc_id") < 320),
+      packable.filter(col("doc_id") >= 150 && col("doc_id") < 320),
       "doc_id", "n_tokens", dir)
-    SequencePack.appendPacked(fixture.filter(col("doc_id") >= 320),
+    SequencePack.appendPacked(packable.filter(col("doc_id") >= 320),
       "doc_id", "n_tokens", dir)
     val incremental = SequencePack.readPacked(spark, dir)
       .collect().map(_.toSeq).toSet
@@ -88,20 +92,37 @@ class SequencePackSpec extends SparkTestBase {
 
   test("appendPacked treats an empty batch as a no-op (idle micro-batch)") {
     val dir = graft.Scratch.fresh("seqpack-spec-empty") + "/packed"
-    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+    SequencePack.writePacked(packable.filter(col("doc_id") < 150),
       "doc_id", "n_tokens", 9, dir, buckets = 3)
     val before = SequencePack.readPacked(spark, dir).count()
-    SequencePack.appendPacked(fixture.filter(col("doc_id") < 0),
+    SequencePack.appendPacked(packable.filter(col("doc_id") < 0),
       "doc_id", "n_tokens", dir)
     assert(SequencePack.readPacked(spark, dir).count() === before)
   }
 
+  test("the persisted lifecycle rejects zero-token rows (frontier cannot " +
+      "cover them)") {
+    val dir = graft.Scratch.fresh("seqpack-spec-zero") + "/packed"
+    val e = intercept[IllegalArgumentException] {
+      SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+        "doc_id", "n_tokens", 9, dir, buckets = 3)
+    }
+    assert(e.getMessage.contains("n_tokens > 0"))
+    SequencePack.writePacked(packable.filter(col("doc_id") < 150),
+      "doc_id", "n_tokens", 9, dir, buckets = 3)
+    val e2 = intercept[IllegalArgumentException] {
+      SequencePack.appendPacked(fixture.filter(col("doc_id") >= 150),
+        "doc_id", "n_tokens", dir)
+    }
+    assert(e2.getMessage.contains("n_tokens > 0"))
+  }
+
   test("appendPacked rejects keys at or below the stored frontier") {
     val dir = graft.Scratch.fresh("seqpack-spec-mono") + "/packed"
-    SequencePack.writePacked(fixture.filter(col("doc_id") < 150),
+    SequencePack.writePacked(packable.filter(col("doc_id") < 150),
       "doc_id", "n_tokens", 9, dir, buckets = 3)
     val e = intercept[IllegalArgumentException] {
-      SequencePack.appendPacked(fixture.filter(col("doc_id") >= 100),
+      SequencePack.appendPacked(packable.filter(col("doc_id") >= 100),
         "doc_id", "n_tokens", dir)
     }
     assert(e.getMessage.contains("frontier"))

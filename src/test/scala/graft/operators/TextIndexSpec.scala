@@ -390,6 +390,25 @@ class TextIndexSpec extends SparkTestBase {
     assert(e.getMessage.contains("positional"))
   }
 
+  test("pre-flag layouts (modulus-only _buckets) fall back to the " +
+      "schema sniff instead of reading as non-positional") {
+    import spark.implicits._
+    val idx = graft.Scratch.fresh("ti_preflag") + "/idx"
+    TextIndex.write(Seq((1L, "alpha beta gamma")).toDF("doc_id", "text"),
+      "doc_id", "text", idx, withPositions = true)
+    // simulate a layout written before the pos= flag existed: strip the
+    // flag line, keep the modulus
+    val p = new org.apache.hadoop.fs.Path(s"$idx/postings/_buckets")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val buckets = TextIndex.readBuckets(spark, idx)
+    val out = fs.create(p, true)
+    try out.write(s"$buckets\n".getBytes("UTF-8")) finally out.close()
+    assert(TextIndex.readLayout(spark, idx) === ((buckets, true)),
+      "legacy positional layout must still read as positional")
+    // and the phrase path keeps serving it
+    assert(phraseHits(idx, Seq((0L, "alpha beta"))) === Map((0L, 1L) -> 1L))
+  }
+
   test("proximity probe: tightest span, window gate, order-free") {
     import spark.implicits._
     val d = Seq(
