@@ -504,15 +504,14 @@ object DedupQueries {
   private def lshAdmissionRun(spark: SparkSession, dir: String, tag: String,
       probe: (String, DataFrame) => DataFrame): DataFrame = {
     import graft.operators.LshIndex
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    val docs = SharedIndexes.lshDocs(spark, dir)
       .transform(graft.CacheScope.cache)
     val corpus = docs.filter(col("bucket") < 80)
     val delta = docs.filter(col("bucket") >= 80)
-    val path = graft.Scratch.fresh(tag) + "/lsh_index"
-    LshIndex.write(corpus, "doc_id", "sh", path)
+    // copy-on-write from the shared immutable base index (admission
+    // appends the admitted band rows into its copy)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshBase80(spark, dir), tag + "_lsh_index")
     val cand = probe(path, delta)
     // verify against only the collided corpus docs (left-semi prune);
     // the collided-id set is bounded by the probe contract (distinct
@@ -785,13 +784,12 @@ object DedupQueries {
       "q131_lsh_sequential", lshSequentialSql(SeqWaves)
     ) { (spark, dir) =>
       import graft.operators.LshIndex
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-          ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      val docs = SharedIndexes.lshDocs(spark, dir)
         .transform(graft.CacheScope.cache)
-      val path = graft.Scratch.fresh("q131") + "/lsh_index"
-      LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+      // copy-on-write from the shared immutable base index (each wave
+      // appends its admitted band rows)
+      val path = graft.Scratch.cloneBase(
+        SharedIndexes.lshBase80(spark, dir), "q131_lsh_index")
       val perWave = SeqWaves.zipWithIndex.map { case ((lo, hi), i) =>
         val wave = docs.filter(col("bucket") >= lo && col("bucket") < hi)
         val cand = LshIndex.candidates(spark, path, wave, "doc_id", "sh")
@@ -830,14 +828,13 @@ object DedupQueries {
     "q143_lsh_stream", lshSequentialSql(SeqWaves)
   ) { (spark, dir) =>
     import graft.operators.LshIndex
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    val docs = SharedIndexes.lshDocs(spark, dir)
       .transform(graft.CacheScope.cache)
     val root = graft.Scratch.fresh("q143")
-    val path = root + "/lsh_index"
-    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
+    // copy-on-write from the shared immutable base index (each streamed
+    // wave appends its admitted band rows)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshBase80(spark, dir), "q143_lsh_index")
     // one file per wave, mtimes ascending: micro-batch order = arrival order
     val wavesDir = root + "/waves"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(wavesDir))
@@ -950,8 +947,10 @@ object DedupQueries {
       .select(col("doc_id"),
         MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"))
       .transform(graft.CacheScope.cache)
-    val path = graft.Scratch.fresh("q145") + "/lsh_index"
-    LshIndex.write(docs, "doc_id", "sh", path)
+    // copy-on-write from the shared immutable full-corpus index (the
+    // skew gate may rebucket-rebuild in place)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshFull(spark, dir), "q145_lsh_index")
     val (beforePairs, rebuilt) = LshIndex.rebucketIfSkewed(spark, path,
       docs, "doc_id", "sh", RebucketCapDf, RebucketPairBudget)
     spark.read.parquet(path)
@@ -989,18 +988,17 @@ object DedupQueries {
     "q141_lsh_tiered", lshSequentialSql(TieredWaves)
   ) { (spark, dir) =>
     import graft.operators.LshIndex
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    val docs = SharedIndexes.lshDocs(spark, dir)
       .transform(graft.CacheScope.cache)
-    val path = graft.Scratch.fresh("q141") + "/lsh_delta"
+    // copy-on-write from the shared immutable base index: the copy IS
+    // the mutable ingest tier (rolled over, then appended into)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshBase80(spark, dir), "q141_lsh_delta")
     val table = "q141_lsh_bulk"
     // the rollover folds an EXISTING bulk table into the new generation
     // (steady-state semantics), so a re-run in the same session must
     // clear last run's table the way Scratch.fresh clears the path tier
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
     // rollover: bulk -> bucketed table, ingest tier truncated to empty
     LshIndex.compactBucketedAndTruncate(spark, path, table,
       buckets = 16, "doc_id")
@@ -1043,15 +1041,14 @@ object DedupQueries {
     "q149_lsh_rollover_cycle", lshSequentialSql(SeqWaves)
   ) { (spark, dir) =>
     import graft.operators.LshIndex
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    val docs = SharedIndexes.lshDocs(spark, dir)
       .transform(graft.CacheScope.cache)
-    val path = graft.Scratch.fresh("q149") + "/lsh_delta"
+    // copy-on-write from the shared immutable base index: the copy IS
+    // the mutable ingest tier (rolled over, then appended into)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshBase80(spark, dir), "q149_lsh_delta")
     val table = "q149_lsh_bulk"
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
-    LshIndex.write(docs.filter(col("bucket") < 80), "doc_id", "sh", path)
     // rollover #1: the whole corpus folds into the bucketed bulk
     LshIndex.compactBucketedAndTruncate(spark, path, table,
       buckets = 16, "doc_id")
@@ -1141,15 +1138,14 @@ object DedupQueries {
       |ORDER BY ph.phase, r.doc_id""".stripMargin
   ) { (spark, dir) =>
     import graft.operators.LshIndex
-    val docs = Tables.load(spark, dir, "documents")
-      .select(col("doc_id"),
-        MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-        ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+    val docs = SharedIndexes.lshDocs(spark, dir)
       .transform(graft.CacheScope.cache)
     val corpus = docs.filter(col("bucket") < 80)
     val delta = docs.filter(col("bucket") >= 80)
-    val path = graft.Scratch.fresh("q133") + "/lsh_index"
-    LshIndex.write(corpus, "doc_id", "sh", path)
+    // copy-on-write from the shared immutable base index (this gate
+    // deletes and compacts in place)
+    val path = graft.Scratch.cloneBase(
+      SharedIndexes.lshBase80(spark, dir), "q133_lsh_index")
     LshIndex.delete(spark, path,
       corpus.filter(col("doc_id") % 13 === 7).select(col("doc_id")),
       "doc_id")
@@ -1294,10 +1290,7 @@ object DedupQueries {
     ) { (spark, dir) =>
       import graft.operators.LshIndex
       import graft.sources.Snapshots
-      val docs = Tables.load(spark, dir, "documents")
-        .select(col("doc_id"),
-          MinHashLSH.shingleHashes(Text.tokens(col("text")), 3).as("sh"),
-          ((col("doc_id") % 1000003L) * 2654435761L % 100).as("bucket"))
+      val docs = SharedIndexes.lshDocs(spark, dir)
         .transform(graft.CacheScope.cache)
       val corpus = docs.filter(col("bucket") < 80)
       val wave1 = docs.filter(col("bucket") >= 80 && col("bucket") < 90)
@@ -1326,8 +1319,10 @@ object DedupQueries {
             coalesce(col("nd"), lit(0L)).as("n_dups"))
           .withColumn("admitted", col("n_dups") === 0L)
       }
+      // v0 = the shared immutable base-slice build, published as a
+      // real commit (the corpus slice IS bucket < 80)
       val v0 = Snapshots.commit(spark, table)(d =>
-        LshIndex.write(corpus, "doc_id", "sh", d))
+        graft.Scratch.copyDir(SharedIndexes.lshBase80(spark, dir), d))
       // wave-1 admission decides against v0, then v1 = corpus ∪ admitted
       val adm1 = graft.CacheScope.cacheTruncated(
         admissionAt(Snapshots.versionPath(table, v0), wave1))

@@ -338,15 +338,14 @@ object SimilarityQueries {
     ivfOracleSql(clusters = 16, nProbe = 4, iters = 2, k = 3, dim = 64,
       nQueries = 10)
   ) { (spark, dir) =>
-    // the corpus feeds seeding, two Lloyd scans, the layout write and
-    // nothing else (the search reads the LAYOUT) — cache it across those
-    val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-    val cents = graft.operators.IvfAnn
-      .centroids(corpus, "vec_id", "embedding", clusters = 16, iters = 2)
-    val path = graft.Scratch.fresh("q104") + "/ivf_cells"
-    graft.operators.IvfAnn
-      .writePartitionedByCell(corpus, "vec_id", "embedding", cents, path)
-    val queries = corpus.filter(col("vec_id") < 10)
+    // shared immutable full-corpus index (centroids + cell layout) —
+    // probed READ-ONLY, so no clone
+    val idx = SharedIndexes.ivfIndex(spark, dir, "full",
+      clusters = 16, iters = 2)
+    val path = s"$idx/cells"
+    val cents = SharedIndexes.ivfCentroids(spark, idx)
+    val queries = Tables.load(spark, dir, "embeddings")
+      .filter(col("vec_id") < 10)
       .select(col("vec_id").as("qid"), col("embedding").as("qv"))
     graft.operators.IvfAnn
       .searchPartitioned(spark, path, cents, "vec_id", "embedding",
@@ -418,14 +417,13 @@ object SimilarityQueries {
       "q107_ivf_append",
       ivfAppendOracleSql(clusters, nProbe, iters, k, dim, nQueries)
     ) { (spark, dir) =>
-      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-      val base = all0.filter(col("vec_id") % 5 =!= 0)
+      val all0 = Tables.load(spark, dir, "embeddings")
       val delta = all0.filter(col("vec_id") % 5 === 0)
-      val cents = graft.operators.IvfAnn
-        .centroids(base, "vec_id", "embedding", clusters, iters)
-      val path = graft.Scratch.fresh("q107") + "/ivf_cells"
-      graft.operators.IvfAnn
-        .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends the delta into its copy); quantizer from the layout
+      val idx = SharedIndexes.ivfIndex(spark, dir, "base", clusters, iters)
+      val cents = SharedIndexes.ivfCentroids(spark, idx)
+      val path = graft.Scratch.cloneBase(s"$idx/cells", "q107_ivf_cells")
       graft.operators.IvfAnn
         .appendPartitionedByCell(delta, "vec_id", "embedding", cents, path)
       val queries = all0.filter(col("vec_id") < nQueries)
@@ -458,14 +456,13 @@ object SimilarityQueries {
       "q119_ivf_stream",
       ivfAppendOracleSql(clusters, nProbe, iters, k, dim, nQueries)
     ) { (spark, dir) =>
-      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-      val base = all0.filter(col("vec_id") % 5 =!= 0)
-      val cents = graft.operators.IvfAnn
-        .centroids(base, "vec_id", "embedding", clusters, iters)
+      val all0 = Tables.load(spark, dir, "embeddings")
       val root = graft.Scratch.fresh("q119")
-      val path = root + "/ivf_cells"
-      graft.operators.IvfAnn
-        .writePartitionedByCell(base, "vec_id", "embedding", cents, path)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends the streamed delta into its copy)
+      val idx = SharedIndexes.ivfIndex(spark, dir, "base", clusters, iters)
+      val cents = SharedIndexes.ivfCentroids(spark, idx)
+      val path = graft.Scratch.cloneBase(s"$idx/cells", "q119_ivf_cells")
       // re-materialize the delta as 3 files so AvailableNow +
       // maxFilesPerTrigger=1 yields three REAL micro-batches
       val deltaDir = root + "/delta"
@@ -1103,11 +1100,11 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => (x.cast("double") + lit(0.5)).cast("float"))
             .as("embedding"))
-      val cents0 = graft.operators.IvfAnn
-        .centroids(base, "vec_id", "embedding", clusters, iters)
-      val path = graft.Scratch.fresh("q121") + "/ivf_cells"
-      graft.operators.IvfAnn
-        .writePartitionedByCell(base, "vec_id", "embedding", cents0, path)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends a drifted delta, then retrains in place)
+      val idx0 = SharedIndexes.ivfIndex(spark, dir, "base", clusters, iters)
+      val cents0 = SharedIndexes.ivfCentroids(spark, idx0)
+      val path = graft.Scratch.cloneBase(s"$idx0/cells", "q121_ivf_cells")
       graft.operators.IvfAnn
         .appendPartitionedByCell(delta, "vec_id", "embedding", cents0, path)
       val tagged = graft.CacheScope.cache(
@@ -1165,14 +1162,13 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding")))
       val base = all0.filter(col("vec_id") % 5 =!= 0)
       val table = graft.Scratch.fresh("q124") + "/ivf_index"
-      val cents0 = graft.operators.IvfAnn
-        .centroids(base, "vec_id", "embedding", clusters, iters)
-      val v0 = Snapshots.commit(spark, table)(d => graft.operators.IvfAnn
-        .writeIndex(base, "vec_id", "embedding", cents0, d))
-      val cents1 = graft.operators.IvfAnn
-        .centroids(all0, "vec_id", "embedding", clusters, iters)
-      val v1 = Snapshots.commit(spark, table)(d => graft.operators.IvfAnn
-        .writeIndex(all0, "vec_id", "embedding", cents1, d))
+      // each version is a full immutable generation (quantizer + cells
+      // travel together) — publish the shared builds as real commits
+      def commitV(slice: String) =
+        Snapshots.commit(spark, table)(d => graft.Scratch.copyDir(
+          SharedIndexes.ivfIndex(spark, dir, slice, clusters, iters), d))
+      val v0 = commitV("base")
+      val v1 = commitV("full")
       def searchV(v: Long, corpus: org.apache.spark.sql.DataFrame) =
         graft.operators.IvfAnn
         .searchIndex(spark, Snapshots.versionPath(table, v),
@@ -1219,13 +1215,13 @@ object SimilarityQueries {
         |) t CROSS JOIN (SELECT unnest(['compacted', 'tombstone']) AS phase) ph
         |ORDER BY ph.phase, t.qid, t.cosine DESC, t.neighbor""".stripMargin
     ) { (spark, dir) =>
-      val corpus = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings")
-        .select(col("vec_id"), col("embedding")))
-      val cents = graft.operators.IvfAnn
-        .centroids(corpus, "vec_id", "embedding", clusters, iters)
-      val path = graft.Scratch.fresh("q129") + "/ivf_cells"
-      graft.operators.IvfAnn
-        .writePartitionedByCell(corpus, "vec_id", "embedding", cents, path)
+      val corpus = Tables.load(spark, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      // copy-on-write from the shared immutable full-corpus index (this
+      // gate deletes and compacts in place)
+      val idx = SharedIndexes.ivfIndex(spark, dir, "full", clusters, iters)
+      val cents = SharedIndexes.ivfCentroids(spark, idx)
+      val path = graft.Scratch.cloneBase(s"$idx/cells", "q129_ivf_cells")
       graft.operators.IvfAnn.deleteFromCells(spark, path,
         corpus.filter(col("vec_id") >= 10 && col("vec_id") % 10 === 3)
           .select(col("vec_id")), "vec_id")
@@ -1716,15 +1712,12 @@ object SimilarityQueries {
       ivfPqResidualAppendOracleSql(clusters, nProbe, coarseIters, m, dim,
         codes, pqIters, k, nQ)
     ) { (spark, dir) =>
-      val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-      val base = all0.filter(col("vec_id") % 5 =!= 0)
-      val delta = all0.filter(col("vec_id") % 5 === 0)
-      val idx = graft.Scratch.fresh("q144") + "/ivfpq_res"
-      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
-        idx, clusters, m, dim, codes, coarseIters, pqIters)
-      graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
-        "embedding", idx)
-      val queries = all0.filter(col("vec_id") < nQ)
+      // shared immutable post-append generation (base %5 build + delta
+      // append, same params) — probed READ-ONLY, so no clone
+      val idx = SharedIndexes.ivfPqResidualBaseDelta(spark, dir,
+        clusters, m, dim, codes, coarseIters, pqIters)
+      val queries = Tables.load(spark, dir, "embeddings")
+        .filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.IvfPq.searchIndexResidual(spark, idx, "vec_id",
           queries, "qid", "qv", k = k, nProbe = nProbe)
@@ -1773,13 +1766,9 @@ object SimilarityQueries {
         |ORDER BY qid, dist2, neighbor""".stripMargin
     ) { (spark, dir) =>
       val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-      val base = all0.filter(col("vec_id") % 5 =!= 0)
-      val delta = all0.filter(col("vec_id") % 5 === 0)
-      val idx = graft.Scratch.fresh("q146") + "/ivfpq_res"
-      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
-        idx, clusters, m, dim, codes, coarseIters, pqIters)
-      graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
-        "embedding", idx)
+      // shared immutable post-append generation — probed READ-ONLY
+      val idx = SharedIndexes.ivfPqResidualBaseDelta(spark, dir,
+        clusters, m, dim, codes, coarseIters, pqIters)
       val queries = all0.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
       graft.operators.IvfPq.searchIndexResidualRefined(spark, idx,
@@ -1831,9 +1820,11 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => (x.cast("double") + lit(0.5)).cast("float"))
             .as("embedding"))
-      val idx = graft.Scratch.fresh("q147") + "/ivfpq_res"
-      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
-        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      // copy-on-write from the shared immutable base generation (this
+      // gate appends a drifted delta, then retrains in place)
+      val idx = graft.Scratch.cloneBase(SharedIndexes.ivfPqResidual(
+        spark, dir, "base", clusters, m, dim, codes, coarseIters, pqIters),
+        "q147_ivfpq_res")
       graft.operators.IvfPq.appendIndexResidual(delta, "vec_id",
         "embedding", idx)
       val tagged = graft.CacheScope.cache(
@@ -1890,12 +1881,14 @@ object SimilarityQueries {
         .select(col("vec_id"), col("embedding")))
       val base = all0.filter(col("vec_id") % 5 =!= 0)
       val root = graft.Scratch.fresh("q148") + "/ivfpq_versions"
-      def writeV(corpus: org.apache.spark.sql.DataFrame) =
-        Snapshots.commit(spark, root)(d =>
-          graft.operators.IvfPq.writeIndexResidual(corpus, "vec_id",
-            "embedding", d, clusters, m, dim, codes, coarseIters, pqIters))
-      val v0 = writeV(base)
-      val v1 = writeV(all0)
+      // each version is a full immutable generation — publish the
+      // shared builds (base slice, then full corpus) as real commits
+      def writeV(slice: String) =
+        Snapshots.commit(spark, root)(d => graft.Scratch.copyDir(
+          SharedIndexes.ivfPqResidual(spark, dir, slice, clusters, m, dim,
+            codes, coarseIters, pqIters), d))
+      val v0 = writeV("base")
+      val v1 = writeV("full")
       def searchV(v: Long, corpus: org.apache.spark.sql.DataFrame) =
         graft.operators.IvfPq.searchIndexResidual(spark,
             Snapshots.versionPath(root, v), "vec_id",
@@ -1938,11 +1931,12 @@ object SimilarityQueries {
         codes, pqIters, k, nQ)
     ) { (spark, dir) =>
       val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
-      val base = all0.filter(col("vec_id") % 5 =!= 0)
       val root = graft.Scratch.fresh("q150")
-      val idx = root + "/ivfpq_res"
-      graft.operators.IvfPq.writeIndexResidual(base, "vec_id", "embedding",
-        idx, clusters, m, dim, codes, coarseIters, pqIters)
+      // copy-on-write from the shared immutable base generation (this
+      // gate appends the streamed delta into its copy)
+      val idx = graft.Scratch.cloneBase(SharedIndexes.ivfPqResidual(
+        spark, dir, "base", clusters, m, dim, codes, coarseIters, pqIters),
+        "q150_ivfpq_res")
       // re-materialize the delta as 3 files so AvailableNow +
       // maxFilesPerTrigger=1 yields three REAL micro-batches
       val deltaDir = root + "/delta"
@@ -2114,10 +2108,7 @@ object SimilarityQueries {
     */
   private def lumaFeatures(spark: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame =
-    graft.multimodal.Multimodal.ppmAssets(Tables.load(spark, dir, "documents"))
-      .select(col("asset_id").as("vec_id"),
-        graft.multimodal.Multimodal.ppmLumaGrid(col("payload"), 2, 2)
-          .cast("array<float>").as("embedding"))
+    SharedIndexes.mediaLumaFeatures(spark, dir)
 
   val mediaAnnGate: QuerySpec = {
     val assetCte = lumaAssetCte
@@ -2128,11 +2119,14 @@ object SimilarityQueries {
           dim = 4, nQueries = 10, corpusCte = assetCte)}) t
         |ORDER BY qid, cosine DESC, neighbor""".stripMargin
     ) { (spark, dir) =>
-      val feats = lumaFeatures(spark, dir)
-      val queries = feats.filter(col("vec_id") < 10)
+      // shared immutable media index (decode + train once) — probed
+      // READ-ONLY; partitioned serving equals the in-memory chain by
+      // the q104 equivalence contract
+      val idx = SharedIndexes.mediaIvf(spark, dir, clusters = 8, iters = 2)
+      val queries = lumaFeatures(spark, dir).filter(col("vec_id") < 10)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      graft.operators.IvfAnn.search(feats, "vec_id", "embedding",
-          queries, "qid", "qv", k = 3, clusters = 8, nProbe = 2, iters = 2)
+      graft.operators.IvfAnn.searchIndex(spark, idx, "vec_id", "embedding",
+          queries, "qid", "qv", k = 3, nProbe = 2)
         .select(col("qid"), col("neighbor"),
           round(col("cosine") + lit(1e-9), 4).as("cosine"))
         .withColumn("near_dup", col("cosine") >= 0.9995)
@@ -2636,8 +2630,8 @@ object SimilarityQueries {
     ) { (spark, dir) =>
       val docs = Tables.load(spark, dir, "documents")
         .select(col("doc_id"), col("text"))
-      val idx = graft.Scratch.fresh("q161") + "/text"
-      graft.operators.TextIndex.write(docs, "doc_id", "text", idx)
+      // shared immutable full-corpus index — probed READ-ONLY
+      val idx = SharedIndexes.textFull(spark, dir)
       val bmLeg = graft.operators.TextIndex.searchTopK(spark, idx,
           docs.filter(col("doc_id") < nQ)
             .select(col("doc_id").as("qid"), col("text")),
@@ -2749,8 +2743,7 @@ object SimilarityQueries {
         SharedIndexes.textFull(spark, dir), "q182_text")
       graft.operators.TextIndex.delete(spark, tIdx,
         deleted.toDF("doc_id"), "doc_id")
-      graft.operators.BinaryQuantizer.writeIndex(emb, "vec_id",
-        "embedding", bIdx)
+      graft.Scratch.copyDir(SharedIndexes.bqFull(spark, dir), bIdx)
       graft.operators.BinaryQuantizer.deleteFromIndex(spark, bIdx,
         deleted.toDF("vec_id"), "vec_id")
       val bmLeg = graft.operators.TextIndex.searchTopK(spark, tIdx,
@@ -2840,12 +2833,13 @@ object SimilarityQueries {
             .select(col("doc_id").as("qid"), col("text")),
           "qid", "text", k = kLeg)
         .select(col("qid"), col("doc_id"), col("rank").as("rk"))
-      val feats = lumaFeatures(spark, dir)
-      val vQueries = feats.filter(col("vec_id") < nQ)
+      // shared immutable media index (decode + train once) — probed
+      // READ-ONLY by this leg too
+      val vIdx = SharedIndexes.mediaIvf(spark, dir, clusters = 8, iters = 2)
+      val vQueries = lumaFeatures(spark, dir).filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
-      val vLeg = graft.operators.IvfAnn.search(feats, "vec_id", "embedding",
-          vQueries, "qid", "qv", k = kLeg, clusters = 8, nProbe = 2,
-          iters = 2)
+      val vLeg = graft.operators.IvfAnn.searchIndex(spark, vIdx, "vec_id",
+          "embedding", vQueries, "qid", "qv", k = kLeg, nProbe = 2)
         .withColumn("rcos", round(col("cosine") + lit(1e-9), 4))
         .withColumn("rk", row_number().over(Window.partitionBy(col("qid"))
           .orderBy(col("rcos").desc, col("neighbor"))).cast("long"))

@@ -721,9 +721,10 @@ object TextQueries {
     import spark.implicits._
     val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
-    val idx = graft.Scratch.fresh("q160") + "/text"
-    graft.operators.TextIndex.write(
-      docs.filter(col("doc_id") % 7 =!= 0), "doc_id", "text", idx)
+    // copy-on-write from the shared immutable %7 base generation (this
+    // gate appends and deletes in place)
+    val idx = graft.Scratch.cloneBase(
+      SharedIndexes.textModBase(spark, dir, 7), "q160_text")
     graft.operators.TextIndex.append(
       docs.filter(col("doc_id") % 7 === 0), "doc_id", "text", idx)
     graft.operators.TextIndex.delete(spark, idx,
@@ -756,9 +757,10 @@ object TextQueries {
     val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
     val root = graft.Scratch.fresh("q162")
-    val idx = root + "/text"
-    graft.operators.TextIndex.write(
-      docs.filter(col("doc_id") % 3 =!= 0), "doc_id", "text", idx)
+    // copy-on-write from the shared immutable %3 base generation (this
+    // gate appends the streamed delta in place)
+    val idx = graft.Scratch.cloneBase(
+      SharedIndexes.textModBase(spark, dir, 3), "q162_text")
     // re-materialize the delta as 3 files so AvailableNow +
     // maxFilesPerTrigger=1 yields three REAL micro-batches
     val deltaDir = root + "/delta"
