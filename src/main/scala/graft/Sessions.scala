@@ -60,7 +60,13 @@ object Sessions {
       .appName(appName)
       // custom optimizer rule + SQL functions (graft.plans.GraftExtensions)
       .withExtensions(graft.plans.GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      // scale-adaptive: AQE re-coalesces batch shuffles at runtime, so
+      // this is only the pre-AQE ceiling (and the STREAMING state
+      // partition count, where AQE is off). Parameterised for
+      // experiments; default stays the parallelism so driver benches
+      // at different core counts stay comparable.
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus))
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")

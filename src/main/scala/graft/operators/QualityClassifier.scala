@@ -155,9 +155,13 @@ object QualityClassifier {
       labels: DataFrame, idCol: String, labelCol: String): Unit =
     mergeModel(spark, dir, feats, labels, idCol, labelCol, sign = -1L)
 
-  private def mergeModel(spark: SparkSession, dir: String, feats: DataFrame,
+  private def mergeModel(spark: SparkSession, dir: String, feats0: DataFrame,
       labels: DataFrame, idCol: String, labelCol: String,
       sign: Long): Unit = {
+    // both the count delta (train) and the totals delta scan the same
+    // featurized batch — persist it once per merge instead of
+    // re-tokenizing per leg
+    val feats = graft.CacheScope.cache(feats0)
     val dc = train(feats, labels, idCol, labelCol)
       .select(col("b"), (col("cp") * sign).as("cp"),
         (col("cn") * sign).as("cn"))

@@ -153,7 +153,6 @@ object SequencePack {
   def appendPacked(delta: DataFrame, idCol: String, nTokCol: String,
       dir: String): Unit = {
     val spark = delta.sparkSession
-    requireNoEmptyDocs(delta, nTokCol, "appendPacked")
     val meta = spark.read.parquet(s"$dir/meta").collect().head
     val (seqLen, buckets) = (meta.getInt(0), meta.getInt(1))
     val tail = spark.read.parquet(s"$dir/contrib")
@@ -164,10 +163,19 @@ object SequencePack {
     val (base, frontier) =
       if (tail.isNullAt(0)) (0L, Long.MinValue)
       else (tail.getLong(0), tail.getLong(1))
-    val low = delta.agg(min(col(idCol))).collect().head
+    // ONE partial-aggregated pass over the batch serves both guards:
+    // the empty-doc count (requireNoEmptyDocs' check, fused here — a
+    // per-micro-batch extra scan is pure job overhead) and the
+    // monotone-frontier minimum
+    val low = delta.agg(min(col(idCol)),
+      sum(when(col(nTokCol) <= 0, 1L).otherwise(0L))).collect().head
     // an empty batch (idle micro-batch, empty range) is a no-op, not a
     // contract violation — streams deliver them routinely
     if (low.isNullAt(0)) return
+    require(low.getLong(1) == 0L,
+      s"appendPacked admits only n_tokens > 0 rows (the stored frontier " +
+        s"cannot cover token-less ids); got ${low.getLong(1)} empty docs " +
+        "— filter them upstream")
     require(low.getLong(0) > frontier,
       s"appendPacked needs all delta keys above the stored frontier " +
         s"$frontier (stream order is monotone by contract); got min " +

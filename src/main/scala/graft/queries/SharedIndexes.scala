@@ -100,6 +100,30 @@ object SharedIndexes {
         coarseIters, pqIters)
     } + "/idx"
 
+  /** Non-residual IVF+PQ index ([[graft.operators.IvfPq.writeIndex]])
+    * over an embeddings slice (q138's lifecycle base; cloned — the
+    * gate appends).
+    */
+  def ivfPqIndex(spark: SparkSession, dir: String, slice: String,
+      clusters: Int, m: Int, dim: Int, codes: Int, coarseIters: Int,
+      pqIters: Int): String =
+    graft.Scratch.sharedBase(
+      s"ivfpq:$dir:$slice:c=$clusters:m=$m:d=$dim:k=$codes" +
+        s":ci=$coarseIters:pi=$pqIters") { d =>
+      graft.operators.IvfPq.writeIndex(embSlice(spark, dir, slice),
+        "vec_id", "embedding", s"$d/idx", clusters, m, dim, codes,
+        coarseIters, pqIters)
+    } + "/idx"
+
+  /** Scalar-quantizer (SQ8) index over an embeddings slice (q153's
+    * lifecycle base; cloned — the gate appends and deletes).
+    */
+  def sqIndex(spark: SparkSession, dir: String, slice: String): String =
+    graft.Scratch.sharedBase(s"sq:$dir:$slice") { d =>
+      graft.operators.ScalarQuantizer.writeIndex(
+        embSlice(spark, dir, slice), "vec_id", "embedding", s"$d/idx")
+    } + "/idx"
+
   /** [[ivfPqResidual]]'s `base` generation with the `%5 === 0` delta
     * already absorbed through
     * [[graft.operators.IvfPq.appendIndexResidual]] — the post-append
@@ -177,12 +201,13 @@ object SharedIndexes {
         .writeIndex(feats, "vec_id", "embedding", cents, s"$d/idx")
     } + "/idx"
 
-  /** 1-bit binary-quantizer index over the full embeddings corpus
-    * (q182's vector leg; cloned — the gate deletes).
+  /** 1-bit binary-quantizer index over an embeddings slice (q182's
+    * vector leg `full`, q157's lifecycle base `base`; always cloned —
+    * both consumers mutate).
     */
-  def bqFull(spark: SparkSession, dir: String): String =
-    graft.Scratch.sharedBase(s"bqfull:$dir") { d =>
-      graft.operators.BinaryQuantizer.writeIndex(embeddings(spark, dir),
-        "vec_id", "embedding", s"$d/idx")
+  def bqIndex(spark: SparkSession, dir: String, slice: String): String =
+    graft.Scratch.sharedBase(s"bq:$dir:$slice") { d =>
+      graft.operators.BinaryQuantizer.writeIndex(
+        embSlice(spark, dir, slice), "vec_id", "embedding", s"$d/idx")
     } + "/idx"
 }

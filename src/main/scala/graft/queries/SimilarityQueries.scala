@@ -1499,9 +1499,11 @@ object SimilarityQueries {
       val all0 = graft.CacheScope.cache(Tables.load(spark, dir, "embeddings"))
       val base = all0.filter(col("vec_id") % 5 =!= 0)
       val delta = all0.filter(col("vec_id") % 5 === 0)
-      val idx = graft.Scratch.fresh("q138") + "/ivfpq"
-      graft.operators.IvfPq.writeIndex(base, "vec_id", "embedding", idx,
-        clusters, m, dim, codes, coarseIters, pqIters)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends the delta into its copy)
+      val idx = graft.Scratch.cloneBase(SharedIndexes.ivfPqIndex(
+        spark, dir, "base", clusters, m, dim, codes, coarseIters, pqIters),
+        "q138_ivfpq")
       graft.operators.IvfPq.appendIndex(delta, "vec_id", "embedding", idx)
       val queries = all0.filter(col("vec_id") < nQ)
         .select(col("vec_id").as("qid"), col("embedding").as("qv"))
@@ -2241,9 +2243,10 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => (x.cast("double") + lit(0.5)).cast("float"))
             .as("embedding"))
-      val idx = graft.Scratch.fresh("q153") + "/sq"
-      graft.operators.ScalarQuantizer.writeIndex(base, "vec_id",
-        "embedding", idx)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends a shifted delta and deletes)
+      val idx = graft.Scratch.cloneBase(
+        SharedIndexes.sqIndex(spark, dir, "base"), "q153_sq")
       graft.operators.ScalarQuantizer.appendIndex(delta, "vec_id",
         "embedding", idx)
       graft.operators.ScalarQuantizer.deleteFromIndex(spark, idx,
@@ -2423,9 +2426,10 @@ object SimilarityQueries {
           transform(col("embedding"),
             x => (x.cast("double") + lit(0.5)).cast("float"))
             .as("embedding"))
-      val idx = graft.Scratch.fresh("q157") + "/bq"
-      graft.operators.BinaryQuantizer.writeIndex(base, "vec_id",
-        "embedding", idx)
+      // copy-on-write from the shared immutable base-slice index (this
+      // gate appends a shifted delta and deletes)
+      val idx = graft.Scratch.cloneBase(
+        SharedIndexes.bqIndex(spark, dir, "base"), "q157_bq")
       graft.operators.BinaryQuantizer.appendIndex(delta, "vec_id",
         "embedding", idx)
       graft.operators.BinaryQuantizer.deleteFromIndex(spark, idx,
@@ -2743,7 +2747,7 @@ object SimilarityQueries {
         SharedIndexes.textFull(spark, dir), "q182_text")
       graft.operators.TextIndex.delete(spark, tIdx,
         deleted.toDF("doc_id"), "doc_id")
-      graft.Scratch.copyDir(SharedIndexes.bqFull(spark, dir), bIdx)
+      graft.Scratch.copyDir(SharedIndexes.bqIndex(spark, dir, "full"), bIdx)
       graft.operators.BinaryQuantizer.deleteFromIndex(spark, bIdx,
         deleted.toDF("vec_id"), "vec_id")
       val bmLeg = graft.operators.TextIndex.searchTopK(spark, tIdx,

@@ -18,6 +18,31 @@ import graft.streaming.StreamingPipeline
   */
 object StreamingQueries {
 
+  /** Run `body` with the STATEFUL-stream state partition count pinned
+    * (restored after). Stateful operators shard their state store by
+    * `spark.sql.shuffle.partitions` at first start, AQE is off in
+    * streaming, and production pins the value in the checkpoint forever
+    * (it cannot change without a state rebuild) — so it is a deliberate
+    * per-job deployment parameter sized to STATE volume, never derived
+    * from the executor count. The gates' fixture state is O(100–1k)
+    * keys; 8 stores is already generous (each store pays checkpoint
+    * fsync + provider init per micro-batch, measured 2.4 s → 1.2 s on
+    * q56/q95 vs 32 stores). Cluster runs override via
+    * SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    */
+  private def withStatePartitions[T](
+      spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
+    val Key = "spark.sql.shuffle.partitions"
+    val saved = spark.conf.getOption(Key)
+    spark.conf.set(Key,
+      sys.env.getOrElse("SPARK_GRAFT_STREAM_STATE_PARTITIONS", "8"))
+    try body
+    finally saved match {
+      case Some(v) => spark.conf.set(Key, v)
+      case None => spark.conf.unset(Key)
+    }
+  }
+
   /** Tumbling 1-hour per-type counts computed by a STREAM, verified
     * against the batch oracle (`window(ts, '1 hour').start` is the
     * epoch-aligned hour = `date_trunc('hour', ts)`).
@@ -45,12 +70,14 @@ object StreamingQueries {
     // complete mode: every window survives to the final table, matching
     // the batch oracle (the watermark only bounds append-mode eviction)
     val sink = "q56_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val query = StreamingPipeline.windowedCounts(ev, "1 hour", "1 hour")
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("complete")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(spark) {
+      val query = StreamingPipeline.windowedCounts(ev, "1 hour", "1 hour")
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("complete")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sink)
       .select(col("window_start"), col("event_type"), col("n_events"),
         round(col("sum_value") + lit(1e-9), 2).as("sum_value"))
@@ -163,12 +190,14 @@ object StreamingQueries {
       // so emissions are exactly the later-event-closed sessions
       delayThreshold = "3650 days")
     val sink = "q94_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    val query = sessions.toDF()
-      .writeStream.format("memory").queryName(sink)
-      .outputMode("append")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    query.awaitTermination()
+    withStatePartitions(spark) {
+      val query = sessions.toDF()
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      query.awaitTermination()
+    }
     spark.table(sink)
       .select(col("user_id"), col("start_ts"), col("end_ts"),
         col("n_events"))
@@ -226,15 +255,17 @@ object StreamingQueries {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val sink = "q95_sink_" + java.util.UUID.randomUUID.toString.replace("-", "")
-      val query = graft.streaming.ClickFunnel(
-          ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
-            .filter(col("event_type").isin("click", "purchase")))
-        .toDF()
-        .writeStream.format("memory").queryName(sink)
-        .outputMode("append")
-        .trigger(Trigger.AvailableNow())
-        .start()
-      query.awaitTermination()
+      withStatePartitions(spark) {
+        val query = graft.streaming.ClickFunnel(
+            ev.filter(col("user_id").isNotNull && col("ts").isNotNull)
+              .filter(col("event_type").isin("click", "purchase")))
+          .toDF()
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append")
+          .trigger(Trigger.AvailableNow())
+          .start()
+        query.awaitTermination()
+      }
       spark.table(sink)
         .select(col("user_id"), col("purchase_id"), col("ts"),
           col("clicks_before"))

@@ -880,8 +880,10 @@ object TextQueries {
     val docs = graft.CacheScope.cache(Tables.load(spark, dir, "documents")
       .select(col("doc_id"), col("text")))
     val root = graft.Scratch.fresh("q164") + "/text_versions"
-    val v0 = Snapshots.commit(spark, root)(d => graft.operators.TextIndex
-      .write(docs.filter(col("doc_id") % 4 =!= 0), "doc_id", "text", d))
+    // v0 is the shared immutable %4 base generation, published as a
+    // real commit (each version is a full self-contained layout)
+    val v0 = Snapshots.commit(spark, root)(d =>
+      graft.Scratch.copyDir(SharedIndexes.textModBase(spark, dir, 4), d))
     // v1 is the full corpus — the shared immutable base, copied into
     // the version directory (publishing an already-built generation)
     val v1 = Snapshots.commit(spark, root)(d =>
