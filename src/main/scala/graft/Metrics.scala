@@ -3,7 +3,7 @@ package graft
 import java.util.concurrent.atomic.LongAdder
 
 import org.apache.spark.graftglue.ListenerGlue
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Execution-level metrics for one action: bytes scanned, bytes moved
@@ -24,12 +24,14 @@ final case class PlanMetrics(
     inputRecords: Long,
     shuffleWriteBytes: Long,
     shuffleReadBytes: Long,
-    spilledBytes: Long) {
+    spilledBytes: Long,
+    jobs: Long = 0,
+    stages: Long = 0) {
   def pretty: String =
     f"wall=$wallSec%.2fs input=${inputBytes / 1e6}%.1fMB/" +
       f"$inputRecords%d rows shuffleWrite=${shuffleWriteBytes / 1e6}%.2fMB " +
       f"shuffleRead=${shuffleReadBytes / 1e6}%.2fMB " +
-      f"spilled=${spilledBytes / 1e6}%.1fMB"
+      f"spilled=${spilledBytes / 1e6}%.1fMB jobs=$jobs stages=$stages"
 }
 
 object Metrics {
@@ -44,7 +46,11 @@ object Metrics {
     val sw = new LongAdder
     val sr = new LongAdder
     val spill = new LongAdder
+    val jobs = new LongAdder
+    val stages = new LongAdder
     val listener = new SparkListener {
+      override def onJobStart(j: SparkListenerJobStart): Unit =
+        jobs.increment()
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         val m = s.stageInfo.taskMetrics
         if (m != null) {
@@ -54,6 +60,7 @@ object Metrics {
           sr.add(m.shuffleReadMetrics.totalBytesRead)
           spill.add(m.diskBytesSpilled + m.memoryBytesSpilled)
         }
+        stages.increment()
       }
     }
     val sc = spark.sparkContext
@@ -64,6 +71,6 @@ object Metrics {
       ListenerGlue.flush(sc) // async bus: drain before reading adders
     } finally sc.removeSparkListener(listener)
     PlanMetrics((System.nanoTime() - t0) / 1e9, input.sum(), inputRecs.sum(),
-      sw.sum(), sr.sum(), spill.sum())
+      sw.sum(), sr.sum(), spill.sum(), jobs.sum(), stages.sum())
   }
 }
