@@ -15,25 +15,35 @@ import graft.sources.{Tables, Tombstones}
   * leg of hybrid retrieval (reference scope: the corpus-curation north
   * star; the reference itself has no retrieval surface at all).
   *
-  * Layout under `dir`:
-  *  - `postings/` — `(term, doc_id, tf, dl)` rows, hive-partitioned by
-  *    `bkt = pmod(xxhash64(term), Buckets)`: a probe touches only its
-  *    query terms' bucket DIRECTORIES (partition pruning — the probed
-  *    bucket ids are collected from the bounded query batch and pushed
-  *    as literals), so probe I/O tracks query vocabulary, never corpus
-  *    size. `dl` (document token length) is denormalized into the
-  *    posting row — the classic inverted-file trick that makes scoring
-  *    a single equi-join with zero side lookups. The bucket modulus
-  *    itself lives in `postings/_buckets` (self-describing layout —
-  *    [[growBucketsIfHot]] can change it, and it must move atomically
-  *    with the rows it bucketed).
-  *  - `doclens/` — `(doc_id, dl)`, consulted only by [[delete]] to price
-  *    a forgotten document's stats correction; never read at probe time.
-  *  - `stats/` — additive `(n_docs, sum_dl)` rows: one per
-  *    [[write]]/[[append]], one NEGATIVE row per [[delete]]. Serving
-  *    stats are the SUM of the rows, so corpus-wide n/avgdl cost O(ops)
-  *    rows to read — never a corpus scan. Rows grow with operation
-  *    count, not data, so the table is permanently tiny.
+  * Layout under `dir` — ONE partitioned table, `postings/`, so every
+  * lifecycle op is a single parquet commit (round-13: the previous
+  * three-directory layout cost each streamed [[append]] 3 write jobs —
+  * postings + doclens + stats — per micro-batch; at 100 TB that is 3
+  * object-store commits where 1 suffices, and at gate scale it was the
+  * q162 job-count ceiling):
+  *  - bucket partitions `bkt >= 0` — `(term, doc_id, tf, dl)` posting
+  *    rows, `bkt = pmod(xxhash64(term), Buckets)`: a probe touches only
+  *    its query terms' bucket DIRECTORIES (partition pruning — the
+  *    probed bucket ids are collected from the bounded query batch and
+  *    pushed as literals), so probe I/O tracks query vocabulary, never
+  *    corpus size. `dl` (document token length) is denormalized into
+  *    the posting row — the classic inverted-file trick that makes
+  *    scoring a single equi-join with zero side lookups. The bucket
+  *    modulus itself lives in `postings/_buckets` (self-describing
+  *    layout — [[growBucketsIfHot]] can change it, and it must move
+  *    atomically with the rows it bucketed).
+  *  - partition `bkt = -1` ([[DlBkt]]) — doclen rows `(doc_id, dl)`,
+  *    consulted only by [[delete]] to price a forgotten document's
+  *    stats correction; never read at probe time (probes prune to
+  *    their query terms' non-negative buckets).
+  *  - partition `bkt = -2` ([[StBkt]]) — additive `(n_docs, sum_dl)`
+  *    stats rows: one per [[write]]/[[append]], one NEGATIVE row per
+  *    [[delete]]. Serving stats are the SUM of the rows, so corpus-wide
+  *    n/avgdl cost O(ops) rows to read — never a corpus scan. Rows grow
+  *    with operation count, not data, so the partition stays tiny.
+  * Meta rows carry the posting columns as NULLs (and vice versa), so
+  * one schema serves the whole table; readers select their partition by
+  * `bkt` literal and parquet prunes the rest.
   *
   * Lifecycle contracts (the shared index-family discipline):
   *  - [[append]] is O(|batch|) new files; it REFUSES ids with a pending
@@ -59,6 +69,14 @@ object TextIndex {
     * vocabulary (it is a layout constant, invisible to results).
     */
   val Buckets = 64
+
+  /** Reserved meta partitions of the single-table layout (term hashes
+    * land in [0, modulus), so negatives can never collide with a real
+    * bucket): [[DlBkt]] holds doclen rows, [[StBkt]] the additive stats
+    * rows. Probes prune to non-negative buckets and never read either.
+    */
+  val DlBkt = -1
+  val StBkt = -2
 
   /** BM25 constants (the standard Robertson defaults). Literals — the
     * oracle SQL spells the same decimal strings, so both engines bind
@@ -113,6 +131,46 @@ object TextIndex {
     finally out.close()
   }
 
+  /** The stats partition's current part-file names — the [[compact]]/
+    * [[growBucketsIfHot]] rewrites snapshot this BEFORE reading the
+    * table, then [[carryLateStats]] copies any file that appeared since
+    * into the staged layout before the publish swap. Deletes are the
+    * one concurrent writer the layouts sanction, and a delete appends a
+    * negative stats row here: without the carry, a delete landing
+    * mid-rewrite would keep its tombstone (markers have their own
+    * snapshot/carry) but LOSE its totals correction with the old
+    * directory — served n/avgdl would silently drift from the live set.
+    * (The previous three-directory layout was immune only because its
+    * `stats/` dir sat outside the postings swap.)
+    */
+  private def statsFiles(spark: SparkSession, post: String): Set[String] = {
+    val dir = new org.apache.hadoop.fs.Path(s"$post/bkt=$StBkt")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) Set.empty
+    else fs.listStatus(dir).toIndexedSeq.map(_.getPath.getName)
+      .filter(_.startsWith("part-")).toSet
+  }
+
+  private def carryLateStats(spark: SparkSession, post: String,
+      snapshot: Set[String], staged: String): Unit = {
+    val src = new org.apache.hadoop.fs.Path(s"$post/bkt=$StBkt")
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(src)) {
+      val late = fs.listStatus(src).toIndexedSeq
+        .filter(st => st.getPath.getName.startsWith("part-") &&
+          !snapshot.contains(st.getPath.getName))
+      if (late.nonEmpty) {
+        val dst = new org.apache.hadoop.fs.Path(s"$staged/bkt=$StBkt")
+        fs.mkdirs(dst)
+        late.foreach { st =>
+          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+            new org.apache.hadoop.fs.Path(dst, st.getPath.getName), false,
+            spark.sparkContext.hadoopConfiguration)
+        }
+      }
+    }
+  }
+
   /** `(bkt, term, doc_id, tf, dl)` posting rows for a document batch —
     * one scan: tokenize, per-(doc, term) counts, and the doc length
     * re-joined from the same token frame. Zero-token documents vanish
@@ -157,34 +215,61 @@ object TextIndex {
     dls.agg(count(lit(1)).cast("long").as("n_docs"),
       coalesce(sum(col("dl")), lit(0L)).as("sum_dl"))
 
-  /** Build the index for a corpus — staged sibling + whole-directory
-    * swap ([[Tables.publish]]), so a crash mid-build never leaves
-    * postings without their totals (the [[IvfPq.writeIndex]]
-    * crash-consistency discipline).
+  /** The single-table frame for one ingested batch: posting rows in
+    * their term-hash buckets, the batch's doclen rows at [[DlBkt]], and
+    * ONE additive stats row at [[StBkt]] — unioned so [[write]] and
+    * [[append]] commit everything in one parquet write job instead of
+    * three (round-13 §1.2/§6: q162's three streamed appends paid 3
+    * commits each for one batch's worth of data).
+    */
+  private def batchRows(docs: DataFrame, idCol: String, textCol: String,
+      buckets: Int, withPositions: Boolean): DataFrame = {
+    val nulls = Seq(lit(null).cast("long").as("n_docs"),
+      lit(null).cast("long").as("sum_dl"))
+    val posN = if (withPositions)
+      Seq(lit(null).cast("array<int>").as("pos")) else Nil
+    val post = postings(docs, idCol, textCol, buckets, withPositions)
+      .select(Seq(col("bkt"), col("term"), col("doc_id"), col("tf"),
+        col("dl")) ++ (if (withPositions) Seq(col("pos")) else Nil) ++
+        nulls: _*)
+    val dls = doclens(docs, idCol, textCol)
+    val dlRows = dls.select(Seq(lit(DlBkt).as("bkt"),
+      lit(null).cast("string").as("term"), col("doc_id"),
+      lit(null).cast("long").as("tf"), col("dl")) ++ posN ++ nulls: _*)
+    val stRow = totalsRow(dls).select(Seq(lit(StBkt).as("bkt"),
+      lit(null).cast("string").as("term"),
+      lit(null).cast("long").as("doc_id"),
+      lit(null).cast("long").as("tf"), lit(null).cast("long").as("dl")) ++
+      posN ++ Seq(col("n_docs"), col("sum_dl")): _*)
+    post.unionByName(dlRows).unionByName(stRow)
+  }
+
+  /** Build the index for a corpus — ONE write job into the staged
+    * sibling, then the whole-directory swap ([[Tables.publish]]), so a
+    * crash mid-build never leaves postings without their totals (the
+    * [[IvfPq.writeIndex]] crash-consistency discipline).
     */
   def write(docs: DataFrame, idCol: String, textCol: String,
       dir: String, buckets: Int = Buckets,
       withPositions: Boolean = false): Unit = {
     val spark = docs.sparkSession
     val staged = dir + ".__stage__"
-    val dls = doclens(docs, idCol, textCol)
     // NOT clustered by bucket before the partitioned write: the
     // repartition shuffle measurably slows every build at gate scale
     // (+1-3.5 s per write-heavy gate, round-11 measured) for a file-
     // count concern that compact() already owns — it restores one file
     // per bucket, and at 100 TB a build is followed by a compact as a
     // matter of course
-    postings(docs, idCol, textCol, buckets, withPositions)
+    batchRows(docs, idCol, textCol, buckets, withPositions)
       .write.mode("overwrite").partitionBy("bkt").parquet(s"$staged/postings")
     writeBucketsFile(spark, s"$staged/postings", buckets, withPositions)
-    dls.write.mode("overwrite").parquet(s"$staged/doclens")
-    totalsRow(dls).write.mode("overwrite").parquet(s"$staged/stats")
     Tables.publish(spark, staged, dir)
   }
 
-  /** Absorb a batch — O(|batch|): new posting files into their bucket
-    * partitions, new doclen files, ONE additive totals row. Fails fast
-    * if any batch id has a pending tombstone (see the class doc for why
+  /** Absorb a batch — O(|batch|) and ONE parquet commit: new posting
+    * files into their bucket partitions, the batch's doclen files into
+    * [[DlBkt]], one additive totals row into [[StBkt]]. Fails fast if
+    * any batch id has a pending tombstone (see the class doc for why
     * this family cannot serve old and new rows side by side).
     */
   def append(batch: DataFrame, idCol: String, textCol: String,
@@ -199,23 +284,21 @@ object TextIndex {
           "the index before re-ingesting a deleted document (BM25 tf/df " +
           "cannot serve a doc's old and new postings side by side)")
     }
-    val dls = doclens(batch, idCol, textCol)
     // the layout self-describes its encoding: a positional index's
     // appended rows must carry positions too, or a later phrase probe
     // would silently miss the appended docs
     val (nb, withPos) = readLayout(spark, dir)
-    postings(batch, idCol, textCol, nb, withPos)
+    batchRows(batch, idCol, textCol, nb, withPos)
       .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
-    dls.write.mode("append").parquet(s"$dir/doclens")
-    totalsRow(dls).write.mode("append").parquet(s"$dir/stats")
   }
 
   /** Forget documents — O(|deletes|): tombstone markers mask the docs'
-    * postings at probe time IMMEDIATELY, and one negative `stats` row
-    * (the docs' count and summed length, looked up in `doclens` now so
-    * probes never pay for it) keeps served n/avgdl equal to the live
-    * set's. Ids already marked are skipped, so a repeated delete cannot
-    * double-subtract; ids never indexed contribute nothing.
+    * postings at probe time IMMEDIATELY, and one negative stats row
+    * (the docs' count and summed length, looked up in the [[DlBkt]]
+    * doclen partition now so probes never pay for it) keeps served
+    * n/avgdl equal to the live set's. Ids already marked are skipped,
+    * so a repeated delete cannot double-subtract; ids never indexed
+    * contribute nothing.
     */
   def delete(spark: SparkSession, dir: String, ids: DataFrame,
       idCol: String): Unit = {
@@ -225,35 +308,60 @@ object TextIndex {
         doomed0("doc_id") === ts(Tombstones.Col), "left_anti")
       case None => doomed0
     }
-    val hit = spark.read.parquet(s"$dir/doclens")
+    val hit = spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt") === DlBkt)
+      .select(col("doc_id"), col("dl"))
       .join(broadcast(doomed), "doc_id")
       .transform(graft.CacheScope.cache)
-    val n = hit.count()
-    if (n > 0) {
-      hit.agg((-count(lit(1))).cast("long").as("n_docs"),
-          (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
-        .write.mode("append").parquet(s"$dir/stats")
+    // the hit count rides the stats write as an OBSERVED metric instead
+    // of its own count action (round-13 §1.2): the negative totals row
+    // is written unconditionally — a no-op delete appends an additive
+    // (0, 0) row, which changes no sum — and only the marker write
+    // stays gated on n > 0 (an empty marker dir would flip the
+    // "None when nothing was deleted" probe contract).
+    val posN = if (readLayout(spark, dir)._2)
+      Seq(lit(null).cast("array<int>").as("pos")) else Nil
+    val obs = org.apache.spark.sql.Observation()
+    hit.observe(obs, count(lit(1)).as("n"))
+      .agg((-count(lit(1))).cast("long").as("n_docs"),
+        (-coalesce(sum(col("dl")), lit(0L))).as("sum_dl"))
+      .select(Seq(lit(StBkt).as("bkt"),
+        lit(null).cast("string").as("term"),
+        lit(null).cast("long").as("doc_id"),
+        lit(null).cast("long").as("tf"),
+        lit(null).cast("long").as("dl")) ++ posN ++
+        Seq(col("n_docs"), col("sum_dl")): _*)
+      .write.mode("append").partitionBy("bkt").parquet(s"$dir/postings")
+    if (obs.get("n").asInstanceOf[Long] > 0L)
       Tombstones.write(spark, s"$dir/postings", hit, "doc_id")
-    }
     graft.CacheScope.release(hit)
   }
 
   /** The index's serving stats: ONE row `(n_docs, sum_dl)` — the sum of
     * the additive totals rows (live set exactly, since every delete
-    * subtracted its docs).
+    * subtracted its docs). Partition-pruned to [[StBkt]]: O(operations)
+    * rows read, never a corpus scan.
     */
   def totals(spark: SparkSession, dir: String): DataFrame =
-    spark.read.parquet(s"$dir/stats")
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt") === StBkt)
       .agg(sum(col("n_docs")).cast("long").as("n_docs"),
         sum(col("sum_dl")).cast("long").as("sum_dl"))
 
   /** Apply pending tombstones physically and restore one file per
-    * bucket: the staged rewrite drops marked docs from postings AND
-    * doclens, markers written while the rewrite ran are carried into
-    * the published layout ([[Tombstones.carryInto]]), and the swap
-    * clears the applied markers with the old directory. `stats` is
-    * untouched — it is already correct (additive, deletes subtracted at
-    * delete time) and O(operations) small forever.
+    * bucket: ONE staged rewrite of the whole table drops marked docs'
+    * posting AND doclen rows together (one marker set, one pass — the
+    * stats rows carry a NULL doc_id so no marker can ever match them
+    * and they ride along untouched: they are already correct, additive,
+    * deletes subtracted at delete time). Markers written while the
+    * rewrite ran are carried into the published layout
+    * ([[Tombstones.carryInto]]) and keep masking — their doclen rows
+    * also survive, correctly: a re-delete is refused while the marker
+    * is pending, and the NEXT compact applies both sides at once. The
+    * single publish swap clears the applied markers with the old
+    * directory; postings and doclens can never be staged against
+    * different marker sets (the hazard the previous two-directory
+    * layout had to order its publishes around).
     */
   def compact(spark: SparkSession, dir: String): Unit =
     compact(spark, dir, () => ())
@@ -267,37 +375,21 @@ object TextIndex {
       midCompact: () => Unit): Unit = {
     val post = s"$dir/postings"
     val snap = Tombstones.fileSnapshot(spark, post)
-    val livePost = Tombstones.filterLive(spark, post,
+    val statsSnap = statsFiles(spark, post)
+    val live = Tombstones.filterLive(spark, post,
       spark.read.parquet(post), "doc_id")
     midCompact()
-    val stagedP = post + ".__tmp__"
-    livePost.repartition(col("bkt"))
-      .write.mode("overwrite").partitionBy("bkt").parquet(stagedP)
+    val staged = post + ".__tmp__"
+    live.repartition(col("bkt"))
+      .write.mode("overwrite").partitionBy("bkt").parquet(staged)
     // the modulus and positional flag are unchanged by compaction but
     // must travel with the staged layout — the publish swap replaces
     // the whole directory
     val (nb, withPos) = readLayout(spark, dir)
-    writeBucketsFile(spark, stagedP, nb, withPos)
-    Tombstones.carryInto(spark, post, snap, stagedP)
-
-    // stage doclens BEFORE the postings publish clears the applied
-    // markers with the old directory — a stale doclens row would let a
-    // future delete of an already-applied id re-subtract its length.
-    // The read-now marker set includes late (carried) markers, so their
-    // docs drop from doclens one compaction early — harmless: their
-    // stats correction was priced at delete time and a re-delete is
-    // refused while the carried marker is pending.
-    val dlens = s"$dir/doclens"
-    val liveDl = Tombstones.read(spark, post) match {
-      case Some(ts) => spark.read.parquet(dlens).join(ts,
-        col("doc_id") === col(Tombstones.Col), "left_anti")
-      case None => spark.read.parquet(dlens)
-    }
-    val stagedD = dlens + ".__tmp__"
-    liveDl.coalesce(1).write.mode("overwrite").parquet(stagedD)
-
-    Tables.publish(spark, stagedP, post)
-    Tables.publish(spark, stagedD, dlens)
+    writeBucketsFile(spark, staged, nb, withPos)
+    Tombstones.carryInto(spark, post, snap, staged)
+    carryLateStats(spark, post, statsSnap, staged)
+    Tables.publish(spark, staged, post)
   }
 
   /** Skew-gated BUCKET growth — the when-to-rebucket decision leg for
@@ -325,26 +417,33 @@ object TextIndex {
     import spark.implicits._
     val post = s"$dir/postings"
     val (before, withPos) = readLayout(spark, dir)
-    // signal over ALL rows (masked ones included): a probe's bucket
-    // scan pays for tombstoned rows too until a compact drops them
+    // signal over ALL posting rows (masked ones included: a probe's
+    // bucket scan pays for tombstoned rows too until a compact drops
+    // them) — but never the meta partitions, which no probe reads
+    val statsSnap = statsFiles(spark, post)
     val rows = spark.read.parquet(post)
-    val maxRows = rows.groupBy(col("bkt")).agg(count(lit(1)).as("n"))
+    val maxRows = rows.filter(col("bkt") >= 0)
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .agg(coalesce(max(col("n")), lit(0L))).collect().head.getLong(0)
     val grow = maxRows > maxPostingsPerBucket
     if (grow) {
       val after = before * 2
       val staged = post + ".__grow__"
       // purely physical: every row rides along (tombstone APPLICATION
-      // is compact's job — applying here would strand stale doclens
+      // is compact's job — applying here would strand stale doclen
       // rows), and every marker file present at carry time — pending
       // or written mid-rebuild — is copied into the staged layout
       // (empty snapshot = carry all), so masking semantics and the
-      // delete lifecycle are untouched by the re-bucketing
-      rows.withColumn("bkt", bkt(col("term"), after))
+      // delete lifecycle are untouched by the re-bucketing. Meta rows
+      // (bkt < 0) keep their reserved partitions — only term rows
+      // re-bucket under the doubled modulus.
+      rows.withColumn("bkt",
+          when(col("bkt") < 0, col("bkt")).otherwise(bkt(col("term"), after)))
         .repartition(col("bkt"))
         .write.mode("overwrite").partitionBy("bkt").parquet(staged)
       writeBucketsFile(spark, staged, after, withPos)
       Tombstones.carryInto(spark, post, Set.empty, staged)
+      carryLateStats(spark, post, statsSnap, staged)
       Tables.publish(spark, staged, post)
     }
     Seq((grow, before, if (grow) before * 2 else before, maxRows))
@@ -363,7 +462,8 @@ object TextIndex {
   def healthReport(spark: SparkSession, dir: String,
       hotFrac: Double): DataFrame = {
     val live = Tombstones.filterLive(spark, s"$dir/postings",
-      spark.read.parquet(s"$dir/postings"), "doc_id")
+      spark.read.parquet(s"$dir/postings").filter(col("bkt") >= 0),
+      "doc_id")
     val dfr = live.groupBy(col("term")).agg(count(lit(1)).as("df"))
     dfr.crossJoin(broadcast(totals(spark, dir)))
       .agg(count(lit(1)).cast("long").as("vocab"),
@@ -407,7 +507,12 @@ object TextIndex {
     val post = graft.CacheScope.cache(
       Tombstones.filterLive(spark, s"$dir/postings",
           spark.read.parquet(s"$dir/postings")
-            .filter(col("bkt").isin(bkts: _*)), "doc_id")
+            .filter(col("bkt").isin(bkts: _*))
+            // project away the single-table meta columns (n_docs/sum_dl
+            // would collide with the stats crossJoin below) and anything
+            // else the scorer never reads — §2.3 project-before-exchange
+            .select(col("term"), col("doc_id"), col("tf"), col("dl")),
+          "doc_id")
         .join(broadcast(qTerms), "term"))
     val dfr = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val stats = totals(spark, dir)
@@ -473,7 +578,8 @@ object TextIndex {
     val qTerms = qslots.select(col("term")).distinct()
     val post = Tombstones.filterLive(spark, s"$dir/postings",
         spark.read.parquet(s"$dir/postings")
-          .filter(col("bkt").isin(bkts: _*)), "doc_id")
+          .filter(col("bkt").isin(bkts: _*))
+          .select(col("term"), col("doc_id"), col("pos")), "doc_id")
       .join(broadcast(qTerms), "term")
     qslots.join(post, "term")
       .select(col("qid"), col("doc_id"), col("slot"),
@@ -520,7 +626,8 @@ object TextIndex {
       .collect().map(_.getInt(0)).toSeq
     val post = Tombstones.filterLive(spark, s"$dir/postings",
         spark.read.parquet(s"$dir/postings")
-          .filter(col("bkt").isin(bkts: _*)), "doc_id")
+          .filter(col("bkt").isin(bkts: _*))
+          .select(col("term"), col("doc_id"), col("pos")), "doc_id")
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
     val tp = graft.CacheScope.cache(
       qterms.join(post, "term")

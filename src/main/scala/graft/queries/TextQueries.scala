@@ -850,8 +850,9 @@ object TextQueries {
     * zero-downtime contract for this family: two index generations
     * (v0 = the base slice, v1 = the full corpus) commit as real
     * [[graft.sources.Snapshots]] versions of one index table — the
-    * self-contained directory carries postings, doclens, stats AND the
-    * bucket modulus together — and the v0 search runs AFTER the v1
+    * self-contained directory carries the single-table postings layout
+    * (posting + doclen + stats partitions) AND the bucket modulus
+    * together — and the v0 search runs AFTER the v1
     * publish: a reader pinned to a version must be undisturbed by newer
     * commits. BM25 makes version pinning an unusually visible semantics
     * choice: the SAME query scores differently under v0 and v1 even for

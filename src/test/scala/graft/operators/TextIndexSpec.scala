@@ -23,9 +23,18 @@ class TextIndexSpec extends SparkTestBase {
 
   private def liveIds(dir: String): Set[Long] = {
     val post = spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt") >= 0)
     Tombstones.filterLive(spark, s"$dir/postings", post, "doc_id")
       .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
   }
+
+  /** The single-table layout's doclen partition (what [[TextIndex.delete]]
+    * prices corrections from).
+    */
+  private def doclenIds(dir: String): Set[Long] =
+    spark.read.parquet(s"$dir/postings")
+      .filter(col("bkt") === TextIndex.DlBkt)
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
 
   private def totalsRow(dir: String): (Long, Long) = {
     val r = TextIndex.totals(spark, dir).collect().head
@@ -107,13 +116,14 @@ class TextIndexSpec extends SparkTestBase {
     assert(searchRows(idx) === before)
     assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
     assert(!liveIds(idx).contains(6L))
-    // doclens compacted too: the forgotten doc can never be re-priced
-    assert(spark.read.parquet(s"$idx/doclens")
-      .filter(col("doc_id") === 6L).isEmpty)
-    // one file per bucket directory after compaction
+    // doclen rows compacted too: the forgotten doc can never be re-priced
+    assert(!doclenIds(idx).contains(6L))
+    // one file per bucket directory after compaction (meta partitions
+    // included — they ride the same staged rewrite)
     val bucketDirs = new java.io.File(s"$idx/postings").listFiles()
       .filter(f => f.isDirectory && f.getName.startsWith("bkt="))
     assert(bucketDirs.nonEmpty)
+    assert(bucketDirs.exists(_.getName == s"bkt=${TextIndex.DlBkt}"))
     assert(bucketDirs.forall(
       _.listFiles().count(_.getName.startsWith("part-")) == 1))
   }
@@ -135,16 +145,22 @@ class TextIndexSpec extends SparkTestBase {
       "doc_id", "text", liveOnly)
     assert(searchRows(idx) === searchRows(liveOnly))
     assert(totalsRow(idx) === totalsRow(liveOnly))
-    // doclens dropped BOTH docs at the first compact — a stale row
-    // would let a post-compaction re-delete re-subtract its length
-    assert(spark.read.parquet(s"$idx/doclens")
-      .filter(col("doc_id").isin(1L, 4L)).isEmpty)
+    // the first compact dropped 1's doclen row with its postings (same
+    // marker set, same pass); 4's doclen row SURVIVES while its carried
+    // marker is pending — safely: a re-delete of a marked id is refused,
+    // so the surviving row can never be re-priced
+    assert(!doclenIds(idx).contains(1L))
+    assert(doclenIds(idx).contains(4L))
     val t = totalsRow(idx)
     TextIndex.delete(spark, idx, Seq(1L).toDF("doc_id"), "doc_id")
     assert(totalsRow(idx) === t)
-    // the next compact applies the carried marker physically
+    TextIndex.delete(spark, idx, Seq(4L).toDF("doc_id"), "doc_id")
+    assert(totalsRow(idx) === t) // pending marker blocks the re-price
+    // the next compact applies the carried marker physically — postings
+    // AND doclen row together
     TextIndex.compact(spark, idx)
     assert(Tombstones.read(spark, s"$idx/postings").isEmpty)
+    assert(!doclenIds(idx).contains(4L))
     assert(searchRows(idx) === searchRows(liveOnly))
   }
 
@@ -259,6 +275,7 @@ class TextIndexSpec extends SparkTestBase {
     val idx = graft.Scratch.fresh("ti_split") + "/idx"
     TextIndex.write(d, "doc_id", "text", idx)
     def maxBucketRows: Long = spark.read.parquet(s"$idx/postings")
+      .filter(col("bkt") >= 0) // meta partitions are not probe buckets
       .groupBy(col("bkt")).agg(count(lit(1)).as("n"))
       .agg(max(col("n"))).collect().head.getLong(0)
     val before = maxBucketRows
@@ -317,6 +334,40 @@ class TextIndexSpec extends SparkTestBase {
     val out = fs.create(p, true)
     out.write("64\n".getBytes("UTF-8")); out.close()
     assert(TextIndex.readLayout(spark, idx2) === (64, false))
+  }
+
+  test("single-table layout: one directory, meta rows in reserved " +
+      "partitions, append touches only the postings table") {
+    val idx = graft.Scratch.fresh("ti_single") + "/idx"
+    TextIndex.write(docs.filter(col("doc_id") % 3 =!= 0),
+      "doc_id", "text", idx)
+    // the index is ONE table: no sibling doclens/stats directories
+    val entries = new java.io.File(idx).list().toSet
+    assert(entries === Set("postings"), entries)
+    // meta partitions exist and are invisible to the bucket signal
+    val parts = new java.io.File(s"$idx/postings").list()
+      .filter(_.startsWith("bkt=")).toSet
+    assert(parts.contains(s"bkt=${TextIndex.DlBkt}"))
+    assert(parts.contains(s"bkt=${TextIndex.StBkt}"))
+    // an append lands new part files in its buckets + both meta
+    // partitions — and nowhere else (the one-commit contract)
+    def files(): Set[String] = {
+      val base = java.nio.file.Paths.get(s"$idx/postings")
+      val s = java.nio.file.Files.walk(base)
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.filter(p =>
+            p.getFileName.toString.startsWith("part-"))
+          .map(base.relativize(_).toString).toSet
+      } finally s.close()
+    }
+    val before = files()
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0),
+      "doc_id", "text", idx)
+    val added = files() -- before
+    assert(added.exists(_.startsWith(s"bkt=${TextIndex.DlBkt}/")))
+    assert(added.exists(_.startsWith(s"bkt=${TextIndex.StBkt}/")))
+    assert(added.exists(f => !f.startsWith("bkt=-")))
   }
 
   test("zero-token documents are invisible to the index and to stats") {
