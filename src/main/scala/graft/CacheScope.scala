@@ -37,6 +37,10 @@ object CacheScope {
     java.util.Collections.newSetFromMap(
       new java.util.concurrent.ConcurrentHashMap[DataFrame, java.lang.Boolean]())
 
+  private val rddRegistry =
+    java.util.Collections.newSetFromMap(
+      new java.util.concurrent.ConcurrentHashMap[org.apache.spark.rdd.RDD[_], java.lang.Boolean]())
+
   /** Persist `df` (MEMORY_AND_DISK) and register it for [[releaseAll]],
     * unless the caller already persisted it — then ownership stays with
     * the caller and this is a no-op (avoids the double-cache warning and
@@ -65,6 +69,25 @@ object CacheScope {
   def cacheTruncated(df: DataFrame): DataFrame =
     cache(df.sparkSession.createDataFrame(df.rdd, df.schema))
 
+  /** RDD-level variant of [[cache]] for iterative operators that
+    * materialize a round's rows AND aggregate over them in the SAME
+    * action ([[graft.operators.ConnectedComponents]]'s per-round
+    * convergence stats ride a `treeAggregate` over the persisted row
+    * RDD — one job instead of a separate scan-and-agg pass). Registered
+    * here so [[releaseAll]] keeps the `getPersistentRDDs`-empty
+    * contract `CacheScopeSpec` pins.
+    */
+  def cacheRdd[T](rdd: org.apache.spark.rdd.RDD[T]): org.apache.spark.rdd.RDD[T] =
+    if (rdd.getStorageLevel == StorageLevel.NONE) {
+      rdd.persist(StorageLevel.MEMORY_AND_DISK)
+      rddRegistry.add(rdd)
+      rdd
+    } else rdd
+
+  /** [[release]] for [[cacheRdd]] entries. */
+  def releaseRdd(rdd: org.apache.spark.rdd.RDD[_]): Unit =
+    if (rddRegistry.remove(rdd)) { rdd.unpersist(blocking = false); () }
+
   /** Release ONE registered frame early (loop interiors: round N's
     * intermediate is dead as soon as round N+1 materializes; holding
     * every round until [[releaseAll]] would grow the cache linearly
@@ -75,17 +98,23 @@ object CacheScope {
     if (registry.remove(df)) df.unpersist(blocking = false)
 
   /** Number of live registered caches (spec hook). */
-  def activeCount: Int = registry.size
+  def activeCount: Int = registry.size + rddRegistry.size
 
-  /** Unpersist every registered frame (non-blocking) and clear the
-    * registry. Safe to call at any point AFTER the consuming query
-    * materialized; anything still needed later recomputes correctly.
+  /** Unpersist every registered frame and RDD (non-blocking) and clear
+    * the registries. Safe to call at any point AFTER the consuming
+    * query materialized; anything still needed later recomputes
+    * correctly.
     */
   def releaseAll(): Unit = {
     val it = registry.iterator()
     while (it.hasNext) {
       it.next().unpersist(blocking = false)
       it.remove()
+    }
+    val rit = rddRegistry.iterator()
+    while (rit.hasNext) {
+      rit.next().unpersist(blocking = false)
+      rit.remove()
     }
   }
 

@@ -26,14 +26,15 @@ import org.apache.spark.sql.functions._
   * in 1–2 rounds.
   *
   * Scale/driver safety:
-  *  - each round's edge frame goes through
-  *    [[graft.CacheScope.cacheTruncated]], which persists AND rebuilds
-  *    the frame over its own row RDD — the logical plan stays ONE
-  *    `LogicalRDD` node per round instead of doubling (each round
-  *    references the previous frame in both the join and the union
-  *    branch; without truncation the analyzed tree is 2^rounds nodes
-  *    and the SQL listener's `explainString` OOMs the driver by round
-  *    ~11 — [[ConnectedComponentsSpec]] pins constant plan size);
+  *  - each round's edge frame is persisted at the ROW-RDD level
+  *    ([[graft.CacheScope.cacheRdd]]) and rebuilt over that RDD — the
+  *    logical plan stays ONE `LogicalRDD` node per round instead of
+  *    doubling (each round references the previous frame in both the
+  *    join and the union branch; without truncation the analyzed tree
+  *    is 2^rounds nodes and the SQL listener's `explainString` OOMs the
+  *    driver by round ~11 — [[ConnectedComponentsSpec]] pins constant
+  *    plan size), and the convergence stats ride a `treeAggregate` over
+  *    the same RDD so materialization and the check share one job;
   *  - round N's interior frame is released as soon as round N+1
   *    materializes, so cache footprint is O(1) rounds, not O(rounds);
   *  - the driver loop carries only the per-round convergence stats
@@ -58,7 +59,7 @@ object ConnectedComponents {
   private[graft] def componentsWithStats(
       edges: DataFrame, srcCol: String, dstCol: String,
       maxIter: Int = 20): (DataFrame, Int, Seq[Int]) = {
-    val dec = org.apache.spark.sql.types.DecimalType(38, 0)
+    val spark = edges.sparkSession
 
     // every node that appears at all (self-loops keep a node alive even
     // though they carry no connectivity)
@@ -68,26 +69,36 @@ object ConnectedComponents {
       .transform(graft.CacheScope.cache)
 
     // canonical undirected edge set: (small, large), self-loops dropped
-    var e = edges
+    val e0 = edges
       .select(col(srcCol).as("a"), col(dstCol).as("b"))
       .filter(col("a") =!= col("b"))
       .select(least(col("a"), col("b")).as("a"),
         greatest(col("a"), col("b")).as("b"))
       .distinct()
-      .transform(graft.CacheScope.cacheTruncated)
+    val schema = e0.schema
 
-    // (edge count, Σa, Σb) — one agg job per round; edges only rewire
-    // toward smaller ids so a stable triple is a convergence CANDIDATE,
-    // confirmed exactly below before the loop exits
-    def stats(df: DataFrame): (Long, java.math.BigDecimal, java.math.BigDecimal) = {
-      val r = df.agg(count(lit(1)), sum(col("a").cast(dec)),
-        sum(col("b").cast(dec))).head
-      (r.getLong(0),
-        Option(r.getDecimal(1)).getOrElse(java.math.BigDecimal.ZERO),
-        Option(r.getDecimal(2)).getOrElse(java.math.BigDecimal.ZERO))
+    // (edge count, Σhash(a), Σhash(b)) in ONE treeAggregate job over the
+    // round's row RDD — the SAME action that materializes the round's
+    // cache, so the convergence check no longer pays a separate
+    // scan-and-aggregate pass per round (round-13 §1.2/§5; previously
+    // stats ran its own 2-exchange agg after the eager AQE
+    // materialization). Wrapping hash sums are order-independent and
+    // deterministic, and exact-once (action results, not accumulators);
+    // edges only rewire toward smaller ids so a stable triple is a
+    // convergence CANDIDATE, confirmed exactly below before the loop
+    // exits — a checksum collision can only cost one extra (empty)
+    // except check, never a wrong fixpoint or a different round count.
+    def stats(rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row])
+        : (Long, Long, Long) = {
+      def h(x: Any): Long = if (x == null) 0L else x.hashCode.toLong
+      rdd.treeAggregate((0L, 0L, 0L))(
+        { case ((n, ha, hb), r) => (n + 1L, ha + h(r.get(0)), hb + h(r.get(1))) },
+        { case ((n1, a1, b1), (n2, a2, b2)) => (n1 + n2, a1 + a2, b1 + b2) })
     }
 
-    var prev = stats(e)
+    var eR = graft.CacheScope.cacheRdd(e0.rdd)
+    var e = spark.createDataFrame(eR, schema)
+    var prev = stats(eR)
     val planSizes = scala.collection.mutable.ArrayBuffer.empty[Int]
     var converged = prev._1 == 0L // no real edges: every node is its own star
     var rounds = 0
@@ -125,8 +136,9 @@ object ConnectedComponents {
           greatest(col("x"), col("m")).as("b"))
         .distinct()
 
-      val next = graft.CacheScope.cacheTruncated(small)
-      val cur = stats(next) // materializes `next`
+      val nextR = graft.CacheScope.cacheRdd(small.rdd)
+      val next = spark.createDataFrame(nextR, schema)
+      val cur = stats(nextR) // ONE job: materializes `next` AND aggregates
       planSizes += next.queryExecution.analyzed.collect { case p => p }.size
       if (cur == prev) {
         // checksums can collide; only an exact set check may end the
@@ -134,8 +146,9 @@ object ConnectedComponents {
         // triple matched), so one-directional emptiness proves equality.
         converged = next.except(e).isEmpty
       }
-      graft.CacheScope.release(e)
+      graft.CacheScope.releaseRdd(eR)
       e = next
+      eR = nextR
       prev = cur
       rounds += 1
     }

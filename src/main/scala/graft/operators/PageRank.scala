@@ -53,24 +53,27 @@ object PageRank {
     * round twice (delta check + next round) and caches.
     */
   private def step(edges: DataFrame, deg: DataFrame, nodes: DataFrame,
-      n1: DataFrame, r: DataFrame, damping: Double,
+      n: Double, r: DataFrame, damping: Double,
       cached: Boolean): DataFrame = {
     val contrib = edges
       .join(r.withColumnRenamed("node", "__s"), "__s")
       .join(deg, "__s")
       .groupBy(col("__t"))
       .agg(Stable.sumD(col("rank") / col("deg")).as("s"))
+    // n is a driver-side scalar (counted once in [[prepare]]'s contract
+    // aggregate), so the damping floor needs no per-round broadcast
+    // crossJoin — the division below binds the same IEEE double the
+    // previous `lit(1-d) / col(n)` runtime division did
     val next = nodes.join(contrib, Seq("__t"), "left")
-      .crossJoin(broadcast(n1))
       .select(col("__t").as("node"),
-        (lit(1.0 - damping) / col("n") +
+        (lit(1.0 - damping) / lit(n) +
           lit(damping) * coalesce(col("s"), lit(0.0))).as("rank"))
     if (cached) graft.CacheScope.cacheTruncated(next)
     else next.sparkSession.createDataFrame(next.rdd, next.schema)
   }
 
   private def prepare(edges0: DataFrame, srcCol: String, dstCol: String)
-      : (DataFrame, DataFrame, DataFrame, DataFrame, DataFrame) = {
+      : (DataFrame, DataFrame, DataFrame, Double, DataFrame) = {
     val edges = graft.CacheScope.cache(
       edges0.select(col(srcCol).as("__s"), col(dstCol).as("__t")))
     val deg = graft.CacheScope.cache(
@@ -81,7 +84,12 @@ object PageRank {
     // would be silently dropped from the rank frame and the mass sent
     // to it would vanish — ranks no longer sum to 1, with no error.
     // One distinct+anti pass over the (cached) edge frame, bounded by
-    // the edge count, failing fast with the remedy in the message.
+    // the edge count, failing fast with the remedy in the message. This
+    // action also materializes the edges/deg caches — which is why it
+    // stays a SEQUENTIAL first action: folding it into a union with the
+    // node count made both legs race to fill the caches and re-run the
+    // whole upstream pair lineage twice (round-13 measured 9 -> 33 jobs
+    // on q177's deep lineage before this was split back out).
     val sink = edges.select(col("__t")).distinct()
       .join(deg.select(col("__s").as("__t")), Seq("__t"), "left_anti")
       .limit(1).collect()
@@ -90,20 +98,22 @@ object PageRank {
         "appears only as a destination (out-degree 0) — its incoming " +
         "mass would silently vanish. Totalize upstream: add self-loops " +
         "for sinks or drop edges into them before calling.")
+    // node count over the now-cached deg — a driver scalar, so the
+    // per-round damping floor needs no broadcast crossJoin (round-13
+    // §1.2: that crossJoin cost a broadcast-build job EVERY round)
+    val n = deg.count().toDouble
     val nodes = deg.select(col("__s").as("__t"))
-    val n1 = deg.agg(count(lit(1)).cast("double").as("n"))
-    val r0 = deg.crossJoin(broadcast(n1))
-      .select(col("__s").as("node"), (lit(1.0) / col("n")).as("rank"))
-    (edges, deg, nodes, n1, r0)
+    val r0 = deg.select(col("__s").as("node"), (lit(1.0) / lit(n)).as("rank"))
+    (edges, deg, nodes, n, r0)
   }
 
   /** `(node, deg, rank)` after `iters` iterations from a uniform start. */
   def ranks(edges0: DataFrame, srcCol: String, dstCol: String,
       iters: Int, damping: Double): DataFrame = {
-    val (edges, deg, nodes, n1, r0) = prepare(edges0, srcCol, dstCol)
+    val (edges, deg, nodes, n, r0) = prepare(edges0, srcCol, dstCol)
     var r = r0
     (1 to iters).foreach { _ =>
-      r = step(edges, deg, nodes, n1, r, damping, cached = false)
+      r = step(edges, deg, nodes, n, r, damping, cached = false)
     }
     r.join(deg.withColumnRenamed("__s", "node"), "node")
       .select(col("node"), col("deg"), col("rank"))
@@ -123,12 +133,12 @@ object PageRank {
   def ranksConverged(edges0: DataFrame, srcCol: String, dstCol: String,
       tol: Double, maxIters: Int, damping: Double): (DataFrame, Int) = {
     require(tol > 0 && maxIters >= 1, s"need tol>0, maxIters>=1")
-    val (edges, deg, nodes, n1, r0) = prepare(edges0, srcCol, dstCol)
+    val (edges, deg, nodes, n, r0) = prepare(edges0, srcCol, dstCol)
     var r = r0
     var rounds = 0
     var delta = Double.MaxValue
     while (delta >= tol && rounds < maxIters) {
-      val next = step(edges, deg, nodes, n1, r, damping, cached = true)
+      val next = step(edges, deg, nodes, n, r, damping, cached = true)
       delta = next.join(r.withColumnRenamed("rank", "prev"), "node")
         .agg(Stable.sumD(abs(col("rank") - col("prev"))).as("d"))
         .head().getDouble(0)

@@ -765,7 +765,7 @@ object DedupQueries {
         "did")
       .join(idxSh, "cid")
       .withColumn("j", MinHashLSH.jaccard(col("__shd"), col("__shc")))
-    val stats = wave.select(col("doc_id"))
+    val stats0 = wave.select(col("doc_id"))
       .join(ver.groupBy(col("did").as("doc_id"))
           .agg(count(lit(1)).as("nc"),
             sum(when(col("j") >= 0.6, 1L).otherwise(0L)).as("nd")),
@@ -774,9 +774,13 @@ object DedupQueries {
         coalesce(col("nc"), lit(0L)).as("n_candidates"),
         coalesce(col("nd"), lit(0L)).as("n_dups"))
       .withColumn("admitted", col("n_dups") === 0L)
-      .transform(graft.CacheScope.cacheTruncated)
-    stats.count() // pin the probe's answer BEFORE the index grows
-    stats
+    // pin the probe's answer BEFORE the index grows: persist at the
+    // row-RDD level and count THAT — one action materializes the cache
+    // (the previous cacheTruncated + DataFrame count re-scanned the
+    // final stage through the SQL cache, one extra job per wave)
+    val pinned = graft.CacheScope.cacheRdd(stats0.rdd)
+    pinned.count()
+    stats0.sparkSession.createDataFrame(pinned, stats0.schema)
   }
 
   val lshSequential: QuerySpec = {
