@@ -74,19 +74,24 @@ object BinaryQuantizer {
     val corpus = CentroidState.ensureCached(corpus0)
     val mid = mids(ScalarQuantizer.train(corpus, vecCol))
     val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
-    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k)
+    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k,
+      queries.count())
   }
 
   /** (qidCol, neighbor, hamming) — the packed-codes scan. The pair
     * frame carries only ids and one packed word per 64 dims; the query
     * FLOATS never ride through the crossJoin (they re-attach to the
-    * k-row-per-query shortlist when a re-rank needs them).
+    * k-row-per-query shortlist when a re-rank needs them). `qRows` is
+    * the query-batch size for the broadcast budget — counted ONCE by
+    * the public entry points and threaded through (round-13 §1.2: each
+    * internal stage used to run its own count action just to size the
+    * broadcast).
     */
   private def scoreHamming(codes: DataFrame, mid: Seq[Double], idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int): DataFrame = {
+      k: Int, qRows: Long): DataFrame = {
     val q = queries.select(col(qidCol), packed(col(qvecCol), mid).as("qw"))
-    val probe = IvfAnn.probeSide(q, q.count(),
+    val probe = IvfAnn.probeSide(q, qRows,
       bytesPerRow = 16L + 8L * ((mid.length + 63) / 64))
     val scored = codes.crossJoin(probe)
       .filter(col(qidCol) =!= col(idCol))
@@ -111,10 +116,11 @@ object BinaryQuantizer {
     val corpus = CentroidState.ensureCached(corpus0)
     val mid = mids(ScalarQuantizer.train(corpus, vecCol))
     val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+    val qRows = queries.count()
     val shortIds = graft.CacheScope.cache(scoreHamming(codes, mid, idCol,
-      queries, qidCol, qvecCol, k * refine))
+      queries, qidCol, qvecCol, k * refine, qRows))
     rerank(shortIds, corpus, idCol, vecCol, queries, qidCol, qvecCol,
-      mid.length, k)
+      mid.length, k, qRows, k.toLong * refine)
   }
 
   /** Exact squared-L2 between two float vectors: `(a_i − b_i)²` folded
@@ -135,13 +141,17 @@ object BinaryQuantizer {
     */
   private def exactDistances(shortIds: DataFrame, primary: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
-      qvecCol: String, dim: Int): DataFrame = {
+      qvecCol: String, dim: Int, qRows: Long, maxShortPerQ: Long): DataFrame = {
     val qf = queries.select(col(qidCol), col(qvecCol))
     val shortlist = shortIds.join(
-      IvfAnn.probeSide(qf, qf.count(), bytesPerRow = 16L + 4L * dim),
+      IvfAnn.probeSide(qf, qRows, bytesPerRow = 16L + 4L * dim),
       qidCol)
     val keep = shortIds.columns.map(col)
-    IvfAnn.probeSide(shortlist, shortIds.count(),
+    // shortlist rows are bounded by qRows·maxShortPerQ BY CONSTRUCTION
+    // (the shortlist is a top-maxShort per query), so the broadcast
+    // budget needs no count action over the whole prefilter lineage —
+    // the bound is conservative (≥ the true count), never unsafe
+    IvfAnn.probeSide(shortlist, qRows * maxShortPerQ,
         bytesPerRow = 24L + 4L * dim)
       .join(primary.select(col(idCol).as("neighbor"),
         col(vecCol).as("__nv")), "neighbor")
@@ -150,13 +160,17 @@ object BinaryQuantizer {
 
   /** Exact squared-L2 re-rank of a shortlist — top-k per query over
     * [[exactDistances]]; shared with the other shortlist-producing tiers
-    * (e.g. [[Matryoshka]]). @return (qidCol, neighbor, dist) */
+    * (e.g. [[Matryoshka]]). `qRows` = query-batch size,
+    * `maxShortPerQ` = the shortlist's per-query contract bound (both
+    * known to every caller — no count actions here).
+    * @return (qidCol, neighbor, dist) */
   private[operators] def rerank(shortIds: DataFrame, primary: DataFrame,
       idCol: String, vecCol: String, queries: DataFrame, qidCol: String,
-      qvecCol: String, dim: Int, k: Int): DataFrame =
+      qvecCol: String, dim: Int, k: Int, qRows: Long,
+      maxShortPerQ: Long): DataFrame =
     Dedup.topKPerKey(
       exactDistances(shortIds, primary, idCol, vecCol, queries, qidCol,
-        qvecCol, dim),
+        qvecCol, dim, qRows, maxShortPerQ),
       Seq(qidCol), Seq(col("dist").asc, col("neighbor").asc), k)
       .select(col(qidCol), col("neighbor"), col("dist"))
 
@@ -177,14 +191,15 @@ object BinaryQuantizer {
     val corpus = CentroidState.ensureCached(corpus0)
     val mid = mids(ScalarQuantizer.train(corpus, vecCol))
     val codes = corpus.select(col(idCol), packed(col(vecCol), mid).as("bw"))
+    val qRows = queries.count()
     // the window runs on the contract-bounded shortlist (nQ·maxShort
     // rows), partitioned by query — never on the corpus
     val ranked = scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol,
-        maxShort)
+        maxShort, qRows)
       .withColumn("ham_rk", row_number().over(Window.partitionBy(qidCol)
         .orderBy(col("hamming").asc, col("neighbor").asc)))
     exactDistances(ranked, corpus, idCol, vecCol, queries, qidCol,
-      qvecCol, mid.length)
+      qvecCol, mid.length, qRows, maxShort.toLong)
   }
 
   /** Recall@k of the binary prefilter + exact re-rank against exact
@@ -295,11 +310,17 @@ object BinaryQuantizer {
     */
   def searchIndex(spark: SparkSession, dir: String, idCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      k: Int): DataFrame = {
+      k: Int): DataFrame =
+    searchIndex(spark, dir, idCol, queries, qidCol, qvecCol, k,
+      queries.count())
+
+  private def searchIndex(spark: SparkSession, dir: String, idCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      k: Int, qRows: Long): DataFrame = {
     val mid = loadMids(spark, dir)
     val codes = graft.sources.Tombstones.filterLive(spark, s"$dir/codes",
       spark.read.parquet(s"$dir/codes"), idCol)
-    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k)
+    scoreHamming(codes, mid, idCol, queries, qidCol, qvecCol, k, qRows)
   }
 
   /** Index-served prefilter + exact re-rank: the codes-only scan
@@ -314,10 +335,12 @@ object BinaryQuantizer {
       queries: DataFrame, qidCol: String, qvecCol: String,
       k: Int, refine: Int): DataFrame = {
     val dim = loadMids(spark, dir).length
+    val qRows = queries.count()
     val shortIds = graft.CacheScope.cache(
-      searchIndex(spark, dir, idCol, queries, qidCol, qvecCol, k * refine))
+      searchIndex(spark, dir, idCol, queries, qidCol, qvecCol, k * refine,
+        qRows))
     rerank(shortIds, primary, idCol, vecCol, queries, qidCol, qvecCol,
-      dim, k)
+      dim, k, qRows, k.toLong * refine)
   }
 
   /** LOGICAL delete — O(|deletes|) markers masked by [[searchIndex]]. */

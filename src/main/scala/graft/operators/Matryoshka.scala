@@ -29,12 +29,18 @@ object Matryoshka {
     */
   def search(corpus0: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qidCol: String, qvecCol: String,
-      dims: Int, k: Int): DataFrame = {
+      dims: Int, k: Int): DataFrame =
+    search(corpus0, idCol, vecCol, queries, qidCol, qvecCol, dims, k,
+      queries.count())
+
+  private def search(corpus0: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qidCol: String, qvecCol: String,
+      dims: Int, k: Int, qRows: Long): DataFrame = {
     val corpus = CentroidState.ensureCached(corpus0)
     val pc = corpus.select(col(idCol), slice(col(vecCol), 1, dims).as("__pv"))
     val q = queries.select(col(qidCol),
       slice(col(qvecCol), 1, dims).as("__qp"))
-    val probe = IvfAnn.probeSide(q, q.count(),
+    val probe = IvfAnn.probeSide(q, qRows,
       bytesPerRow = 16L + 4L * dims)
     val scored = pc.crossJoin(probe)
       .filter(col(qidCol) =!= col(idCol))
@@ -51,11 +57,12 @@ object Matryoshka {
       queries: DataFrame, qidCol: String, qvecCol: String,
       dims: Int, dim: Int, k: Int, refine: Int): DataFrame = {
     val corpus = CentroidState.ensureCached(corpus0)
+    val qRows = queries.count()
     val shortIds = graft.CacheScope.cache(
       search(corpus, idCol, vecCol, queries, qidCol, qvecCol, dims,
-          k * refine)
+          k * refine, qRows)
         .select(col(qidCol), col("neighbor")))
     BinaryQuantizer.rerank(shortIds, corpus, idCol, vecCol, queries,
-      qidCol, qvecCol, dim, k)
+      qidCol, qvecCol, dim, k, qRows, k.toLong * refine)
   }
 }

@@ -359,6 +359,23 @@ object Sketches {
       .groupBy(col("bucket"), col("vmin"), col("vmax"))
       .agg(count(lit(1)).as("cnt"))
 
+  /** [[histBucketize]] against a DRIVER-KNOWN grid: when the caller
+    * already holds `(vmin, vmax)` as scalars, the shared grid rides the
+    * plan as literals instead of a broadcast crossJoin — one fewer
+    * broadcast-build job per call, which the streamed maintainer (q105)
+    * paid once per micro-batch (round-13 §1.2). Identical doubles,
+    * identical buckets.
+    */
+  def histBucketize(df: DataFrame, valueCol: String, w: Int,
+      vmin: Double, vmax: Double): DataFrame =
+    df.filter(col(valueCol).isNotNull)
+      .select(least(floor((col(valueCol) - lit(vmin))
+          / ((lit(vmax) - lit(vmin)) / w.toDouble)), lit(w - 1))
+        .cast("int").as("bucket"),
+        lit(vmin).as("vmin"), lit(vmax).as("vmax"))
+      .groupBy(col("bucket"), col("vmin"), col("vmax"))
+      .agg(count(lit(1)).as("cnt"))
+
   /** GROUPED histogram sketch: one ≤`w`-cell grid PER KEY GROUP (each
     * group gets its own [min, max] span — a shared global grid would
     * waste resolution on every group narrower than the widest). Two

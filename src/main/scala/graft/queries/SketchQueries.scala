@@ -749,8 +749,6 @@ object SketchQueries {
           StructField("est_batch", DoubleType),
           StructField("agree", BooleanType))))
     } else {
-      val grid = spark.createDataFrame(
-        Seq((g.getDouble(0), g.getDouble(1)))).toDF("vmin", "vmax")
       // re-materialize as 4 files so AvailableNow + maxFilesPerTrigger=1
       // yields four REAL micro-batches (the fixture table is one file)
       val streamDir = graft.Scratch.fresh("q105") + "/prices"
@@ -763,7 +761,8 @@ object SketchQueries {
         .writeStream
         .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
           val rows = Sketches
-            .histBucketize(batch, "l_extendedprice", HistW, grid)
+            .histBucketize(batch, "l_extendedprice", HistW,
+              g.getDouble(0), g.getDouble(1))
             .collect()
             .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2),
               r.getLong(3)))
