@@ -118,6 +118,42 @@ object Bench {
     */
   val SidecarPath = "BENCH_QUERIES.json"
 
+  /** THIS run's full-precision per-query map, written alongside the
+    * ratchet on every unfiltered sweep (round-12 verdict item 1: the
+    * stdout line keeps only ≥1 s queries under the cap and the ratchet
+    * by construction can never show a regression, so a committed
+    * artifact must carry the fresh run's true numbers — this is where
+    * per-query regression visibility for the ~140 sub-second queries
+    * lives). Optionally also carries a `noop` map (see [[NoopEnv]]).
+    */
+  val LastRunPath = "BENCH_LAST_RUN.json"
+
+  /** Set `SPARK_GRAFT_BENCH_NOOP=1` to append ONE noop-sink-timed run
+    * per query (guide §1.4: `count()` lets the optimizer prune columns;
+    * the noop sink computes every column of every row) to
+    * [[LastRunPath]] as a `noop` map beside the count-timed `queries`
+    * map. Opt-in and reported SEPARATELY so the `count` series the
+    * driver compares across rounds keeps its methodology — the dual
+    * report migrates the measurement without orphaning the history.
+    * Off by default: a full extra pass would eat the sweep budget on
+    * the driver's clock.
+    */
+  val NoopEnv = "SPARK_GRAFT_BENCH_NOOP"
+
+  private[graft] def renderLastRun(results: Seq[QueryResult],
+      sfDir: String, noop: Map[String, Double]): String = {
+    val qs = results
+      .map(r => "\"" + short(r.name) + "\":" +
+        (if (r.best.isInfinity) -1 else ms3(r.best)))
+      .mkString("{", ",", "}")
+    val ns =
+      if (noop.isEmpty) ""
+      else noop.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + (if (v < 0) -1 else ms3(v)) }
+        .mkString(""","noop":{""", ",", "}")
+    s"""{"sf":"$sfDir","agg":"min","queries":$qs$ns}"""
+  }
+
   private def ms3(v: Double, decimals: Int = 3): String = {
     val p = math.pow(10, decimals)
     val r = math.rint(v * p) / p
@@ -424,11 +460,38 @@ object Bench {
             a.inflated && b.inflated)
         }
       }
+    // optional noop-sink series (§1.4): one extra run per query timing
+    // full-column materialization, reported beside — never instead of —
+    // the count series (see [[NoopEnv]])
+    val noop: Map[String, Double] =
+      if (!sys.env.get(NoopEnv).contains("1")) Map.empty
+      else ordered.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] $name noop failed: ${e.getMessage}")
+            false
+          }
+        val elapsed = (System.nanoTime() - t0) / 1e9
+        CacheScope.releaseAll()
+        spark.catalog.clearCache()
+        short(name) -> (if (ok) elapsed else -1.0)
+      }.toMap
     // full-precision per-query map survives on disk even when the
     // stdout line degrades (and feeds the next run's inflation check);
     // never written by a filtered run — a partial map would silently
-    // drop every other query from the next inflation baseline
-    if (only.isEmpty) writeSidecar(results, sfDir)
+    // drop every other query from the next inflation baseline. The
+    // LAST-RUN artifact keeps this sweep's true numbers beside the
+    // best-ever ratchet so a committed file can still show regressions.
+    if (only.isEmpty) {
+      writeSidecar(results, sfDir)
+      java.nio.file.Files.write(java.nio.file.Paths.get(LastRunPath),
+        (renderLastRun(results, sfDir, noop) + "\n")
+          .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
     val out = renderLine(results, Runs, sfDir, sweepRetried)
     // nothing may land in the tail after the JSON line — silence the
     // shutdown logging spark.stop() would otherwise emit there

@@ -206,6 +206,20 @@ class BenchContractSpec extends AnyFunSuite {
     assert(Bench.parseQs(pretty) == Map("q01" -> 1.5))
   }
 
+  test("last-run artifact carries THIS sweep's full-precision map " +
+      "(never the ratchet) plus the optional noop series") {
+    // round-12 verdict item 1: the ratchet can never show a regression;
+    // the committed last-run file must carry the fresh numbers
+    val s = Bench.renderLastRun(base, "/root/testdata/sf0.1", Map.empty)
+    assert(s.contains("\"sf\":\"/root/testdata/sf0.1\""), s)
+    assert(s.contains("\"q01\":1.5") && s.contains("\"q04\":3.25"), s)
+    assert(s.contains("\"q03\":-1"), s)
+    assert(!s.contains("noop"), s)
+    val d = Bench.renderLastRun(base, "sfX",
+      Map("q01" -> 1.234, "q03" -> -1.0))
+    assert(d.contains("\"noop\":{\"q01\":1.234,\"q03\":-1}"), d)
+  }
+
   test("sidecar carries the FULL-precision map and the run's sf") {
     val s = Bench.renderSidecar(base, "/root/testdata/sf0.1")
     assert(s.contains("\"sf\":\"/root/testdata/sf0.1\""), s)
