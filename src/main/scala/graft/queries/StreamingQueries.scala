@@ -29,6 +29,17 @@ object StreamingQueries {
     * fsync + provider init per micro-batch, measured 2.4 s → 1.2 s on
     * q56/q95 vs 32 stores). Cluster runs override via
     * SPARK_GRAFT_STREAM_STATE_PARTITIONS.
+    *
+    * SIZING RULE (SCALING.md "Stateful-stream state partitions"):
+    * partitions ≈ ceil(expected live state bytes / target store size),
+    * with 0.5–2 GB per RocksDB store the healthy range, rounded up to
+    * a multiple of the executor core count for even task placement —
+    * e.g. ~1 TB of live session state → ~1024 partitions. NEVER leave
+    * a 100 TB deployment on this fixture default: 8 stores holding
+    * billions of keys means ~all state in 8 tasks. The default here is
+    * deliberately fixture-sized, not scale-neutral, because the value
+    * is pinned into the checkpoint at first start and a too-large
+    * default costs per-batch fsync overhead forever.
     */
   private def withStatePartitions[T](
       spark: org.apache.spark.sql.SparkSession)(body: => T): T = {
